@@ -1,0 +1,211 @@
+"""Grayscale ICER codec: full encode/decode pipelines.
+
+Pipeline parity targets:
+  encode -> icer_compress_image_uint8/uint16 (icer_compress.c:18-166,
+  279-426); decode -> icer_decompress_image_uint8/uint16
+  (icer_compress.c:168-274, 430-537).
+
+The encode compute path (DWT, context modelling) is vectorized and runs on
+numpy or JAX; the entropy stage runs through the selected backend
+(sequential host reference by default; native / vectorized backends plug in
+behind the same per-segment-plane contract: emissions -> payload bytes +
+bit length).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.header import SegmentHeader, scan_bytestream
+from ..core.packets import (PacketContext, build_packets_grayscale,
+                            rearrange_order_grayscale, sort_packets)
+from ..core.partition import partition_segments
+from ..core.status import IcerError, IcerStatus
+from ..core.subbands import decode_subband_order, dim_low, subband_view
+from ..ops import wavelet
+from ..ops.context_model import plane_emissions
+from ..backend import sequential
+from ..backend.decode_plane import decode_segment_planes
+
+
+@dataclass
+class CodecConfig:
+    stages: int = 4
+    filt: int = C.FILTER_A
+    segments: int = 6
+    byte_quota: int | None = None  # None = unlimited ("pure" lossless)
+
+
+def _mag_bits(dtype) -> int:
+    dt = np.dtype(dtype)
+    if dt == np.uint8:
+        return 7
+    if dt == np.uint16:
+        return 15
+    raise IcerError(IcerStatus.INVALID_INPUT, f"unsupported dtype {dt}")
+
+
+def _bitplanes(mag_bits: int) -> int:
+    return C.BITPLANES_8 if mag_bits == 7 else C.BITPLANES_16
+
+
+def encode_plane_payload(seg_data: np.ndarray, subband_type: int, lsb: int,
+                         mag_bits: int):
+    """One segment-plane: vectorized pass-1 + sequential entropy coding.
+
+    Returns (payload bytes, bit_length).
+    """
+    valid, ctx, bit = plane_emissions(seg_data, subband_type, lsb, mag_bits)
+    payload, nbits, _ = sequential.encode_emissions(valid, ctx, bit)
+    return payload, nbits
+
+
+def transform_for_encode(image: np.ndarray, stages: int, filt: int,
+                         mag_bits: int):
+    """DWT + LL mean removal + sign-magnitude.  Returns (array, ll_mean)."""
+    h, w = image.shape
+    img = image.astype(np.int32)
+    img, overflow = wavelet.forward_stages(img, stages, filt, mag_bits)
+    img = np.asarray(img)
+    if overflow:
+        raise IcerError(IcerStatus.INTEGER_OVERFLOW, "wavelet transform")
+
+    ll_w = dim_low(w, stages)
+    ll_h = dim_low(h, stages)
+    # The reference sums the raw (unsigned-reinterpreted) sample words
+    # (icer_compress.c:289-299); LL values are non-negative here so the two
+    # agree, but we reproduce the unsigned view for exactness.
+    sample_mask = (1 << (mag_bits + 1)) - 1
+    ll = img[:ll_h, :ll_w]
+    ll_mean = int((ll & sample_mask).astype(np.uint64).sum() // (ll_w * ll_h))
+    if ll_mean > (1 << mag_bits) - 1:
+        raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
+    img[:ll_h, :ll_w] = wavelet._wrap(ll - ll_mean, mag_bits, np)
+    img = np.asarray(wavelet.to_sign_magnitude(img, mag_bits))
+    return img, ll_mean
+
+
+def compress(image: np.ndarray, config: CodecConfig,
+             encode_plane=encode_plane_payload) -> bytes:
+    """Compress a grayscale image to an ICER bytestream."""
+    mag_bits = _mag_bits(image.dtype)
+    bitplanes = _bitplanes(mag_bits)
+    h, w = image.shape
+
+    img, ll_mean = transform_for_encode(image, config.stages, config.filt,
+                                        mag_bits)
+
+    packets = sort_packets(build_packets_grayscale(
+        w, h, config.stages, ll_mean, bitplanes))
+
+    quota = config.byte_quota
+    size_used = 0
+    # encoded[(chan, stage, subband, lsb, seg)] = (header, payload)
+    encoded: dict[tuple, tuple[SegmentHeader, bytes]] = {}
+
+    stop = False
+    for pkt in packets:
+        view = subband_view(w, h, pkt.decomp_level, pkt.subband_type)
+        sub = img[view.row:view.row + view.h, view.col:view.col + view.w]
+        rects = partition_segments(view.w, view.h, config.segments)
+        for rect in rects:
+            if quota is not None and quota - size_used < C.HEADER_SIZE:
+                stop = True
+                break
+            seg_data = sub[rect.row:rect.row + rect.h,
+                           rect.col:rect.col + rect.w]
+            payload, nbits = encode_plane(seg_data, pkt.subband_type,
+                                          pkt.lsb, mag_bits)
+            if quota is not None:
+                max_out = quota - size_used - C.HEADER_SIZE
+                if nbits >= 8 * max_out:
+                    # Mid-plane quota hit: the reference releases this
+                    # packet's header and stops encoding entirely
+                    # (icer_partition.c:323-326, icer_compress.c:404).
+                    stop = True
+                    break
+            hdr = SegmentHeader(
+                ll_mean_val=pkt.ll_mean_val, decomp_level=pkt.decomp_level,
+                subband_type=pkt.subband_type, segment_number=rect.index,
+                lsb=pkt.lsb, channel=pkt.channel, image_w=w, image_h=h,
+                data_length=nbits)
+            encoded[(pkt.channel, pkt.decomp_level, pkt.subband_type,
+                     pkt.lsb, rect.index)] = (hdr, payload)
+            size_used += C.HEADER_SIZE + hdr.payload_bytes
+        if stop:
+            break
+
+    return assemble_stream(encoded, rearrange_order_grayscale(bitplanes))
+
+
+def assemble_stream(encoded: dict, order) -> bytes:
+    """Lay out segments grouped by segment number, then rearrange order."""
+    out = bytearray()
+    for seg in range(C.MAX_SEGMENTS + 1):
+        for (chan, stage, subband, lsb) in order:
+            entry = encoded.get((chan, stage, subband, lsb, seg))
+            if entry is not None:
+                hdr, payload = entry
+                out += hdr.pack(payload)
+    return bytes(out)
+
+
+def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
+               decode_partition=None) -> np.ndarray:
+    """Decompress an ICER bytestream into a grayscale image."""
+    mag_bits = _mag_bits(dtype)
+    bitplanes = _bitplanes(mag_bits)
+
+    segments_found = scan_bytestream(data)
+    if not segments_found:
+        raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
+
+    table: dict[tuple, tuple[bytes, int]] = {}
+    w = h = 0
+    ll_mean = 0
+    for hdr, payload in segments_found:
+        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+               hdr.segment_number, hdr.lsb)] = (payload, hdr.data_length)
+        w, h = hdr.image_w, hdr.image_h
+        ll_mean = hdr.ll_mean_val
+
+    img = np.zeros((h, w), dtype=np.int32)
+    reconstruct_channel(img, table, 0, config, mag_bits, bitplanes,
+                        decode_partition)
+
+    img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
+    ll_w = dim_low(w, config.stages)
+    ll_h = dim_low(h, config.stages)
+    img[:ll_h, :ll_w] = wavelet._wrap(img[:ll_h, :ll_w] + ll_mean,
+                                      mag_bits, np)
+    img, _ = wavelet.inverse_stages(img, config.stages, config.filt, mag_bits)
+    img = np.asarray(img)
+    img[img < 0] = 0
+    return img.astype(dtype)
+
+
+def reconstruct_channel(img: np.ndarray, table: dict, chan: int,
+                        config: CodecConfig, mag_bits: int, bitplanes: int,
+                        decode_partition=None) -> None:
+    """Decode all subbands of one channel into ``img`` (sign-magnitude)."""
+    h, w = img.shape
+    for (stage, subband) in decode_subband_order(config.stages):
+        view = subband_view(w, h, stage, subband)
+        sub = img[view.row:view.row + view.h, view.col:view.col + view.w]
+        rects = partition_segments(view.w, view.h, config.segments)
+        for rect in rects:
+            planes = {
+                lsb: table[(chan, stage, subband, rect.index, lsb)]
+                for lsb in range(bitplanes)
+                if (chan, stage, subband, rect.index, lsb) in table
+            }
+            seg_arr = sub[rect.row:rect.row + rect.h,
+                          rect.col:rect.col + rect.w]
+            if decode_partition is not None:
+                decode_partition(seg_arr, subband, mag_bits, planes, bitplanes)
+            else:
+                decode_segment_planes(seg_arr, subband, mag_bits, planes,
+                                      bitplanes)

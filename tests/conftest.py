@@ -1,0 +1,33 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+# Tests exercising multi-device sharding run on a virtual CPU mesh; set up
+# before JAX initializes.  Single-chip TPU tests read JAX_PLATFORMS as-is.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import oracle as oracle_mod  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Reference C build (golden oracle); skips if the tree is absent."""
+    if not oracle_mod.available():
+        pytest.skip("reference tree not available")
+    return oracle_mod.get_oracle()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(12345)
+
+
+def make_test_image(h, w, rng, dtype=np.uint16, amplitude=200, noise=40):
+    """Compressible-but-nontrivial gradient + noise image."""
+    base = np.add.outer(np.arange(h) * 3, np.arange(w)).astype(np.int64)
+    img = (base % amplitude) + rng.integers(0, noise, (h, w))
+    return img.astype(dtype)
