@@ -1,0 +1,122 @@
+"""Color (YUV) ICER codec.
+
+Mirrors icer_compress_image_yuv_uint8/uint16 and the matching decoders
+(lib_icer/src/icer_color.c): the grayscale pipeline applied per channel,
+with a shared rate-allocation loop over a 3-channel packet list (Y packets
+get the cumulative priority doubling of icer_color.c:404), the channel id
+packed into the header's lsb_chan nibble, and format-version-specific
+stream rearrangement orders (uint8: ascending, icer_color.c:186-203;
+uint16: descending, icer_color.c:510-527).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.header import SegmentHeader, scan_bytestream
+from ..core.packets import (build_packets_color, rearrange_order_color_uint8,
+                            rearrange_order_color_uint16, sort_packets)
+from ..core.partition import partition_segments
+from ..core.status import IcerError, IcerStatus
+from ..core.subbands import dim_low, subband_view
+from ..ops import wavelet
+from .grayscale import (CodecConfig, _bitplanes, _mag_bits, assemble_stream,
+                        encode_plane_payload, reconstruct_channel,
+                        transform_for_encode)
+
+
+def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 config: CodecConfig,
+                 encode_plane=encode_plane_payload) -> bytes:
+    """Compress three equally-sized channel planes into one stream."""
+    if not (y.shape == u.shape == v.shape and y.dtype == u.dtype == v.dtype):
+        raise IcerError(IcerStatus.INVALID_INPUT, "channel mismatch")
+    mag_bits = _mag_bits(y.dtype)
+    bitplanes = _bitplanes(mag_bits)
+    h, w = y.shape
+
+    chans = []
+    ll_means = []
+    for plane in (y, u, v):
+        img, ll_mean = transform_for_encode(plane, config.stages,
+                                            config.filt, mag_bits)
+        chans.append(img)
+        ll_means.append(ll_mean)
+
+    packets = sort_packets(build_packets_color(
+        w, h, config.stages, ll_means, bitplanes))
+
+    quota = config.byte_quota
+    size_used = 0
+    encoded: dict[tuple, tuple[SegmentHeader, bytes]] = {}
+    stop = False
+    for pkt in packets:
+        view = subband_view(w, h, pkt.decomp_level, pkt.subband_type)
+        sub = chans[pkt.channel][view.row:view.row + view.h,
+                                 view.col:view.col + view.w]
+        rects = partition_segments(view.w, view.h, config.segments)
+        for rect in rects:
+            if quota is not None and quota - size_used < C.HEADER_SIZE:
+                stop = True
+                break
+            seg_data = sub[rect.row:rect.row + rect.h,
+                           rect.col:rect.col + rect.w]
+            payload, nbits = encode_plane(seg_data, pkt.subband_type,
+                                          pkt.lsb, mag_bits)
+            if quota is not None:
+                max_out = quota - size_used - C.HEADER_SIZE
+                if nbits >= 8 * max_out:
+                    stop = True
+                    break
+            hdr = SegmentHeader(
+                ll_mean_val=pkt.ll_mean_val, decomp_level=pkt.decomp_level,
+                subband_type=pkt.subband_type, segment_number=rect.index,
+                lsb=pkt.lsb, channel=pkt.channel, image_w=w, image_h=h,
+                data_length=nbits)
+            encoded[(pkt.channel, pkt.decomp_level, pkt.subband_type,
+                     pkt.lsb, rect.index)] = (hdr, payload)
+            size_used += C.HEADER_SIZE + hdr.payload_bytes
+        if stop:
+            break
+
+    order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
+             else rearrange_order_color_uint16(bitplanes))
+    return assemble_stream(encoded, order)
+
+
+def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
+                   decode_partition=None):
+    """Decompress a color stream into (y, u, v) planes."""
+    mag_bits = _mag_bits(dtype)
+    bitplanes = _bitplanes(mag_bits)
+
+    found = scan_bytestream(data)
+    if not found:
+        raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
+
+    table: dict[tuple, tuple[bytes, int]] = {}
+    w = h = 0
+    ll_means = [0, 0, 0]
+    for hdr, payload in found:
+        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+               hdr.segment_number, hdr.lsb)] = (payload, hdr.data_length)
+        w, h = hdr.image_w, hdr.image_h
+        ll_means[hdr.channel] = hdr.ll_mean_val
+
+    out = []
+    ll_w = dim_low(w, config.stages)
+    ll_h = dim_low(h, config.stages)
+    for chan in range(3):
+        img = np.zeros((h, w), dtype=np.int32)
+        reconstruct_channel(img, table, chan, config, mag_bits, bitplanes,
+                            decode_partition)
+        img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
+        img[:ll_h, :ll_w] = wavelet._wrap(
+            img[:ll_h, :ll_w] + ll_means[chan], mag_bits, np)
+        img, _ = wavelet.inverse_stages(img, config.stages, config.filt,
+                                        mag_bits)
+        img = np.asarray(img)
+        img[img < 0] = 0
+        out.append(img.astype(dtype))
+    return tuple(out)

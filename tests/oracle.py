@@ -47,7 +47,29 @@ class OutputBuf(ct.Structure):
 class Oracle:
     def __init__(self):
         self.lib = ct.CDLL(build())
+        self._declare()
         self.lib.icer_init()
+
+    def _declare(self):
+        """Set argtypes so size_t params get clean 64-bit values."""
+        L = self.lib
+        u8p, u16p = ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_uint16)
+        szp = ct.POINTER(ct.c_size_t)
+        sz, i = ct.c_size_t, ct.c_int
+        outp = ct.POINTER(OutputBuf)
+        L.icer_init_output_struct.argtypes = [outp, u8p, sz, sz]
+        L.icer_compress_image_uint16.argtypes = [u16p, sz, sz, ct.c_uint8, i, ct.c_uint8, outp]
+        L.icer_compress_image_uint8.argtypes = [u8p, sz, sz, ct.c_uint8, i, ct.c_uint8, outp]
+        L.icer_compress_image_yuv_uint16.argtypes = [u16p, u16p, u16p, sz, sz, ct.c_uint8, i, ct.c_uint8, outp]
+        L.icer_compress_image_yuv_uint8.argtypes = [u8p, u8p, u8p, sz, sz, ct.c_uint8, i, ct.c_uint8, outp]
+        L.icer_decompress_image_uint16.argtypes = [u16p, szp, szp, sz, u8p, sz, ct.c_uint8, i, ct.c_uint8]
+        L.icer_decompress_image_uint8.argtypes = [u8p, szp, szp, sz, u8p, sz, ct.c_uint8, i, ct.c_uint8]
+        L.icer_decompress_image_yuv_uint16.argtypes = [u16p, u16p, u16p, szp, szp, sz, u8p, sz, ct.c_uint8, i, ct.c_uint8]
+        L.icer_decompress_image_yuv_uint8.argtypes = [u8p, u8p, u8p, szp, szp, sz, u8p, sz, ct.c_uint8, i, ct.c_uint8]
+        L.icer_wavelet_transform_stages_uint16.argtypes = [u16p, sz, sz, ct.c_uint8, i]
+        L.icer_inverse_wavelet_transform_stages_uint16.argtypes = [u16p, sz, sz, ct.c_uint8, i]
+        L.icer_wavelet_transform_stages_uint8.argtypes = [u8p, sz, sz, ct.c_uint8, i]
+        L.icer_inverse_wavelet_transform_stages_uint8.argtypes = [u8p, sz, sz, ct.c_uint8, i]
 
     # -- encode -----------------------------------------------------------
     def _compress(self, fn, arrays, w, h, stages, filt, segments, quota):
@@ -99,7 +121,9 @@ class Oracle:
         img = np.zeros(bufpix, dtype=np.uint16)
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
-        buf = (ct.c_uint8 * len(stream)).from_buffer_copy(stream)
+        # Pad: the reference scan loop reads up to a header past the end.
+        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
+            stream + b"\x00" * 64)
         res = self.lib.icer_decompress_image_uint16(
             img.ctypes.data_as(ct.POINTER(ct.c_uint16)), ct.byref(w),
             ct.byref(h), bufpix, buf, len(stream), stages, filt, segments)
@@ -110,7 +134,9 @@ class Oracle:
         img = np.zeros(bufpix, dtype=np.uint8)
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
-        buf = (ct.c_uint8 * len(stream)).from_buffer_copy(stream)
+        # Pad: the reference scan loop reads up to a header past the end.
+        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
+            stream + b"\x00" * 64)
         res = self.lib.icer_decompress_image_uint8(
             img.ctypes.data_as(ct.POINTER(ct.c_uint8)), ct.byref(w),
             ct.byref(h), bufpix, buf, len(stream), stages, filt, segments)
@@ -121,7 +147,9 @@ class Oracle:
         chans = [np.zeros(bufpix, dtype=np.uint16) for _ in range(3)]
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
-        buf = (ct.c_uint8 * len(stream)).from_buffer_copy(stream)
+        # Pad: the reference scan loop reads up to a header past the end.
+        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
+            stream + b"\x00" * 64)
         res = self.lib.icer_decompress_image_yuv_uint16(
             *[c.ctypes.data_as(ct.POINTER(ct.c_uint16)) for c in chans],
             ct.byref(w), ct.byref(h), bufpix, buf, len(stream),
@@ -135,7 +163,9 @@ class Oracle:
         chans = [np.zeros(bufpix, dtype=np.uint8) for _ in range(3)]
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
-        buf = (ct.c_uint8 * len(stream)).from_buffer_copy(stream)
+        # Pad: the reference scan loop reads up to a header past the end.
+        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
+            stream + b"\x00" * 64)
         res = self.lib.icer_decompress_image_yuv_uint8(
             *[c.ctypes.data_as(ct.POINTER(ct.c_uint8)) for c in chans],
             ct.byref(w), ct.byref(h), bufpix, buf, len(stream),
