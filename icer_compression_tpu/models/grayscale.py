@@ -25,7 +25,7 @@ from ..core.packets import (PacketContext, build_packets_grayscale,
 from ..core.partition import partition_segments
 from ..core.status import IcerError, IcerStatus
 from ..core.subbands import decode_subband_order, dim_low, subband_view
-from ..ops import wavelet
+from ..ops import entropy_vec, wavelet
 from ..ops.context_model import plane_emissions
 from ..backend import sequential
 from ..backend.decode_plane import decode_segment_planes
@@ -54,10 +54,23 @@ def _bitplanes(mag_bits: int) -> int:
 
 def encode_plane_payload(seg_data: np.ndarray, subband_type: int, lsb: int,
                          mag_bits: int):
-    """One segment-plane: vectorized pass-1 + sequential entropy coding.
+    """One segment-plane: vectorized pass-1 + vectorized entropy coding.
 
-    Returns (payload bytes, bit_length).
+    The data-parallel coder handles everything except the rare mid-plane
+    codeword-buffer flush, which it detects exactly and delegates to the
+    sequential reference coder.  Returns (payload bytes, bit_length).
     """
+    valid, ctx, bit = plane_emissions(seg_data, subband_type, lsb, mag_bits)
+    out = entropy_vec.encode_emissions_vec(valid, ctx, bit)
+    if out is None:
+        payload, nbits, _ = sequential.encode_emissions(valid, ctx, bit)
+        return payload, nbits
+    return out
+
+
+def encode_plane_payload_sequential(seg_data: np.ndarray, subband_type: int,
+                                    lsb: int, mag_bits: int):
+    """Reference path: sequential entropy coding (differential anchor)."""
     valid, ctx, bit = plane_emissions(seg_data, subband_type, lsb, mag_bits)
     payload, nbits, _ = sequential.encode_emissions(valid, ctx, bit)
     return payload, nbits
