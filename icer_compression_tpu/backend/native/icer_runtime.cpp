@@ -1,0 +1,624 @@
+// Native host runtime for the ICER TPU framework.
+//
+// Provides the sequential components that stay on the host:
+//   * the interleaved entropy coder consuming precomputed emission streams
+//     (pass-1 context modelling runs vectorized in numpy/JAX; only the
+//     order-dependent codeword machinery runs here), and
+//   * the bitplane decoder state machine, batched over independent
+//     error-containment segments with a std::thread pool.
+//
+// Behavioral contract: bit-identical to the reference implementation
+// (lib_icer/src/icer_encoding.c, icer_decoding.c, icer_context_modeller.c)
+// and to this package's backend/sequential.py, which is differentially
+// tested against the reference build.
+//
+// Exposed via a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <thread>
+#include <atomic>
+
+namespace {
+
+constexpr int kBins = 17;
+constexpr int kCtx = 17;           // adaptive contexts 0..16
+constexpr int kCtxUncoded = 17;    // fixed-probability marker in emissions
+constexpr int kCircBuf = 2048;
+constexpr uint16_t kDone = 1u << 10;
+constexpr uint16_t kDataMask = (1u << 10) - 1;
+constexpr int kBitsOff = 11;
+constexpr uint32_t kRescaleCap = 500;
+
+// ---- format tables (mirrors core/constants.py; values are the ICER
+// format specification) --------------------------------------------------
+
+const uint32_t kCutoff[16] = {
+    35298, 37345, 40503, 43591, 47480, 50133, 53645, 55902,
+    57755, 58894, 60437, 62267, 63613, 64557, 65134, 65392};
+
+const int32_t kBinScheme[kBins] = {0, -1, -1, -1, -1, -1, -1, -1,
+                                   5, 6, 7, 11, 17, 31, 70, 200, 512};
+
+struct CustomEntry { uint8_t in_val, in_bits, out_val, out_bits; };
+
+// (input pattern value/bits -> output code value/bits), LSB-first values.
+const CustomEntry kCustom[7][9] = {
+    // bin 2
+    {{0b01,2,0b10,2},{0b011,3,0b011,3},{0b0111,4,0b1111,4},{0b1111,4,0b10000,5},
+     {0b10,2,0b01,2},{0b100,3,0b100,3},{0b1000,4,0b1000,4},{0b10000,5,0b00000,5},
+     {0b00000,5,0b0111,4}},
+    // bin 3
+    {{0b10,2,0b01,2},{0b100,3,0b00,2},{0b0000,4,0b011,3},{0b11000,5,0b10010,5},
+     {0b01000,5,0b1111,4},{0b01,2,0b110,3},{0b0011,4,0b0111,4},{0b1011,4,0b00010,5},
+     {0b111,3,0b1010,4}},
+    // bin 4
+    {{0b10,2,0b10,2},{0b100,3,0b011,3},{0b000,3,0b00,2},{0b01,2,0b01,2},
+     {0b11,2,0b111,3},{0,0,0,0},{0,0,0,0},{0,0,0,0},{0,0,0,0}},
+    // bin 5
+    {{0b00,2,0b1,1},{0b010,3,0b000,3},{0b110,3,0b1010,4},{0b101,3,0b0010,4},
+     {0b1001,4,0b1110,4},{0b00001,5,0b0100,4},{0b10001,5,0b00110,5},
+     {0b011,3,0b1100,4},{0b111,3,0b10110,5}},
+    // bin 6
+    {{0b1,1,0b10,2},{0b010,3,0b011,3},{0b110,3,0b1111,4},{0b100,3,0b101,3},
+     {0b1000,4,0b001,3},{0b10000,5,0b0111,4},{0b00000,5,0b00,2},
+     {0,0,0,0},{0,0,0,0}},
+    // bin 7
+    {{0b000,3,0b0,1},{0b100,3,0b001,3},{0b010,3,0b101,3},{0b110,3,0b01111,5},
+     {0b11,2,0b0111,4},{0b001,3,0b011,3},{0b101,3,0b11111,5},{0,0,0,0},{0,0,0,0}},
+    // bin 8
+    {{0b10,2,0b101,3},{0b100,3,0b001,3},{0b0000,4,0b0,1},{0b01000,5,0b0111,4},
+     {0b11000,5,0b01111,5},{0b01,2,0b011,3},{0b11,2,0b11111,5},{0,0,0,0},{0,0,0,0}},
+};
+
+struct FlushEntry { uint8_t val, bits, app_val, app_bits; };
+const FlushEntry kFlush[7][8] = {
+    // bin 2
+    {{0b1,1,0,1},{0b11,2,0,1},{0b111,3,0,1},{0b0,1,1,1},{0b00,2,1,1},
+     {0b000,3,1,1},{0b0000,4,0,1},{255,0,0,0}},
+    // bin 3
+    {{0b0,1,1,1},{0b00,2,1,1},{0b000,3,0,1},{0b1000,4,0,1},{0b1,1,0,1},
+     {0b11,2,1,1},{0b011,3,0,1},{255,0,0,0}},
+    // bin 4
+    {{0b0,1,1,1},{0b00,2,0,1},{0b1,1,0,1},{255,0,0,0},{255,0,0,0},{255,0,0,0},
+     {255,0,0,0},{255,0,0,0}},
+    // bin 5
+    {{0b0,1,0,1},{0b10,2,0,1},{0b01,2,1,1},{0b001,3,1,1},{0b0001,4,0,1},
+     {0b1,1,0b01,2},{0b11,2,0,1},{255,0,0,0}},
+    // bin 6
+    {{0b0,1,0b01,2},{0b01,2,0,1},{0b00,2,1,1},{0b000,3,1,1},{0b0000,4,0,1},
+     {255,0,0,0},{255,0,0,0},{255,0,0,0}},
+    // bin 7
+    {{0b0,1,0b00,2},{0b00,2,0,1},{0b10,2,0,1},{0b1,1,1,1},{0b01,2,0,1},
+     {255,0,0,0},{255,0,0,0},{255,0,0,0}},
+    // bin 8
+    {{0b0,1,1,1},{0b00,2,1,1},{0b000,3,0,1},{0b1000,4,0,1},{0b1,1,0,1},
+     {255,0,0,0},{255,0,0,0},{255,0,0,0}},
+};
+
+const uint8_t kCtxTableLL[3][3][5] = {
+    {{0,1,2,2,2},{3,3,3,3,3},{4,4,4,4,4}},
+    {{5,6,7,7,7},{7,7,7,7,7},{7,7,7,7,7}},
+    {{8,8,8,8,8},{8,8,8,8,8},{8,8,8,8,8}}};
+const uint8_t kCtxTableHH[5][5] = {
+    {0,3,6,8,8},{1,4,7,8,8},{2,5,7,8,8},{2,5,7,8,8},{2,5,7,8,8}};
+const uint8_t kSignCtx[5][5] = {
+    {14,14,15,16,16},{14,14,15,16,16},{13,13,12,13,13},
+    {16,16,15,14,14},{16,16,15,14,14}};
+const uint8_t kSignPred[5][5] = {
+    {1,1,1,1,1},{1,1,1,1,1},{0,0,0,1,1},{0,0,0,0,0},{0,0,0,0,0}};
+
+// ---- derived LUTs, built once ------------------------------------------
+
+struct Golomb { uint16_t m, l, i; };
+Golomb g_golomb[kBins];
+// encode: value -> (in_bits, out_val, out_bits); 0 in_bits = not a code.
+uint8_t g_enc_in_bits[kBins][32];
+uint8_t g_enc_out_val[kBins][32];
+uint8_t g_enc_out_bits[kBins][32];
+// flush: (value, bits) -> appended bits
+uint8_t g_flush_val[kBins][32][6];
+uint8_t g_flush_bits[kBins][32][6];
+// decode: (stream code value, bits) -> (pushed value (reversed input), bits)
+uint8_t g_dec_out_val[kBins][32][11];
+uint8_t g_dec_out_bits[kBins][32][11];
+uint8_t g_dec_valid[kBins][32][11];
+
+uint16_t reverse_bits(uint16_t v, int n) {
+  uint16_t r = 0;
+  for (int b = 0; b < n; b++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+struct InitOnce {
+  InitOnce() {
+    for (int b = 0; b < kBins; b++) {
+      if (kBinScheme[b] > 0) {
+        unsigned m = kBinScheme[b];
+        unsigned l = 31 - __builtin_clz(m);
+        if ((m ^ (1u << l)) != 0) l++;
+        g_golomb[b] = {uint16_t(m), uint16_t(l), uint16_t((1u << l) - m)};
+      }
+    }
+    std::memset(g_enc_in_bits, 0, sizeof(g_enc_in_bits));
+    std::memset(g_flush_bits, 0, sizeof(g_flush_bits));
+    std::memset(g_flush_val, 0, sizeof(g_flush_val));
+    std::memset(g_dec_valid, 0, sizeof(g_dec_valid));
+    for (int bi = 0; bi < 7; bi++) {
+      int b = bi + 1;
+      for (const auto &e : kCustom[bi]) {
+        if (e.in_bits == 0) continue;
+        g_enc_in_bits[b][e.in_val] = e.in_bits;
+        g_enc_out_val[b][e.in_val] = e.out_val;
+        g_enc_out_bits[b][e.in_val] = e.out_bits;
+        // decode table keyed by (output code, output bits); pushed value is
+        // the bit-reversed input pattern so stack consumption replays the
+        // original bit order.
+        g_dec_valid[b][e.out_val][e.out_bits] = 1;
+        g_dec_out_val[b][e.out_val][e.out_bits] =
+            (uint8_t)reverse_bits(e.in_val, e.in_bits);
+        g_dec_out_bits[b][e.out_val][e.out_bits] = e.in_bits;
+      }
+      for (const auto &f : kFlush[bi]) {
+        if (f.val == 255) continue;
+        g_flush_val[b][f.val][f.bits] = f.app_val;
+        g_flush_bits[b][f.val][f.bits] = f.app_bits;
+      }
+    }
+  }
+} g_init;
+
+int compute_bin(uint32_t zero, uint32_t total) {
+  uint32_t comp = zero * 65536u;
+  for (int b = 16; b > 0; b--)
+    if (comp >= total * kCutoff[b - 1]) return b;
+  return 0;
+}
+
+// ---- encoder ------------------------------------------------------------
+
+struct Encoder {
+  std::vector<uint16_t> words;
+  size_t head = 0;
+  int64_t bin_word[kBins];   // index into words (unbounded), -1 = none
+  int16_t bin_bits[kBins];
+  uint8_t *out;
+  size_t out_cap;
+  size_t out_bits = 0;
+  int flush_events = 0;
+  bool overflowed = false;
+
+  explicit Encoder(uint8_t *o, size_t cap) : out(o), out_cap(cap) {
+    words.reserve(4096);
+    for (int b = 0; b < kBins; b++) { bin_word[b] = -1; bin_bits[b] = 0; }
+  }
+
+  void emit(uint16_t v, int n) {
+    size_t pos = out_bits;
+    out_bits += n;
+    if ((out_bits + 7) / 8 > out_cap) { overflowed = true; return; }
+    while (n > 0) {
+      size_t byte_i = pos >> 3;
+      int bit_i = pos & 7;
+      int take = 8 - bit_i < n ? 8 - bit_i : n;
+      out[byte_i] |= (uint8_t)((v & ((1u << take) - 1)) << bit_i);
+      v >>= take;
+      n -= take;
+      pos += take;
+    }
+  }
+
+  void pop_available() {
+    while (head < words.size() && (words[head] & kDone)) {
+      uint16_t w = words[head++];
+      emit(w & kDataMask, w >> kBitsOff);
+    }
+  }
+
+  static uint16_t golomb_done_word(int b, int k) {
+    const Golomb &g = g_golomb[b];
+    uint16_t code = k + (k < g.i ? 0 : g.i);
+    int nb = g.l + (k >= g.i ? 1 : 0);
+    code = reverse_bits(code, nb);
+    return (uint16_t)((nb << kBitsOff) | kDone | code);
+  }
+
+  void flush_head() {
+    uint16_t &w = words[head];
+    if (!(w & kDone)) {
+      int b = w >> kBitsOff;
+      if (b > 7) {
+        int k = w & kDataMask;
+        if (k == g_golomb[b].m - 1)
+          w = (uint16_t)((1 << kBitsOff) | kDone | 1);
+        else
+          w = golomb_done_word(b, k);
+        bin_word[b] = -1;
+      } else if (b != 0) {
+        int prefix = w & kDataMask;
+        int nb = bin_bits[b];
+        prefix |= g_flush_val[b][prefix][nb] << nb;
+        w = (uint16_t)((g_enc_out_bits[b][prefix] << kBitsOff) | kDone |
+                       g_enc_out_val[b][prefix]);
+        bin_word[b] = -1;
+        bin_bits[b] = 0;
+      }
+    }
+    pop_available();
+  }
+
+  void encode_bit(int bit, uint32_t zero, uint32_t total) {
+    if (zero < (total >> 1)) { zero = total - zero; bit ^= 1; }
+    int b = compute_bin(zero, total);
+    int64_t idx = bin_word[b];
+    if (idx < 0) {
+      if (words.size() - head >= kCircBuf) { flush_events++; flush_head(); }
+      idx = (int64_t)words.size();
+      words.push_back((uint16_t)(b << kBitsOff));
+      bin_word[b] = idx;
+    }
+    uint16_t w = words[idx];
+    if (b > 7) {
+      if (!bit) {
+        w++;
+        if ((w & kDataMask) >= g_golomb[b].m) {
+          w = (uint16_t)((1 << kBitsOff) | kDone | 1);
+          bin_word[b] = -1;
+        }
+      } else {
+        w = golomb_done_word(b, w & kDataMask);
+        bin_word[b] = -1;
+      }
+    } else if (b != 0) {
+      w |= (uint16_t)(bit << bin_bits[b]);
+      bin_bits[b]++;
+      int prefix = w & kDataMask;
+      if (g_enc_in_bits[b][prefix] == bin_bits[b]) {
+        w = (uint16_t)((g_enc_out_bits[b][prefix] << kBitsOff) | kDone |
+                       g_enc_out_val[b][prefix]);
+        bin_word[b] = -1;
+        bin_bits[b] = 0;
+      }
+    } else {
+      w = (uint16_t)((1 << kBitsOff) | kDone | (bit & 1));
+      bin_word[b] = -1;
+    }
+    words[idx] = w;
+    pop_available();
+  }
+
+  void drain() { while (head < words.size()) flush_head(); }
+};
+
+// ---- decoder ------------------------------------------------------------
+
+struct Decoder {
+  const uint8_t *data;
+  size_t nbytes;
+  uint32_t encoded_bits;
+  size_t pos = 0;                 // consumed bit position
+  size_t decoded_words = 0;
+  // Per-bin bit stack; golomb bins can hold up to m=512 pending zeros
+  // (the reference uses 30 uint32 words = 960 bits: icer.h:328-337).
+  uint64_t bin_buf[kBins][16];
+  int bin_bits[kBins];
+  size_t bin_index[kBins];
+  bool out_of_data = false;
+  bool invalid = false;
+
+  Decoder(const uint8_t *d, size_t nb, uint32_t ebits)
+      : data(d), nbytes(nb), encoded_bits(ebits) {
+    for (int b = 0; b < kBins; b++) {
+      std::memset(bin_buf[b], 0, sizeof(bin_buf[b]));
+      bin_bits[b] = 0; bin_index[b] = 0;
+    }
+  }
+
+  int bit_at(size_t p) const {
+    size_t byte_i = p >> 3;
+    if (byte_i >= nbytes) return 0;  // reference reads adjacent memory (UB)
+    return (data[byte_i] >> (p & 7)) & 1;
+  }
+
+  int peek_bit(int ahead) const { return bit_at(pos + ahead - 1); }
+
+  uint32_t peek_bits(int n) {
+    if ((uint32_t)n > encoded_bits) { out_of_data = true; return 0; }
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v |= (uint32_t)bit_at(pos + i) << i;
+    return v;
+  }
+
+  uint32_t pop_bits(int n) {
+    uint32_t v = peek_bits(n);
+    pos += n;
+    return v;
+  }
+
+  void push(uint32_t value, int n, int b) {
+    int p = bin_bits[b];
+    bin_bits[b] += n;
+    while (n > 0) {
+      int word = p >> 6, off = p & 63;
+      int take = 64 - off < n ? 64 - off : n;
+      bin_buf[b][word] |= ((uint64_t)value & ((take >= 64 ? ~0ull : ((1ull << take) - 1)))) << off;
+      value >>= take;
+      n -= take;
+      p += take;
+    }
+  }
+
+  int consume(int b) {
+    int n = --bin_bits[b];
+    int word = n >> 6, off = n & 63;
+    int v = (int)((bin_buf[b][word] >> off) & 1);
+    bin_buf[b][word] &= ~(1ull << off);
+    return v;
+  }
+
+  // Returns 0/1, or -1 on error (out_of_data / invalid set).
+  int decode_bit(uint32_t zero, uint32_t total) {
+    bool inv = false;
+    if (zero < (total >> 1)) { zero = total - zero; inv = true; }
+    int b = compute_bin(zero, total);
+
+    if (bin_bits[b] <= 0 || decoded_words - bin_index[b] >= kCircBuf) {
+      bin_bits[b] = 0;
+      std::memset(bin_buf[b], 0, sizeof(bin_buf[b]));
+      if (b > 7) {
+        const Golomb &g = g_golomb[b];
+        if (peek_bit(1)) {
+          pop_bits(1);
+          push(0, g.m, b);
+        } else {
+          uint16_t k = (uint16_t)peek_bits(g.l);
+          if (out_of_data) return -1;
+          k = reverse_bits(k, g.l);
+          if (k < g.i) {
+            pop_bits(g.l);
+            push(1, 1, b);
+            push(0, k, b);
+          } else {
+            k = (uint16_t)pop_bits(g.l + 1);
+            if (out_of_data) return -1;
+            k = reverse_bits(k, g.l + 1);
+            push(1, 1, b);
+            push(0, k - g.i, b);
+          }
+        }
+      } else if (b != 0) {
+        uint32_t codeword = 0;
+        int nb = 0;
+        for (;;) {
+          if ((uint32_t)(nb + 1) >= encoded_bits) { out_of_data = true; return -1; }
+          codeword |= (uint32_t)peek_bit(nb + 1) << nb;
+          nb++;
+          if (codeword >= 32) { invalid = true; return -1; }
+          if (g_dec_valid[b][codeword][nb]) {
+            push(g_dec_out_val[b][codeword][nb], g_dec_out_bits[b][codeword][nb], b);
+            uint32_t test = pop_bits(nb);
+            if (out_of_data) return -1;
+            if (test != codeword) { invalid = true; return -1; }
+            break;
+          }
+          if (nb >= 10) { invalid = true; return -1; }
+        }
+      } else {
+        uint32_t v = pop_bits(1);
+        if (out_of_data) return -1;
+        push(v, 1, b);
+      }
+      decoded_words++;
+      bin_index[b] = decoded_words;
+    }
+    int v = consume(b);
+    return v ^ (inv ? 1 : 0);
+  }
+};
+
+struct Counters {
+  uint32_t zero[kCtx], total[kCtx];
+  Counters() { for (int i = 0; i < kCtx; i++) { zero[i] = 2; total[i] = 4; } }
+  void update(int c, int bit) {
+    total[c]++;
+    if (!bit) zero[c]++;
+    if (total[c] >= kRescaleCap) {
+      total[c] >>= 1;
+      if (zero[c] > total[c]) zero[c] >>= 1;
+    }
+  }
+};
+
+// Decode one bitplane of one segment in place.  data is int32
+// sign-magnitude (sign at bit mag_bits).  Returns 0 ok, <0 error.
+int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
+                 int lsb, int mag_bits, Counters &cnt, Decoder &dec) {
+  const int prev = lsb + 1;
+  const int32_t magmask = (1 << mag_bits) - 1;
+  const bool is_hl = subband == 1, is_hh = subband == 3;
+
+  auto sig = [&](int r, int c, int plane) -> int {
+    return ((seg[r * rowstride + c] & magmask) >> plane) != 0;
+  };
+  auto sgn = [&](int r, int c, int plane) -> int {
+    int32_t v = seg[r * rowstride + c];
+    if (((v & magmask) >> plane) == 0) return 0;
+    return (v >> mag_bits) & 1 ? -1 : 0;
+  };
+
+  for (int r = 0; r < h; r++) {
+    for (int c = 0; c < w; c++) {
+      int32_t v = seg[r * rowstride + c];
+      int32_t mag = v & magmask;
+      int msb = 31 - __builtin_clz((uint32_t)(mag | 1));
+      int cat = msb - lsb;
+      if (cat < 0) cat = 0;
+      if (cat > 3) cat = 3;
+
+      if (cat == 3) {
+        int bit = dec.decode_bit(1, 2);
+        if (bit < 0) return -1;
+        seg[r * rowstride + c] = v | (bit << lsb);
+        continue;
+      }
+
+      int hc = 0, vc = 0, dc = 0, ctx;
+      if (cat <= 1) {
+        if (c > 0) hc += sig(r, c - 1, lsb);
+        if (c < w - 1) hc += sig(r, c + 1, prev);
+        if (r > 0) vc += sig(r - 1, c, lsb);
+        if (r < h - 1) vc += sig(r + 1, c, prev);
+        if (c > 0 && r > 0) dc += sig(r - 1, c - 1, lsb);
+        if (c > 0 && r < h - 1) dc += sig(r + 1, c - 1, prev);
+        if (c < w - 1 && r > 0) dc += sig(r - 1, c + 1, lsb);
+        if (c < w - 1 && r < h - 1) dc += sig(r + 1, c + 1, prev);
+      }
+      if (cat == 0) {
+        int hh = hc, vv = vc;
+        if (is_hl) { hh = vc; vv = hc; }
+        ctx = is_hh ? kCtxTableHH[hh + vv][dc] : kCtxTableLL[hh][vv][dc];
+      } else if (cat == 1) {
+        ctx = (hc + vc == 0) ? 9 : 10;
+      } else {
+        ctx = 11;
+      }
+
+      int bit = dec.decode_bit(cnt.zero[ctx], cnt.total[ctx]);
+      if (bit < 0) return -1;
+      v |= bit << lsb;
+      seg[r * rowstride + c] = v;
+      cnt.update(ctx, bit);
+
+      if (cat == 0 && bit) {
+        int sh = 2 + (c > 0 ? sgn(r, c - 1, lsb) : 0)
+                   + (c < w - 1 ? sgn(r, c + 1, prev) : 0);
+        int sv = 2 + (r > 0 ? sgn(r - 1, c, lsb) : 0)
+                   + (r < h - 1 ? sgn(r + 1, c, prev) : 0);
+        if (is_hl) { int t = sh; sh = sv; sv = t; }
+        int sctx = kSignCtx[sh][sv];
+        int pred = kSignPred[sh][sv];
+        int agree = dec.decode_bit(cnt.zero[sctx], cnt.total[sctx]);
+        if (agree < 0) return -1;
+        int actual = (agree ^ pred) & 1;
+        seg[r * rowstride + c] = v | (actual << mag_bits);
+        cnt.update(sctx, agree);
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// ---- C ABI --------------------------------------------------------------
+
+extern "C" {
+
+// Entropy-encode a precomputed emission stream.
+// valid/ctx/bit: int32 arrays of length n (ctx 0..16 adaptive, 17 uncoded).
+// out: byte buffer of out_cap bytes.  Returns bit length (>=0) or -1 if
+// out_cap was exceeded.  *flush_events reports mid-plane forced flushes.
+int64_t icer_tpu_encode_emissions(const int32_t *valid, const int32_t *ctx,
+                                  const int32_t *bit, int64_t n,
+                                  uint8_t *out, int64_t out_cap,
+                                  int32_t *flush_events) {
+  std::memset(out, 0, out_cap);
+  Encoder enc(out, (size_t)out_cap);
+  Counters cnt;
+  for (int64_t i = 0; i < n; i++) {
+    if (!valid[i]) continue;
+    int c = ctx[i];
+    int b = bit[i];
+    if (c == kCtxUncoded) {
+      enc.encode_bit(b, 1, 2);
+    } else {
+      enc.encode_bit(b, cnt.zero[c], cnt.total[c]);
+      cnt.update(c, b);
+    }
+    if (enc.overflowed) return -1;
+  }
+  enc.drain();
+  if (enc.overflowed) return -1;
+  if (flush_events) *flush_events = enc.flush_events;
+  return (int64_t)enc.out_bits;
+}
+
+// One decode task: a segment of a subband with its per-plane payloads.
+struct SegTask {
+  int32_t seg_off;      // offset of segment (row0*rowstride + col0) in image
+  int32_t h, w, rowstride;
+  int32_t subband, mag_bits;
+  int32_t nplanes;      // number of bitplanes (7 or 9); lsb index = plane
+  // per plane (index = lsb): offset into blob (bytes) and bit length;
+  // offset < 0 means plane missing.
+  int64_t plane_off[16];
+  int64_t plane_bits[16];
+};
+
+// Decode a batch of independent segment tasks with nthreads workers.
+// statuses[i]: 0 full, >0 = number of planes decoded before stopping.
+void icer_tpu_decode_segments(int32_t *image, const SegTask *tasks,
+                              int64_t ntasks, const uint8_t *blob,
+                              int32_t nthreads, int32_t *planes_done) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t t = next.fetch_add(1);
+      if (t >= ntasks) return;
+      const SegTask &task = tasks[t];
+      int32_t *seg = image + task.seg_off;
+      int done = 0;
+      for (int lsb = task.nplanes - 1; lsb >= 0; lsb--) {
+        if (task.plane_off[lsb] < 0) break;
+        Counters cnt;
+        size_t nbytes = (size_t)((task.plane_bits[lsb] + 7) / 8);
+        Decoder dec(blob + task.plane_off[lsb], nbytes,
+                    (uint32_t)task.plane_bits[lsb]);
+        int r = decode_plane(seg, task.h, task.w, task.rowstride,
+                             task.subband, lsb, task.mag_bits, cnt, dec);
+        if (r < 0) break;
+        done++;
+      }
+      planes_done[t] = done;
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt == 1 || ntasks <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+}
+
+// Batched entropy encode: tasks give (offset, length) into the emission
+// arrays; outputs are written at fixed stride out_stride per task.
+void icer_tpu_encode_batch(const int32_t *valid, const int32_t *ctx,
+                           const int32_t *bit, const int64_t *offsets,
+                           const int64_t *lengths, int64_t ntasks,
+                           uint8_t *out, int64_t out_stride,
+                           int64_t *out_bits, int32_t nthreads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t t = next.fetch_add(1);
+      if (t >= ntasks) return;
+      int32_t fl = 0;
+      out_bits[t] = icer_tpu_encode_emissions(
+          valid + offsets[t], ctx + offsets[t], bit + offsets[t], lengths[t],
+          out + t * out_stride, out_stride, &fl);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt == 1 || ntasks <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+}
+
+}  // extern "C"

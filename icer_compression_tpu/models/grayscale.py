@@ -202,9 +202,24 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
 
 def reconstruct_channel(img: np.ndarray, table: dict, chan: int,
                         config: CodecConfig, mag_bits: int, bitplanes: int,
-                        decode_partition=None) -> None:
-    """Decode all subbands of one channel into ``img`` (sign-magnitude)."""
+                        decode_partition=None, backend: str = "auto") -> None:
+    """Decode all subbands of one channel into ``img`` (sign-magnitude).
+
+    backend: "native" (multithreaded C++ runtime), "python" (sequential
+    reference), or "auto" (native when available).
+    """
     h, w = img.shape
+    if decode_partition is None and backend in ("auto", "native"):
+        from ..backend import native_backend
+        if native_backend.available():
+            tasks, blob = collect_decode_tasks(
+                (h, w), table, chan, config, mag_bits, bitplanes)
+            if tasks:
+                native_backend.decode_segments_native(img, tasks, blob)
+            return
+        if backend == "native":
+            raise RuntimeError("native runtime unavailable")
+
     for (stage, subband) in decode_subband_order(config.stages):
         view = subband_view(w, h, stage, subband)
         sub = img[view.row:view.row + view.h, view.col:view.col + view.w]
@@ -222,3 +237,37 @@ def reconstruct_channel(img: np.ndarray, table: dict, chan: int,
             else:
                 decode_segment_planes(seg_arr, subband, mag_bits, planes,
                                       bitplanes)
+
+
+def collect_decode_tasks(img_shape, table: dict, chan: int,
+                         config: CodecConfig, mag_bits: int, bitplanes: int):
+    """Flatten a channel's decode work into independent segment tasks.
+
+    Returns (tasks, blob): each task decodes one segment of one subband
+    (its bitplanes MSB->LSB); tasks touch disjoint image rectangles, so
+    they run in parallel across threads / cores / chips.
+    """
+    h, w = img_shape
+    tasks = []
+    blob = bytearray()
+    for (stage, subband) in decode_subband_order(config.stages):
+        view = subband_view(w, h, stage, subband)
+        rects = partition_segments(view.w, view.h, config.segments)
+        for rect in rects:
+            planes = {}
+            for lsb in range(bitplanes):
+                ent = table.get((chan, stage, subband, rect.index, lsb))
+                if ent is None:
+                    continue
+                payload, nbits = ent
+                planes[lsb] = (len(blob), nbits)
+                blob += payload
+            if not planes:
+                continue
+            tasks.append({
+                "seg_off": (view.row + rect.row) * w + (view.col + rect.col),
+                "h": rect.h, "w": rect.w, "rowstride": w,
+                "subband": subband, "mag_bits": mag_bits,
+                "nplanes": bitplanes, "planes": planes,
+            })
+    return tasks, bytes(blob)
