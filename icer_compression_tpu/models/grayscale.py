@@ -154,6 +154,76 @@ def compress(image: np.ndarray, config: CodecConfig,
     return assemble_stream(encoded, rearrange_order_grayscale(bitplanes))
 
 
+def allocate_from_table(packets, payload_table: dict, quota,
+                        segments_per_subband: dict, image_w: int,
+                        image_h: int):
+    """Greedy rate allocation over fully-encoded payloads.
+
+    packets: sorted PacketContext list; payload_table maps
+    (chan, stage, subband, lsb, seg) -> (payload, nbits).  Reproduces the
+    reference's in-order truncation (header release + stop-all on quota,
+    icer_partition.c:323-326, icer_compress.c:404).  Returns the encoded
+    dict for assemble_stream.
+    """
+    size_used = 0
+    encoded: dict[tuple, tuple[SegmentHeader, bytes]] = {}
+    for pkt in packets:
+        nsegs = segments_per_subband[(pkt.decomp_level, pkt.subband_type)]
+        for seg in range(nsegs):
+            if quota is not None and quota - size_used < C.HEADER_SIZE:
+                return encoded
+            payload, nbits = payload_table[
+                (pkt.channel, pkt.decomp_level, pkt.subband_type, pkt.lsb,
+                 seg)]
+            if quota is not None:
+                max_out = quota - size_used - C.HEADER_SIZE
+                if nbits >= 8 * max_out:
+                    return encoded
+            hdr = SegmentHeader(
+                ll_mean_val=pkt.ll_mean_val, decomp_level=pkt.decomp_level,
+                subband_type=pkt.subband_type, segment_number=seg,
+                lsb=pkt.lsb, channel=pkt.channel, image_w=image_w,
+                image_h=image_h, data_length=nbits)
+            encoded[(pkt.channel, pkt.decomp_level, pkt.subband_type,
+                     pkt.lsb, seg)] = (hdr, payload)
+            size_used += C.HEADER_SIZE + hdr.payload_bytes
+    return encoded
+
+
+_JAX_ENCODERS: dict[tuple, object] = {}
+
+
+def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
+    """Grayscale compression with the TPU (XLA) encode pipeline.
+
+    Bit-identical to compress(); the DWT, context modelling and the
+    interleaved entropy coder run as compiled XLA programs on the
+    accelerator, with host-side rate allocation and stream assembly.
+    """
+    from ..ops.encode_jax import JaxGrayscaleEncoder
+
+    mag_bits = _mag_bits(image.dtype)
+    bitplanes = _bitplanes(mag_bits)
+    h, w = image.shape
+    key = (w, h, config.stages, config.filt, config.segments, mag_bits)
+    enc = _JAX_ENCODERS.get(key)
+    if enc is None:
+        enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
+                                  config.segments, mag_bits)
+        _JAX_ENCODERS[key] = enc
+
+    raw_table, ll_mean = enc.encode(image)
+    table = {(0,) + k: v for k, v in raw_table.items()}
+    packets = sort_packets(build_packets_grayscale(
+        w, h, config.stages, ll_mean, bitplanes))
+    nsegs = {}
+    for pkt in packets:
+        nsegs[(pkt.decomp_level, pkt.subband_type)] = config.segments
+    encoded = allocate_from_table(packets, table, config.byte_quota, nsegs,
+                                  w, h)
+    return assemble_stream(encoded, rearrange_order_grayscale(bitplanes))
+
+
 def assemble_stream(encoded: dict, order) -> bytes:
     """Lay out segments grouped by segment number, then rearrange order."""
     out = bytearray()

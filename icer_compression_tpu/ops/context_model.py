@@ -122,6 +122,86 @@ def plane_analysis(seg, subband_type: int, lsb: int, mag_bits: int, xp=np):
     }
 
 
+def plane_analysis_lanes(seg, subband_code, lsb: int, mag_bits: int, xp=np):
+    """plane_analysis batched over lanes with per-lane subband types.
+
+    seg: (N, h, w) sign-magnitude coefficients; subband_code: (N,) int32.
+    Computes every subband variant's context/sign mapping and selects per
+    lane, so heterogeneous subbands share one compiled program.
+    """
+    seg = seg.astype(xp.int32)
+    sb = subband_code.reshape(subband_code.shape + (1, 1))
+    mag_mask = (1 << mag_bits) - 1
+    mag = seg & mag_mask
+    neg = (seg >> mag_bits) & 1
+
+    msb = msb_index(mag | 1, xp)
+    category = xp.clip(msb - lsb, 0, 3)
+    bit = (mag >> lsb) & 1
+
+    sig_cur = ((mag >> lsb) != 0).astype(xp.int32)
+    sig_prev = ((mag >> (lsb + 1)) != 0).astype(xp.int32)
+
+    w_sig = _shift(sig_cur, 0, -1, 0, xp)
+    e_sig = _shift(sig_prev, 0, 1, 0, xp)
+    n_sig = _shift(sig_cur, -1, 0, 0, xp)
+    s_sig = _shift(sig_prev, 1, 0, 0, xp)
+    d_sig = (_shift(sig_cur, -1, -1, 0, xp) + _shift(sig_cur, -1, 1, 0, xp)
+             + _shift(sig_prev, 1, -1, 0, xp) + _shift(sig_prev, 1, 1, 0, xp))
+
+    h_raw = w_sig + e_sig
+    v_raw = n_sig + s_sig
+    is_hl = sb == C.SUBBAND_HL
+    h_cnt = xp.where(is_hl, v_raw, h_raw)
+    v_cnt = xp.where(is_hl, h_raw, v_raw)
+    d_cnt = d_sig
+
+    ctx_ll = xp.asarray(_CTX_LL_FLAT)[h_cnt * 15 + v_cnt * 5 + d_cnt]
+    ctx_hh = xp.asarray(_CTX_HH_FLAT)[(h_cnt + v_cnt) * 5 + d_cnt]
+    ctx_cat0 = xp.where(sb == C.SUBBAND_HH, ctx_hh, ctx_ll)
+    ctx_cat1 = xp.where(h_cnt + v_cnt == 0, 9, 10)
+    ctx = xp.where(
+        category == 0, ctx_cat0,
+        xp.where(category == 1, ctx_cat1,
+                 xp.where(category == 2, 11, CTX_UNCODED))).astype(xp.int32)
+
+    neg_sig = -(neg & sig_cur)
+    neg_sig_prev = -(neg & sig_prev)
+    sh_raw = _shift(neg_sig, 0, -1, 0, xp) + _shift(neg_sig_prev, 0, 1, 0, xp) + 2
+    sv_raw = _shift(neg_sig, -1, 0, 0, xp) + _shift(neg_sig_prev, 1, 0, 0, xp) + 2
+    sh = xp.where(is_hl, sv_raw, sh_raw)
+    sv = xp.where(is_hl, sh_raw, sv_raw)
+    sign_ctx = xp.asarray(_SIGN_CTX_FLAT)[sh * 5 + sv].astype(xp.int32)
+    pred_sign = xp.asarray(_SIGN_PRED_FLAT)[sh * 5 + sv]
+    agreement = (pred_sign ^ neg) & 1
+    sign_event = ((category == 0) & (bit == 1)).astype(xp.int32)
+
+    return {"bit": bit, "ctx": ctx, "sign_event": sign_event,
+            "agreement": agreement, "sign_ctx": sign_ctx}
+
+
+def plane_emissions_lanes(seg, subband_code, pix_valid, lsb: int,
+                          mag_bits: int, xp=np):
+    """Emission stream per lane with a pixel validity mask (padding).
+
+    seg: (N, h, w); pix_valid: (N, h, w) 0/1.  Returns (valid, ctx, bit)
+    of shape (N, 2*h*w).
+    """
+    a = plane_analysis_lanes(seg, subband_code, lsb, mag_bits, xp)
+    N = seg.shape[0]
+    npx = seg.shape[-2] * seg.shape[-1]
+
+    def flat(x):
+        return x.reshape(N, npx)
+
+    pv = flat(pix_valid.astype(xp.int32))
+    valid = xp.stack([pv, flat(a["sign_event"]) * pv], axis=-1)
+    ctx = xp.stack([flat(a["ctx"]), flat(a["sign_ctx"])], axis=-1)
+    bit = xp.stack([flat(a["bit"]), flat(a["agreement"])], axis=-1)
+    return (valid.reshape(N, 2 * npx), ctx.reshape(N, 2 * npx),
+            bit.reshape(N, 2 * npx))
+
+
 def plane_emissions(seg, subband_type: int, lsb: int, mag_bits: int, xp=np):
     """Emission stream for one segment bitplane, in coding order.
 

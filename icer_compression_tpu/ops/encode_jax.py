@@ -1,0 +1,251 @@
+"""TPU (XLA) encode pipeline: jit-compiled per image geometry.
+
+Structure (all shapes static per (W, H, stages, filter, segments, dtype)):
+
+  transform jit:          DWT stages -> LL mean removal -> sign-magnitude
+  per-stage emissions jit: gather the stage's subband segments into one
+      padded lane batch -> context-model emission streams (valid/ctx/bit)
+      for every bitplane
+  per-bucket entropy jit:  the position-aligned interleaved coder
+      (ops/entropy_jax) vmapped over all lanes of all stages whose padded
+      emission length falls in the bucket
+
+Stages are grouped into a small number of length buckets because the
+entropy program's *compile* cost (via the remote TPU compiler) dominates
+setup; two buckets keep padding waste ~1.4x while compiling the expensive
+program only twice per geometry.  The persistent JAX compilation cache
+amortizes across processes.
+
+Rate allocation, headers/CRC and stream assembly stay on host (kilobytes).
+Lanes hitting the 2048-codeword buffer flush (exactly detected on device)
+re-encode on host via the native runtime.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.partition import partition_segments
+from ..core.subbands import dim_low, subband_view
+from ..core.status import IcerError, IcerStatus
+from . import entropy_jax, wavelet
+from .context_model import plane_emissions_lanes
+
+_CACHE_SET = False
+
+
+def _ensure_cache():
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    import jax
+    cache_dir = os.environ.get(
+        "ICER_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "icer_tpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _CACHE_SET = True
+
+
+@dataclass(frozen=True)
+class Lane:
+    stage: int
+    subband: int
+    seg: int
+    row: int       # absolute position of the segment in the image
+    col: int
+    h: int
+    w: int
+
+
+def _plan_groups(image_w, image_h, stages, segments):
+    groups = []
+    for stage in range(1, stages + 1):
+        subs = [C.SUBBAND_HL, C.SUBBAND_LH, C.SUBBAND_HH]
+        if stage == stages:
+            subs = [C.SUBBAND_LL] + subs
+        lanes: list[Lane] = []
+        for sb in subs:
+            view = subband_view(image_w, image_h, stage, sb)
+            for rect in partition_segments(view.w, view.h, segments):
+                lanes.append(Lane(stage, sb, rect.index,
+                                  view.row + rect.row, view.col + rect.col,
+                                  rect.h, rect.w))
+        mh = max(l.h for l in lanes)
+        mw = max(l.w for l in lanes)
+        pix_valid = np.zeros((len(lanes), mh, mw), dtype=np.int32)
+        for i, l in enumerate(lanes):
+            pix_valid[i, :l.h, :l.w] = 1
+        groups.append({
+            "lanes": lanes, "mh": mh, "mw": mw, "L": 2 * mh * mw,
+            "sub_codes": np.array([l.subband for l in lanes], np.int32),
+            "pix_valid": pix_valid,
+        })
+    return groups
+
+
+def _plan_buckets(groups):
+    """Partition stage groups into emission-length buckets (ratio <= 4)."""
+    order = sorted(range(len(groups)), key=lambda i: -groups[i]["L"])
+    buckets = []
+    cur = []
+    cur_max = None
+    for gi in order:
+        L = groups[gi]["L"]
+        if cur_max is None or L * 4 >= cur_max:
+            cur.append(gi)
+            cur_max = cur_max or L
+        else:
+            buckets.append({"groups": cur, "L": cur_max})
+            cur, cur_max = [gi], L
+    if cur:
+        buckets.append({"groups": cur, "L": cur_max})
+    return buckets
+
+
+class JaxGrayscaleEncoder:
+    """Compiled encoder for one image geometry (one channel)."""
+
+    def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
+                 segments: int, mag_bits: int):
+        _ensure_cache()
+        import jax
+        import jax.numpy as jnp
+        self.jax, self.jnp = jax, jnp
+        self.w, self.h = image_w, image_h
+        self.stages, self.filt, self.segments = stages, filt, segments
+        self.mag_bits = mag_bits
+        self.bitplanes = C.BITPLANES_8 if mag_bits == 7 else C.BITPLANES_16
+
+        self.groups = _plan_groups(image_w, image_h, stages, segments)
+        self.buckets = _plan_buckets(self.groups)
+
+        self._transform = jax.jit(self._transform_fn)
+        self._emit_fns = [jax.jit(self._make_emit_fn(g)) for g in self.groups]
+        self._bucket_fns = [jax.jit(self._make_bucket_fn(b))
+                            for b in self.buckets]
+
+    # ---- device functions ----------------------------------------------
+    def _transform_fn(self, image):
+        jnp = self.jnp
+        img = image.astype(jnp.int32)
+        img, overflow = wavelet.forward_stages(
+            img, self.stages, self.filt, self.mag_bits, jnp)
+        ll_w = dim_low(self.w, self.stages)
+        ll_h = dim_low(self.h, self.stages)
+        mask = (1 << (self.mag_bits + 1)) - 1
+        ll = img[:ll_h, :ll_w]
+        ll_mean = ((ll & mask).astype(jnp.uint32).sum()
+                   // jnp.uint32(ll_w * ll_h)).astype(jnp.int32)
+        img = img.at[:ll_h, :ll_w].set(
+            wavelet._wrap(ll - ll_mean, self.mag_bits, jnp))
+        img = wavelet.to_sign_magnitude(img, self.mag_bits, jnp)
+        return img, ll_mean, overflow
+
+    def _make_emit_fn(self, g):
+        jnp = self.jnp
+        lanes, mh, mw = g["lanes"], g["mh"], g["mw"]
+        planes = self.bitplanes
+
+        def fn(img):
+            segs = []
+            for l in lanes:
+                sl = self.jax.lax.slice(img, (l.row, l.col),
+                                        (l.row + l.h, l.col + l.w))
+                segs.append(jnp.pad(sl, ((0, mh - l.h), (0, mw - l.w))))
+            batch = jnp.stack(segs)                         # (N, mh, mw)
+            sub_codes = jnp.asarray(g["sub_codes"])
+            pix_valid = jnp.asarray(g["pix_valid"])
+            vs, cs, bs = [], [], []
+            for lsb in range(planes):
+                v, c, b = plane_emissions_lanes(
+                    batch, sub_codes, pix_valid, lsb, self.mag_bits, jnp)
+                vs.append(v)
+                cs.append(c)
+                bs.append(b)
+            return (jnp.concatenate(vs, axis=0),            # (P*N, L)
+                    jnp.concatenate(cs, axis=0),
+                    jnp.concatenate(bs, axis=0))
+
+        return fn
+
+    def _make_bucket_fn(self, b):
+        jnp = self.jnp
+        Lb = b["L"]
+
+        def fn(parts):
+            vs, cs, bs = [], [], []
+            for (v, c, bit) in parts:
+                pad = Lb - v.shape[-1]
+                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
+                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
+                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
+            valid = jnp.concatenate(vs, axis=0)
+            ctx = jnp.concatenate(cs, axis=0)
+            bit = jnp.concatenate(bs, axis=0)
+            enc = self.jax.vmap(
+                lambda v, c, x: entropy_jax.encode_emissions_pa(v, c, x, jnp))
+            return enc(valid, ctx, bit)
+
+        return fn
+
+    # ---- host orchestration --------------------------------------------
+    def encode(self, image: np.ndarray):
+        """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},
+        ll_mean)."""
+        jnp = self.jnp
+        img, ll_mean, overflow = self._transform(jnp.asarray(image))
+        if bool(overflow):
+            raise IcerError(IcerStatus.INTEGER_OVERFLOW, "wavelet transform")
+        ll_mean = int(ll_mean)
+        if ll_mean > (1 << self.mag_bits) - 1:
+            raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
+
+        emitted = [fn(img) for fn in self._emit_fns]
+        table: dict[tuple, tuple[bytes, int]] = {}
+        fallback: list[tuple] = []
+        for bucket, bfn in zip(self.buckets, self._bucket_fns):
+            parts = [emitted[gi] for gi in bucket["groups"]]
+            payload, total, flush = bfn(parts)
+            payload = np.asarray(payload)
+            total = np.asarray(total)
+            flush = np.asarray(flush)
+            r0 = 0
+            for gi in bucket["groups"]:
+                g = self.groups[gi]
+                lanes = g["lanes"]
+                N = len(lanes)
+                for p in range(self.bitplanes):
+                    for i, l in enumerate(lanes):
+                        r = r0 + p * N + i
+                        key = (l.stage, l.subband, p, l.seg)
+                        if flush[r]:
+                            fallback.append((key, l))
+                            continue
+                        nb = int(total[r])
+                        table[key] = (payload[r, : (nb + 7) // 8].tobytes(),
+                                      nb)
+                r0 += self.bitplanes * N
+
+        if fallback:
+            from ..backend import native_backend, sequential
+            from .context_model import plane_emissions
+            img_np = np.asarray(img)
+            for (key, l) in fallback:
+                stage, subband, lsb, seg = key
+                data = img_np[l.row:l.row + l.h, l.col:l.col + l.w]
+                v, c, b = plane_emissions(data, subband, lsb, self.mag_bits)
+                if native_backend.available():
+                    table[key] = native_backend.encode_emissions_native(
+                        v, c, b)
+                else:
+                    pl, nb, _ = sequential.encode_emissions(v, c, b)
+                    table[key] = (pl, nb)
+        return table, ll_mean

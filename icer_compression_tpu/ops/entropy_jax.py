@@ -101,31 +101,36 @@ def counters_and_bins_pa(valid, ctx, bit, xp=np, max_chunks: int | None = None):
                     - ((valid != 0) & (bit == 0)).astype(xp.int32))
 
     n_c = occ_incl[-1, :] if L > 0 else xp.zeros(NCTX, xp.int32)  # (NCTX,)
+    cz_total = cz_incl[-1, :]
 
-    # cz_rank[k, c] = zeros among the first k occurrences of context c.
-    cz_rank = xp.zeros((L + 2, NCTX), dtype=xp.int32)
-    cz_rank = _scatter_set(cz_rank,
-                           (xp.where(onehot != 0, occ_incl, L + 1),
-                            xp.broadcast_to(cols, occ_incl.shape)),
-                           cz_incl, xp)
-
-    # Chunk scan for zero-count rescale state.
-    def chunk_zeros(bend, cstart):
-        b = xp.minimum(bend, n_c)
-        s = xp.minimum(cstart, n_c)
-        return (xp.take_along_axis(cz_rank, b[None, :], axis=0)[0]
-                - xp.take_along_axis(cz_rank, s[None, :], axis=0)[0])
+    # cz_table[j, c] = zeros among the first min(B_j, n_c) occurrences of
+    # context c, where B_0 = 0 and B_j = _FIRST + _CHUNK*(j-1) are the
+    # (fixed) rescale-chunk boundaries.  Only these ~L/250 values of the
+    # per-context zero prefix are ever needed, so this replaces a full
+    # (L, NCTX) rank table (which dominated memory).
+    b_vals = np.concatenate(
+        [[0], _FIRST + _CHUNK * np.arange(max_chunks, dtype=np.int64)])
+    is_bnd = (onehot != 0) & (occ_incl >= _FIRST) \
+        & ((occ_incl - _FIRST) % _CHUNK == 0)
+    j_idx = xp.where(is_bnd, (occ_incl - _FIRST) // _CHUNK + 1,
+                     max_chunks + 1)
+    cz_table = xp.zeros((max_chunks + 2, NCTX), dtype=xp.int32)
+    cz_table = _scatter_set(cz_table,
+                            (j_idx, xp.broadcast_to(cols, j_idx.shape)),
+                            cz_incl, xp)[:max_chunks + 1]
+    cz_table = xp.where(
+        xp.asarray(b_vals[:max_chunks + 1])[:, None] > n_c[None, :],
+        cz_total[None, :], cz_table)
 
     z0 = xp.full((NCTX,), C.DEFAULT_CONTEXT_ZERO_COUNT, dtype=xp.int32)
+    # Tie the scan carry to the inputs so its "varying" type matches under
+    # shard_map (a pure-constant carry trips the vma check).
+    z0 = z0 + valid[:1].sum() * 0
     if _is_jax(xp):
         import jax
 
         def step(z_prev, j):
-            bend = _FIRST + _CHUNK * j
-            cstart = xp.maximum(bend - _CHUNK, 0) * (j > 0)
-            cstart = xp.where(j == 0, 0, bend - _CHUNK)
-            zj = z_prev + chunk_zeros(xp.full((NCTX,), bend, xp.int32),
-                                      xp.full((NCTX,), cstart, xp.int32))
+            zj = z_prev + (cz_table[j + 1] - cz_table[j])
             zj = xp.where(zj > _CHUNK, zj >> 1, zj)
             return zj, z_prev
 
@@ -135,10 +140,7 @@ def counters_and_bins_pa(valid, ctx, bit, xp=np, max_chunks: int | None = None):
         zs = [z0]
         z = z0
         for j in range(max_chunks - 1):
-            bend = _FIRST + _CHUNK * j
-            cstart = 0 if j == 0 else bend - _CHUNK
-            zj = z + chunk_zeros(np.full(NCTX, bend, np.int32),
-                                 np.full(NCTX, cstart, np.int32))
+            zj = z + (cz_table[j + 1] - cz_table[j])
             z = np.where(zj > _CHUNK, zj >> 1, zj)
             zs.append(z)
         z_starts = np.stack(zs)                              # (max_chunks, NCTX)
@@ -146,11 +148,9 @@ def counters_and_bins_pa(valid, ctx, bit, xp=np, max_chunks: int | None = None):
     chunk_id = xp.where(occ_self < _FIRST, 0,
                         1 + (occ_self - _FIRST) // _CHUNK).astype(xp.int32)
     chunk_id = xp.clip(chunk_id, 0, max_chunks - 1)
-    chunk_start_occ = xp.where(chunk_id == 0, 0,
-                               _FIRST + _CHUNK * (chunk_id - 1))
 
     z_start_g = z_starts[chunk_id, ctx]
-    cz_cs = cz_rank[xp.clip(chunk_start_occ, 0, L + 1), ctx]
+    cz_cs = cz_table[chunk_id, ctx]
     zero = z_start_g + (cz_self_excl - cz_cs)
     total = xp.where(occ_self < _FIRST,
                      C.DEFAULT_CONTEXT_TOTAL_COUNT + occ_self,
@@ -207,52 +207,59 @@ def build_codewords(valid, binv, coded, xp=np):
     nbits = xp.where(m0, 1, nbits)
     done = xp.where(m0, pos, done)
 
-    # ---- golomb bins ----------------------------------------------------
-    for b in _GOLOMB_BINS:
-        mb = valid & (binv == b)
-        m = int(_GOL_M[b])
-        rank, n_b = _rank_arrays(mb, xp)
-        onem = mb & (coded == 1)
-        zerom = mb & (coded == 0)
-        # rank of the last one at a position <= e (0 if none)
-        last1 = _cummax(xp.where(onem, rank, 0), xp)
-        last1_excl = _shift1(last1, 0, xp)
-        run_pos = rank - 1 - last1_excl          # zeros before e in this run
-        ends = onem | (zerom & (run_pos % m == m - 1))
-        end_rank_excl = _shift1(_cummax(xp.where(ends, rank, 0), xp), 0, xp)
-        starts = mb & (end_rank_excl == rank - 1)
+    # ---- golomb bins (all 9 batched) ------------------------------------
+    gbins = xp.asarray(np.array(_GOLOMB_BINS, dtype=np.int32))
+    mG = xp.asarray(_GOL_M[np.array(_GOLOMB_BINS)])[:, None]    # (9, 1)
+    mbG = (valid[None, :] & (binv[None, :] == gbins[:, None]))  # (9, L)
+    rankG = xp.cumsum(mbG.astype(xp.int32), axis=1)
+    n_bG = rankG[:, -1:]                                         # (9, 1)
+    onemG = mbG & (coded[None, :] == 1)
+    zeromG = mbG & (coded[None, :] == 0)
+    last1_excl = _shift1(_cummax(xp.where(onemG, rankG, 0), xp), 0, xp,
+                         axis=1)
+    run_pos = rankG - 1 - last1_excl             # zeros before e in this run
+    ends = onemG | (zeromG & (run_pos % mG == mG - 1))
+    end_rank_excl = _shift1(_cummax(xp.where(ends, rankG, 0), xp), 0, xp,
+                            axis=1)
+    startsG = mbG & (end_rank_excl == rankG - 1)
 
-        # next end rank at >= e (reverse cummin)
-        er = xp.where(ends, rank, BIG)
-        ner = xp.flip(_cummax(xp.flip(-er, -1), xp), -1) * -1
-        # rank -> (is the end a one?, end position)
-        sent = n_b + 1
-        idx = xp.where(ends, rank, L + 1)
-        isone_at_rank = _scatter_set(xp.zeros(L + 2, xp.int32), idx,
-                                     onem.astype(xp.int32), xp)
-        pos_at_rank = _scatter_set(xp.zeros(L + 2, xp.int32), idx, pos, xp)
+    # next end rank at >= e (reverse cummin along L)
+    er = xp.where(ends, rankG, BIG)
+    ner = xp.flip(_cummax(xp.flip(-er, -1), xp), -1) * -1
+    idxG = xp.where(ends, rankG, L + 1)
+    rows9 = xp.broadcast_to(xp.arange(9)[:, None], idxG.shape)
+    isone_at_rank = _scatter_set(xp.zeros((9, L + 2), xp.int32),
+                                 (rows9, idxG), onemG.astype(xp.int32), xp)
+    pos_at_rankG = _scatter_set(xp.zeros((9, L + 2), xp.int32),
+                                (rows9, idxG),
+                                xp.broadcast_to(pos[None, :], idxG.shape), xp)
 
-        has_end = ner <= n_b
-        ner_c = xp.clip(ner, 0, L + 1)
-        k = xp.where(coded == 1, 0,
-                     ner_c - rank + (1 - isone_at_rank[ner_c]))
-        k_tail = n_b - rank + 1                  # zeros to end (no end)
-        k_full = xp.where(has_end, k, k_tail)
-        k_full = xp.clip(k_full, 0, m)
-        gv = xp.asarray(_GOL_VAL[b])
-        gb = xp.asarray(_GOL_BITS[b])
-        cw_code = gv[k_full]
-        cw_bits = gb[k_full]
-        # flush quirk: k_tail == m-1 emits the '1' codeword
-        flushm1 = (~has_end) & (k_full == m - 1)
-        cw_code = xp.where(flushm1, 1, cw_code)
-        cw_bits = xp.where(flushm1, 1, cw_bits)
-        cw_done = xp.where(has_end, pos_at_rank[ner_c], BIG)
+    has_end = ner <= n_bG
+    ner_c = xp.clip(ner, 0, L + 1)
+    isone_g = xp.take_along_axis(isone_at_rank, ner_c, axis=1)
+    k = xp.where(coded[None, :] == 1, 0, ner_c - rankG + (1 - isone_g))
+    k_tail = n_bG - rankG + 1                    # zeros to end (no end)
+    k_full = xp.clip(xp.where(has_end, k, k_tail), 0, mG)
+    gvG = xp.asarray(_GOL_VAL[np.array(_GOLOMB_BINS)])          # (9, mmax+1)
+    gbG = xp.asarray(_GOL_BITS[np.array(_GOLOMB_BINS)])
+    cw_code = xp.take_along_axis(gvG, k_full, axis=1)
+    cw_bits = xp.take_along_axis(gbG, k_full, axis=1)
+    # flush quirk: k_tail == m-1 emits the '1' codeword
+    flushm1 = (~has_end) & (k_full == mG - 1)
+    cw_code = xp.where(flushm1, 1, cw_code)
+    cw_bits = xp.where(flushm1, 1, cw_bits)
+    cw_done = xp.where(has_end,
+                       xp.take_along_axis(pos_at_rankG, ner_c, axis=1), BIG)
 
-        is_open = xp.where(starts, 1, is_open)
-        code = xp.where(starts, cw_code, code)
-        nbits = xp.where(starts, cw_bits, nbits)
-        done = xp.where(starts, cw_done, done)
+    # fold the 9 bins back (each position belongs to at most one bin)
+    anyG = startsG.any(axis=0)
+    code_g = xp.where(startsG, cw_code, 0).sum(axis=0)
+    bits_g = xp.where(startsG, cw_bits, 0).sum(axis=0)
+    done_g = xp.where(startsG, cw_done, 0).sum(axis=0)
+    is_open = xp.where(anyG, 1, is_open)
+    code = xp.where(anyG, code_g, code)
+    nbits = xp.where(anyG, bits_g, nbits)
+    done = xp.where(anyG, done_g, done)
 
     # ---- custom bins (batched 5-state countdown automaton) --------------
     ranks = []
@@ -344,15 +351,28 @@ def build_codewords(valid, binv, coded, xp=np):
 
 
 def _prefix_compose(trans, xp):
-    """Inclusive prefix composition along axis 1 of (B, L, 5) transitions."""
-    B, L, S = trans.shape
+    """Inclusive prefix composition along axis -2 of (..., L, 5) transitions.
+
+    Function composition over the 5-element state space is done with
+    unrolled selects (25 fused elementwise ops) rather than a gather over
+    the tiny state axis -- the gather lowers catastrophically slowly in the
+    TPU compiler, the selects fuse into a handful of VPU ops.
+    """
+    L = trans.shape[-2]
     pref = trans
     step = 1
     while step < L:
-        later = pref[:, step:, :]
-        earlier = pref[:, :L - step, :].astype(xp.int32)
-        composed = xp.take_along_axis(later, earlier, axis=2)
-        pref = xp.concatenate([pref[:, :step, :], composed], axis=1)
+        later = pref[..., step:, :]
+        earlier = pref[..., :L - step, :]
+        cols = []
+        for d in range(5):
+            g = earlier[..., d]
+            acc = later[..., 0] * (g == 0).astype(trans.dtype)
+            for k in range(1, 5):
+                acc = acc + later[..., k] * (g == k).astype(trans.dtype)
+            cols.append(acc)
+        composed = xp.stack(cols, axis=-1)
+        pref = xp.concatenate([pref[..., :step, :], composed], axis=-2)
         step *= 2
     return pref
 

@@ -1,0 +1,247 @@
+"""Multi-chip / multi-host sharded encoding.
+
+Parallel axes (the codec's own, per SURVEY 2.3 -- there is no DP/TP/PP in
+a codec; these are the analogous first-class axes):
+
+  * ``data``: batch of images (data parallelism; shard over hosts via DCN,
+    chips via ICI);
+  * ``seg``:  the error-containment-segment / subband lane axis inside one
+    image (the codec's model-parallel analog) -- every lane encodes with
+    fully independent state, so the only communication is the ordered
+    all-gather of per-lane payload buffers and bit lengths that XLA inserts
+    for the sharded outputs (rides ICI).
+
+The step function runs under shard_map over a 2-D mesh: each device
+transforms its local image shard (DWT + sign-magnitude), extracts *its*
+subset of padded segment lanes with lax.dynamic_slice on the lane axis,
+runs the position-aligned interleaved coder (ops/entropy_jax), and emits
+payload buffers; out_specs reassemble the global (batch, plane, lane)
+tables.  Rate allocation and stream assembly remain host-side per image.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.partition import partition_segments
+from ..core.subbands import dim_low, subband_view
+from ..ops import entropy_jax, wavelet
+from ..ops.context_model import plane_emissions_lanes
+
+
+@dataclass(frozen=True)
+class _Lane:
+    stage: int
+    subband: int
+    seg: int
+    row: int
+    col: int
+    h: int
+    w: int
+    dummy: bool = False
+
+
+def _plan_groups(image_w, image_h, stages, segments, nseg_shards):
+    groups = []
+    for stage in range(1, stages + 1):
+        subs = [C.SUBBAND_HL, C.SUBBAND_LH, C.SUBBAND_HH]
+        if stage == stages:
+            subs = [C.SUBBAND_LL] + subs
+        lanes = []
+        for sb in subs:
+            view = subband_view(image_w, image_h, stage, sb)
+            for rect in partition_segments(view.w, view.h, segments):
+                lanes.append(_Lane(stage, sb, rect.index,
+                                   view.row + rect.row, view.col + rect.col,
+                                   rect.h, rect.w))
+        # pad lane count to a multiple of the seg-shard axis
+        while len(lanes) % nseg_shards:
+            lanes.append(_Lane(stage, C.SUBBAND_HH, -1, 0, 0, 1, 1,
+                               dummy=True))
+        mh = max(l.h for l in lanes)
+        mw = max(l.w for l in lanes)
+        pix_valid = np.zeros((len(lanes), mh, mw), dtype=np.int32)
+        for i, l in enumerate(lanes):
+            if not l.dummy:
+                pix_valid[i, :l.h, :l.w] = 1
+        groups.append({
+            "lanes": lanes, "mh": mh, "mw": mw,
+            "sub_codes": np.array([l.subband for l in lanes], np.int32),
+            "pix_valid": pix_valid,
+        })
+    return groups
+
+
+class ShardedGrayscaleEncoder:
+    """Batched grayscale encode sharded over a ('data', 'seg') mesh."""
+
+    def __init__(self, mesh, image_w: int, image_h: int, stages: int,
+                 filt: int, segments: int, mag_bits: int = 15):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        self.jax, self.jnp = jax, jnp
+        self.mesh = mesh
+        self.w, self.h = image_w, image_h
+        self.stages, self.filt, self.segments = stages, filt, segments
+        self.mag_bits = mag_bits
+        self.bitplanes = C.BITPLANES_8 if mag_bits == 7 else C.BITPLANES_16
+        nseg = mesh.shape["seg"]
+        self.groups = _plan_groups(image_w, image_h, stages, segments, nseg)
+
+        planes = self.bitplanes
+        ll_w = dim_low(image_w, stages)
+        ll_h = dim_low(image_h, stages)
+
+        def transform_one(image):
+            img = image.astype(jnp.int32)
+            img, _ = wavelet.forward_stages(img, stages, filt, mag_bits, jnp)
+            mask = (1 << (mag_bits + 1)) - 1
+            ll = img[:ll_h, :ll_w]
+            ll_mean = ((ll & mask).astype(jnp.uint32).sum()
+                       // jnp.uint32(ll_w * ll_h)).astype(jnp.int32)
+            img = img.at[:ll_h, :ll_w].set(
+                wavelet._wrap(ll - ll_mean, mag_bits, jnp))
+            return wavelet.to_sign_magnitude(img, mag_bits, jnp), ll_mean
+
+        def encode_group(img, g, lane_lo, lanes_per_shard):
+            segs = []
+            for l in g["lanes"]:
+                sl = jax.lax.slice(img, (l.row, l.col),
+                                   (l.row + l.h, l.col + l.w))
+                segs.append(jnp.pad(sl, ((0, g["mh"] - l.h),
+                                         (0, g["mw"] - l.w))))
+            batch = jnp.stack(segs)                          # (Npad, mh, mw)
+            batch = jax.lax.dynamic_slice_in_dim(batch, lane_lo,
+                                                 lanes_per_shard, axis=0)
+            codes = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(g["sub_codes"]), lane_lo, lanes_per_shard, 0)
+            pvalid = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(g["pix_valid"]), lane_lo, lanes_per_shard, 0)
+            vs, cs, bs = [], [], []
+            for lsb in range(planes):
+                v, c, b = plane_emissions_lanes(batch, codes, pvalid, lsb,
+                                                mag_bits, jnp)
+                vs.append(v)
+                cs.append(c)
+                bs.append(b)
+            valid = jnp.stack(vs)                            # (P, Nl, L)
+            ctx = jnp.stack(cs)
+            bit = jnp.stack(bs)
+            enc = jax.vmap(jax.vmap(
+                lambda v, c, b: entropy_jax.encode_emissions_pa(v, c, b, jnp)))
+            return enc(valid, ctx, bit)   # payload (P,Nl,cap), total, flush
+
+        def step(local_images):           # (Bl, H, W) on this device
+            seg_idx = jax.lax.axis_index("seg")
+            imgs, ll_means = jax.vmap(transform_one)(local_images)
+            outs = []
+            for g in self.groups:
+                lanes_per_shard = len(g["lanes"]) // nseg
+                lane_lo = seg_idx * lanes_per_shard
+
+                def one_image(img, g=g, lane_lo=lane_lo,
+                              lps=lanes_per_shard):
+                    return encode_group(img, g, lane_lo, lps)
+
+                outs.append(jax.vmap(one_image)(imgs))
+                # payload: (Bl, P, Nl, cap); totals: (Bl, P, Nl)
+            return ll_means, outs
+
+        out_group_spec = (P("data", None, "seg", None),
+                          P("data", None, "seg"), P("data", None, "seg"))
+        self._step = jax.jit(shard_map(
+            step, mesh=mesh,
+            in_specs=P("data", None, None),
+            out_specs=(P("data"), [out_group_spec] * len(self.groups)),
+        ))
+        self._P = P
+        self._NamedSharding = NamedSharding
+
+    def encode_batch(self, images: np.ndarray):
+        """images: (B, H, W).  Returns (ll_means, payload tables per image).
+
+        Each table maps (stage, subband, lsb, seg) -> (payload, nbits).
+        """
+        jnp = self.jnp
+        dev_images = self.jax.device_put(
+            jnp.asarray(images),
+            self._NamedSharding(self.mesh, self._P("data", None, None)))
+        ll_means, outs = self._step(dev_images)
+        ll_means = np.asarray(ll_means)
+        B = images.shape[0]
+        tables = [dict() for _ in range(B)]
+        flush_lanes = []
+        for g, (payload, total, flush) in zip(self.groups, outs):
+            payload = np.asarray(payload)
+            total = np.asarray(total)
+            flush = np.asarray(flush)
+            for bi in range(B):
+                for p in range(self.bitplanes):
+                    for i, l in enumerate(g["lanes"]):
+                        if l.dummy:
+                            continue
+                        key = (l.stage, l.subband, p, l.seg)
+                        if flush[bi, p, i]:
+                            flush_lanes.append((bi, key, l))
+                            continue
+                        nb = int(total[bi, p, i])
+                        tables[bi][key] = (
+                            payload[bi, p, i, : (nb + 7) // 8].tobytes(), nb)
+        if flush_lanes:
+            self._host_fallback(images, tables, flush_lanes)
+        return ll_means, tables
+
+    def _host_fallback(self, images, tables, flush_lanes):
+        from ..backend import native_backend, sequential
+        from ..ops.context_model import plane_emissions
+        from ..models.grayscale import transform_for_encode
+        cache = {}
+        for (bi, key, l) in flush_lanes:
+            if bi not in cache:
+                cache[bi], _ = transform_for_encode(
+                    images[bi], self.stages, self.filt, self.mag_bits)
+            stage, subband, lsb, seg = key
+            data = cache[bi][l.row:l.row + l.h, l.col:l.col + l.w]
+            v, c, b = plane_emissions(data, subband, lsb, self.mag_bits)
+            if native_backend.available():
+                tables[bi][key] = native_backend.encode_emissions_native(v, c, b)
+            else:
+                pl, nb, _ = sequential.encode_emissions(v, c, b)
+                tables[bi][key] = (pl, nb)
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              platform: str | None = None):
+    """Build a ('data', 'seg') mesh over the available devices.
+
+    platform="cpu" with XLA_FLAGS=--xla_force_host_platform_device_count=N
+    gives an N-device virtual mesh for testing multi-chip sharding on one
+    host (this environment pins JAX_PLATFORMS, so ask for cpu explicitly).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if data is None:
+        data = 1
+        for cand in (2, 4, 8, 16):
+            if n % cand == 0 and cand <= n:
+                data = cand if n // cand >= 1 else data
+        # prefer a roughly square split
+        best = 1
+        for d in range(1, n + 1):
+            if n % d == 0 and d <= n // d * 4:
+                best = d
+        data = best
+    seg = n // data
+    arr = np.array(devs[: data * seg]).reshape(data, seg)
+    return Mesh(arr, ("data", "seg"))
