@@ -509,6 +509,78 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
   return 0;
 }
 
+
+// Encode one bitplane of one segment: pixel-loop context modelling fused
+// with the interleaved coder (mirrors icer_compress_bitplane_*).
+void encode_plane(const int32_t *seg, int h, int w, int rowstride,
+                  int subband, int lsb, int mag_bits, Counters &cnt,
+                  Encoder &enc) {
+  const int prev = lsb + 1;
+  const int32_t magmask = (1 << mag_bits) - 1;
+  const bool is_hl = subband == 1, is_hh = subband == 3;
+
+  auto sig = [&](int r, int c, int plane) -> int {
+    return ((seg[r * rowstride + c] & magmask) >> plane) != 0;
+  };
+  auto sgn = [&](int r, int c, int plane) -> int {
+    int32_t v = seg[r * rowstride + c];
+    if (((v & magmask) >> plane) == 0) return 0;
+    return (v >> mag_bits) & 1 ? -1 : 0;
+  };
+
+  for (int r = 0; r < h; r++) {
+    for (int c = 0; c < w; c++) {
+      int32_t v = seg[r * rowstride + c];
+      int32_t mag = v & magmask;
+      int msb = 31 - __builtin_clz((uint32_t)(mag | 1));
+      int cat = msb - lsb;
+      if (cat < 0) cat = 0;
+      if (cat > 3) cat = 3;
+      int bit = (mag >> lsb) & 1;
+
+      if (cat == 3) {
+        enc.encode_bit(bit, 1, 2);
+        continue;
+      }
+      int hc = 0, vc = 0, dc = 0, ctx;
+      if (cat <= 1) {
+        if (c > 0) hc += sig(r, c - 1, lsb);
+        if (c < w - 1) hc += sig(r, c + 1, prev);
+        if (r > 0) vc += sig(r - 1, c, lsb);
+        if (r < h - 1) vc += sig(r + 1, c, prev);
+        if (c > 0 && r > 0) dc += sig(r - 1, c - 1, lsb);
+        if (c > 0 && r < h - 1) dc += sig(r + 1, c - 1, prev);
+        if (c < w - 1 && r > 0) dc += sig(r - 1, c + 1, lsb);
+        if (c < w - 1 && r < h - 1) dc += sig(r + 1, c + 1, prev);
+      }
+      if (cat == 0) {
+        int hh = hc, vv = vc;
+        if (is_hl) { hh = vc; vv = hc; }
+        ctx = is_hh ? kCtxTableHH[hh + vv][dc] : kCtxTableLL[hh][vv][dc];
+      } else if (cat == 1) {
+        ctx = (hc + vc == 0) ? 9 : 10;
+      } else {
+        ctx = 11;
+      }
+      enc.encode_bit(bit, cnt.zero[ctx], cnt.total[ctx]);
+      cnt.update(ctx, bit);
+
+      if (cat == 0 && bit) {
+        int sh = 2 + (c > 0 ? sgn(r, c - 1, lsb) : 0)
+                   + (c < w - 1 ? sgn(r, c + 1, prev) : 0);
+        int sv = 2 + (r > 0 ? sgn(r - 1, c, lsb) : 0)
+                   + (r < h - 1 ? sgn(r + 1, c, prev) : 0);
+        if (is_hl) { int t = sh; sh = sv; sv = t; }
+        int sctx = kSignCtx[sh][sv];
+        int agree = (kSignPred[sh][sv] ^ ((v >> mag_bits) & 1)) & 1;
+        enc.encode_bit(agree, cnt.zero[sctx], cnt.total[sctx]);
+        cnt.update(sctx, agree);
+      }
+    }
+  }
+  enc.drain();
+}
+
 }  // namespace
 
 // ---- C ABI --------------------------------------------------------------
@@ -609,6 +681,48 @@ void icer_tpu_encode_batch(const int32_t *valid, const int32_t *ctx,
       out_bits[t] = icer_tpu_encode_emissions(
           valid + offsets[t], ctx + offsets[t], bit + offsets[t], lengths[t],
           out + t * out_stride, out_stride, &fl);
+    }
+  };
+  int nt = nthreads > 0 ? nthreads : 1;
+  if (nt == 1 || ntasks <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+}
+
+
+// One encode task: a segment of a subband; all bitplanes are encoded
+// (fresh coder + counters per plane, mirroring icer_compress_partition_*).
+struct EncTask {
+  int32_t seg_off, h, w, rowstride, subband, mag_bits, nplanes, pad_;
+};
+
+// Encode a batch of segment tasks.  For task t and plane lsb, the payload
+// is written at out + (t*nplanes + lsb)*stride and its bit length at
+// out_bits[t*nplanes + lsb].
+void icer_tpu_encode_segments(const int32_t *image, const EncTask *tasks,
+                              int64_t ntasks, uint8_t *out, int64_t stride,
+                              int64_t *out_bits, int32_t nthreads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t t = next.fetch_add(1);
+      if (t >= ntasks) return;
+      const EncTask &task = tasks[t];
+      const int32_t *seg = image + task.seg_off;
+      for (int lsb = 0; lsb < task.nplanes; lsb++) {
+        uint8_t *o = out + (t * task.nplanes + lsb) * stride;
+        std::memset(o, 0, stride);
+        Encoder enc(o, (size_t)stride);
+        Counters cnt;
+        encode_plane(seg, task.h, task.w, task.rowstride, task.subband,
+                     lsb, task.mag_bits, cnt, enc);
+        out_bits[t * task.nplanes + lsb] =
+            enc.overflowed ? -1 : (int64_t)enc.out_bits;
+      }
     }
   };
   int nt = nthreads > 0 ? nthreads : 1;

@@ -127,6 +127,57 @@ def encode_batch_native(valid, ctx, bit, offsets, lengths, nthreads=0):
     return out, bits
 
 
+class EncTask(ct.Structure):
+    _fields_ = [
+        ("seg_off", ct.c_int32), ("h", ct.c_int32), ("w", ct.c_int32),
+        ("rowstride", ct.c_int32), ("subband", ct.c_int32),
+        ("mag_bits", ct.c_int32), ("nplanes", ct.c_int32),
+        ("pad_", ct.c_int32),
+    ]
+
+
+def encode_segments_native(image: np.ndarray, tasks: list[dict],
+                           nplanes: int, nthreads=0):
+    """Encode a batch of (subband, segment) tasks, all bitplanes each.
+
+    image: the transformed sign-magnitude image, int32 C-contiguous.
+    Each task dict: seg_off, h, w, rowstride, subband, mag_bits.
+    Returns (payloads uint8 (ntasks*nplanes, stride), bits (ntasks*nplanes,)).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_enc_seg_declared"):
+        lib.icer_tpu_encode_segments.restype = None
+        lib.icer_tpu_encode_segments.argtypes = [
+            ct.POINTER(ct.c_int32), ct.POINTER(EncTask), ct.c_int64,
+            ct.POINTER(ct.c_uint8), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.c_int32]
+        lib._enc_seg_declared = True
+    n = len(tasks)
+    arr = (EncTask * n)()
+    max_px = 1
+    for i, t in enumerate(tasks):
+        s = arr[i]
+        s.seg_off = t["seg_off"]
+        s.h, s.w = t["h"], t["w"]
+        s.rowstride = t["rowstride"]
+        s.subband = t["subband"]
+        s.mag_bits = t["mag_bits"]
+        s.nplanes = nplanes
+        max_px = max(max_px, t["h"] * t["w"])
+    stride = 4 * max_px + 64  # worst case ~2.5 bits/pixel-slot, 2 slots
+    out = np.zeros((n * nplanes, stride), dtype=np.uint8)
+    bits = np.zeros(n * nplanes, dtype=np.int64)
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    assert image.dtype == np.int32 and image.flags.c_contiguous
+    lib.icer_tpu_encode_segments(
+        image.ctypes.data_as(ct.POINTER(ct.c_int32)), arr, n,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)), stride,
+        bits.ctypes.data_as(ct.POINTER(ct.c_int64)), nthreads)
+    assert (bits >= 0).all(), "native encode stride overflow"
+    return out, bits
+
+
 def decode_segments_native(image: np.ndarray, tasks: list[dict],
                            blob: bytes, nthreads=0) -> np.ndarray:
     """Decode independent segment tasks into ``image`` (int32, in place).

@@ -28,7 +28,8 @@ from .grayscale import (CodecConfig, _bitplanes, _mag_bits, assemble_stream,
 
 def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  config: CodecConfig,
-                 encode_plane=encode_plane_payload) -> bytes:
+                 encode_plane=encode_plane_payload,
+                 backend: str = "auto") -> bytes:
     """Compress three equally-sized channel planes into one stream."""
     if not (y.shape == u.shape == v.shape and y.dtype == u.dtype == v.dtype):
         raise IcerError(IcerStatus.INVALID_INPUT, "channel mismatch")
@@ -43,6 +44,26 @@ def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                                             config.filt, mag_bits)
         chans.append(img)
         ll_means.append(ll_mean)
+
+    if (encode_plane is encode_plane_payload
+            and backend in ("auto", "native")):
+        from ..backend import native_backend
+        if native_backend.available():
+            from .grayscale import allocate_from_table, encode_channel_native
+            table = {}
+            for chan in range(3):
+                raw = encode_channel_native(chans[chan], config, mag_bits,
+                                            bitplanes)
+                table.update({(chan,) + k: val for k, val in raw.items()})
+            packets = sort_packets(build_packets_color(
+                w, h, config.stages, ll_means, bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
+            encoded = allocate_from_table(packets, table, config.byte_quota,
+                                          nsegs, w, h)
+            order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
+                     else rearrange_order_color_uint16(bitplanes))
+            return assemble_stream(encoded, order)
 
     packets = sort_packets(build_packets_color(
         w, h, config.stages, ll_means, bitplanes))

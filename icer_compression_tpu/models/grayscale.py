@@ -101,12 +101,81 @@ def transform_for_encode(image: np.ndarray, stages: int, filt: int,
     return img, ll_mean
 
 
+def all_subbands(stages: int):
+    """Every (stage, subband) of an N-stage decomposition."""
+    out = []
+    for stage in range(1, stages + 1):
+        if stage == stages:
+            out.append((stage, C.SUBBAND_LL))
+        out.append((stage, C.SUBBAND_HL))
+        out.append((stage, C.SUBBAND_LH))
+        out.append((stage, C.SUBBAND_HH))
+    return out
+
+
+def encode_channel_native(img_t: np.ndarray, config: CodecConfig,
+                          mag_bits: int, bitplanes: int) -> dict:
+    """All (stage, subband, lsb, seg) payloads of one transformed channel
+    via the native runtime (fused pixel-loop modelling + entropy, threaded
+    over segments)."""
+    from ..backend import native_backend
+
+    h, w = img_t.shape
+    tasks = []
+    keys = []
+    for (stage, subband) in all_subbands(config.stages):
+        view = subband_view(w, h, stage, subband)
+        for rect in partition_segments(view.w, view.h, config.segments):
+            tasks.append({
+                "seg_off": (view.row + rect.row) * w + (view.col + rect.col),
+                "h": rect.h, "w": rect.w, "rowstride": w,
+                "subband": subband, "mag_bits": mag_bits,
+            })
+            keys.append((stage, subband, rect.index))
+    img_c = np.ascontiguousarray(img_t, dtype=np.int32)
+    out, bits = native_backend.encode_segments_native(img_c, tasks, bitplanes)
+    table = {}
+    for i, (stage, subband, seg) in enumerate(keys):
+        for lsb in range(bitplanes):
+            r = i * bitplanes + lsb
+            nb = int(bits[r])
+            table[(stage, subband, lsb, seg)] = (
+                out[r, : (nb + 7) // 8].tobytes(), nb)
+    return table
+
+
 def compress(image: np.ndarray, config: CodecConfig,
-             encode_plane=encode_plane_payload) -> bytes:
-    """Compress a grayscale image to an ICER bytestream."""
+             encode_plane=encode_plane_payload,
+             backend: str = "auto") -> bytes:
+    """Compress a grayscale image to an ICER bytestream.
+
+    backend "auto"/"native" uses the C++ runtime (fused context modelling +
+    entropy, threaded over segments); "vectorized" uses the numpy
+    data-parallel path (the TPU algorithm prototype).  A custom
+    ``encode_plane`` forces the per-plane path.
+    """
     mag_bits = _mag_bits(image.dtype)
     bitplanes = _bitplanes(mag_bits)
     h, w = image.shape
+
+    if (encode_plane is encode_plane_payload
+            and backend in ("auto", "native")):
+        from ..backend import native_backend
+        if native_backend.available():
+            img, ll_mean = transform_for_encode(
+                image, config.stages, config.filt, mag_bits)
+            raw = encode_channel_native(img, config, mag_bits, bitplanes)
+            table = {(0,) + k: v for k, v in raw.items()}
+            packets = sort_packets(build_packets_grayscale(
+                w, h, config.stages, ll_mean, bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
+            encoded = allocate_from_table(packets, table, config.byte_quota,
+                                          nsegs, w, h)
+            return assemble_stream(encoded,
+                                   rearrange_order_grayscale(bitplanes))
+        if backend == "native":
+            raise RuntimeError("native runtime unavailable")
 
     img, ll_mean = transform_for_encode(image, config.stages, config.filt,
                                         mag_bits)

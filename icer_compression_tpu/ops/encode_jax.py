@@ -111,10 +111,18 @@ def _plan_buckets(groups):
 
 
 class JaxGrayscaleEncoder:
-    """Compiled encoder for one image geometry (one channel)."""
+    """Compiled encoder for one image geometry (one channel).
+
+    The whole encode -- transform, emissions, entropy, and the compaction
+    of per-lane payloads into one contiguous blob -- is a single jitted
+    program: one host->device transfer (the image) and two device->host
+    transfers (blob + metadata).  This matters doubly on remotely-attached
+    TPUs where each transfer costs ~0.1 s of latency.
+    """
 
     def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
-                 segments: int, mag_bits: int):
+                 segments: int, mag_bits: int,
+                 blob_cap: int | None = None):
         _ensure_cache()
         import jax
         import jax.numpy as jnp
@@ -126,11 +134,31 @@ class JaxGrayscaleEncoder:
 
         self.groups = _plan_groups(image_w, image_h, stages, segments)
         self.buckets = _plan_buckets(self.groups)
+        # lane order of the fused outputs: buckets in order, then groups,
+        # planes, lanes -- mirrors the bucket fn's concat order.
+        self.lane_keys: list[tuple] = []
+        for b in self.buckets:
+            for gi in b["groups"]:
+                g = self.groups[gi]
+                for p in range(self.bitplanes):
+                    for l in g["lanes"]:
+                        self.lane_keys.append((l.stage, l.subband, p,
+                                               l.seg, l))
+        self.n_lanes = len(self.lane_keys)
+        # Device->host payload budget: generous vs the lossless raw size;
+        # overflow is flagged and falls back to per-lane host re-encode.
+        # The combined (meta + blob) output is kept >= 1 MiB: small
+        # device->host transfers are pathologically slow on remotely
+        # attached TPUs (observed: KB-sized fetches taking minutes while
+        # MB-sized ones sustain ~25 MB/s).
+        if blob_cap is None:
+            raw = image_w * image_h * (1 if mag_bits == 7 else 2)
+            blob_cap = ((raw + raw // 2 + 4096 + 127) // 128) * 128
+            blob_cap = max(blob_cap, 1 << 20)
+        self.blob_cap = blob_cap
 
+        self._fused = jax.jit(self._make_fused_fn())
         self._transform = jax.jit(self._transform_fn)
-        self._emit_fns = [jax.jit(self._make_emit_fn(g)) for g in self.groups]
-        self._bucket_fns = [jax.jit(self._make_bucket_fn(b))
-                            for b in self.buckets]
 
     # ---- device functions ----------------------------------------------
     def _transform_fn(self, image):
@@ -196,48 +224,105 @@ class JaxGrayscaleEncoder:
 
         return fn
 
+    def _make_fused_fn(self):
+        jnp = self.jnp
+        emit_fns = [self._make_emit_fn(g) for g in self.groups]
+        bucket_fns = [self._make_bucket_fn(b) for b in self.buckets]
+        cap = self.blob_cap
+
+        def fused(image):
+            img, ll_mean, overflow = self._transform_fn(image)
+            emitted = [fn(img) for fn in emit_fns]
+            payloads, totals, flushes = [], [], []
+            for b, bfn in zip(self.buckets, bucket_fns):
+                payload, total, flush = bfn([emitted[gi]
+                                             for gi in b["groups"]])
+                payloads.append(payload)
+                totals.append(total)
+                flushes.append(flush)
+            nbits = jnp.concatenate(totals).astype(jnp.int32)   # (n_lanes,)
+            flush = jnp.concatenate(
+                [f.astype(jnp.int32) for f in flushes])
+
+            # On-device compaction: lay each lane's payload bytes at its
+            # byte-aligned offset in one contiguous blob.  A scan of
+            # dynamic_update_slices (in offset order, each lane's padding
+            # overwritten by its successors) compiles ~25x faster than the
+            # equivalent giant scatter.
+            lens = (nbits + 7) // 8
+            offs = jnp.cumsum(lens) - lens
+            max_capb = max(p.shape[1] for p in payloads)
+            blob = jnp.zeros((cap + max_capb + 1,), dtype=jnp.uint8)
+            r0 = 0
+            for payload in payloads:
+                n, capb = payload.shape
+
+                def step(b, xs):
+                    row, off = xs
+                    off = jnp.minimum(off, cap)
+                    return self.jax.lax.dynamic_update_slice(
+                        b, row, (off,)), None
+
+                blob, _ = self.jax.lax.scan(
+                    step, blob, (payload, offs[r0:r0 + n]))
+                r0 += n
+            total_bytes = lens.sum()
+            meta = jnp.concatenate([
+                nbits, flush,
+                jnp.stack([ll_mean.astype(jnp.int32),
+                           overflow.astype(jnp.int32),
+                           total_bytes.astype(jnp.int32),
+                           (total_bytes > cap).astype(jnp.int32)]),
+            ])
+            meta_u8 = self.jax.lax.bitcast_convert_type(
+                meta, jnp.uint8).reshape(-1)
+            # Single >=1MiB output: tiny fetches stall on tunnel-attached
+            # TPUs (see __init__).
+            return jnp.concatenate([meta_u8, blob[:cap]])
+
+        return fused
+
     # ---- host orchestration --------------------------------------------
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},
         ll_mean)."""
         jnp = self.jnp
-        img, ll_mean, overflow = self._transform(jnp.asarray(image))
-        if bool(overflow):
+        out = np.asarray(self._fused(jnp.asarray(image)))
+        n = self.n_lanes
+        meta_bytes = 4 * (2 * n + 4)
+        meta = out[:meta_bytes].view(np.int32)
+        blob = out[meta_bytes:]
+        nbits = meta[:n]
+        flush = meta[n:2 * n]
+        ll_mean, overflow, total_bytes, blob_over = meta[2 * n:2 * n + 4]
+        if overflow:
             raise IcerError(IcerStatus.INTEGER_OVERFLOW, "wavelet transform")
         ll_mean = int(ll_mean)
         if ll_mean > (1 << self.mag_bits) - 1:
             raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
 
-        emitted = [fn(img) for fn in self._emit_fns]
         table: dict[tuple, tuple[bytes, int]] = {}
         fallback: list[tuple] = []
-        for bucket, bfn in zip(self.buckets, self._bucket_fns):
-            parts = [emitted[gi] for gi in bucket["groups"]]
-            payload, total, flush = bfn(parts)
-            payload = np.asarray(payload)
-            total = np.asarray(total)
-            flush = np.asarray(flush)
-            r0 = 0
-            for gi in bucket["groups"]:
-                g = self.groups[gi]
-                lanes = g["lanes"]
-                N = len(lanes)
-                for p in range(self.bitplanes):
-                    for i, l in enumerate(lanes):
-                        r = r0 + p * N + i
-                        key = (l.stage, l.subband, p, l.seg)
-                        if flush[r]:
-                            fallback.append((key, l))
-                            continue
-                        nb = int(total[r])
-                        table[key] = (payload[r, : (nb + 7) // 8].tobytes(),
-                                      nb)
-                r0 += self.bitplanes * N
+        if blob_over:
+            # payload blob exceeded its budget -- re-encode on host
+            fallback = [(k[:4], k[4]) for k in self.lane_keys]
+        else:
+            lens = (nbits + 7) // 8
+            offs = np.cumsum(lens) - lens
+            for r, key in enumerate(self.lane_keys):
+                if flush[r]:
+                    fallback.append((key[:4], key[4]))
+                    continue
+                nb = int(nbits[r])
+                o = int(offs[r])
+                table[key[:4]] = (blob[o:o + (nb + 7) // 8].tobytes(), nb)
 
         if fallback:
             from ..backend import native_backend, sequential
             from .context_model import plane_emissions
-            img_np = np.asarray(img)
+            from ..models.grayscale import transform_for_encode
+            img_np, _ = transform_for_encode(image, self.stages, self.filt,
+                                             self.mag_bits)
             for (key, l) in fallback:
                 stage, subband, lsb, seg = key
                 data = img_np[l.row:l.row + l.h, l.col:l.col + l.w]

@@ -89,19 +89,21 @@ def counters_and_bins_pa(valid, ctx, bit, xp=np, max_chunks: int | None = None):
     bit = bit.astype(xp.int32)
     ctx = ctx.astype(xp.int32)
 
-    onehot = ((ctx[:, None] == xp.arange(NCTX)[None, :]) &
-              (valid[:, None] != 0)).astype(xp.int32)      # (L, NCTX)
-    zero_oh = onehot * (bit == 0)[:, None]
-    occ_incl = xp.cumsum(onehot, axis=0)                   # (L, NCTX)
-    cz_incl = xp.cumsum(zero_oh, axis=0)
+    # Context-major (NCTX, L) layout: keeps the long axis minor so TPU
+    # tiling doesn't pad an 18-wide minor dimension to 128 lanes.
+    onehot = ((ctx[None, :] == xp.arange(NCTX)[:, None]) &
+              (valid[None, :] != 0)).astype(xp.int32)      # (NCTX, L)
+    zero_oh = onehot * (bit == 0)[None, :]
+    occ_incl = xp.cumsum(onehot, axis=1)                   # (NCTX, L)
+    cz_incl = xp.cumsum(zero_oh, axis=1)
 
-    cols = xp.arange(NCTX)[None, :]
-    occ_self = xp.take_along_axis(occ_incl, ctx[:, None], axis=1)[:, 0] - 1
-    cz_self_excl = (xp.take_along_axis(cz_incl, ctx[:, None], axis=1)[:, 0]
+    cols = xp.arange(NCTX)[:, None]
+    occ_self = (onehot * occ_incl).sum(axis=0) - 1
+    cz_self_excl = ((onehot * cz_incl).sum(axis=0)
                     - ((valid != 0) & (bit == 0)).astype(xp.int32))
 
-    n_c = occ_incl[-1, :] if L > 0 else xp.zeros(NCTX, xp.int32)  # (NCTX,)
-    cz_total = cz_incl[-1, :]
+    n_c = occ_incl[:, -1] if L > 0 else xp.zeros(NCTX, xp.int32)  # (NCTX,)
+    cz_total = cz_incl[:, -1]
 
     # cz_table[j, c] = zeros among the first min(B_j, n_c) occurrences of
     # context c, where B_0 = 0 and B_j = _FIRST + _CHUNK*(j-1) are the
@@ -120,7 +122,7 @@ def counters_and_bins_pa(valid, ctx, bit, xp=np, max_chunks: int | None = None):
                             cz_incl, xp)[:max_chunks + 1]
     cz_table = xp.where(
         xp.asarray(b_vals[:max_chunks + 1])[:, None] > n_c[None, :],
-        cz_total[None, :], cz_table)
+        cz_total[None, :], cz_table)  # (max_chunks+1, NCTX)
 
     z0 = xp.full((NCTX,), C.DEFAULT_CONTEXT_ZERO_COUNT, dtype=xp.int32)
     # Tie the scan carry to the inputs so its "varying" type matches under
@@ -297,13 +299,15 @@ def build_codewords(valid, binv, coded, xp=np):
 
     wl = xp.asarray(WIN_LEN)[xp.asarray(_CUSTOM_BINS)[:, None], w7]  # (7, L)
     # countdown transitions over rank space: state d=0 -> start, next d =
-    # clen-1; else d-1.  Identity beyond n_b.
-    d5 = xp.arange(5)[None, None, :]
-    trans = xp.where(d5 == 0, xp.clip(wl - 1, 0, 4)[:, :, None], d5 - 1)
-    beyond = (r_idx > nb7[:, None])[:, :, None]
-    trans = xp.where(beyond, d5, trans).astype(xp.int8)
-    pref = _prefix_compose(trans, xp)            # (7, L, 5)
-    state_before = _shift1(pref[..., 0], xp.int8(0), xp, axis=1).astype(xp.int32)
+    # clen-1; else d-1.  Identity beyond n_b.  State axis FIRST: a size-5
+    # minor axis would be tile-padded to 128 lanes on TPU (25x memory).
+    beyond = r_idx > nb7[:, None]                # (7, L)
+    wl1 = xp.clip(wl - 1, 0, 4)
+    trans = xp.stack(
+        [xp.where(beyond, d, wl1 if d == 0 else d - 1) for d in range(5)],
+        axis=0).astype(xp.int8)                  # (5, 7, L)
+    pref = _prefix_compose(trans, xp)            # (5, 7, L)
+    state_before = _shift1(pref[0], xp.int8(0), xp, axis=1).astype(xp.int32)
     start_rank = (state_before == 0) & (r_idx <= nb7[:, None])   # (7, L)
 
     clen = wl
@@ -351,28 +355,29 @@ def build_codewords(valid, binv, coded, xp=np):
 
 
 def _prefix_compose(trans, xp):
-    """Inclusive prefix composition along axis -2 of (..., L, 5) transitions.
+    """Inclusive prefix composition of 5-state transitions.
 
-    Function composition over the 5-element state space is done with
-    unrolled selects (25 fused elementwise ops) rather than a gather over
-    the tiny state axis -- the gather lowers catastrophically slowly in the
-    TPU compiler, the selects fuse into a handful of VPU ops.
+    trans: (5, ..., L) with the state axis FIRST (a size-5 minor axis would
+    be tile-padded 25x on TPU) and the scan axis last.  Composition over
+    the 5-element state space uses unrolled selects (25 fused elementwise
+    ops) rather than a gather, which lowers catastrophically in the TPU
+    compiler.  Hillis-Steele doubling: O(log L) steps.
     """
-    L = trans.shape[-2]
+    L = trans.shape[-1]
     pref = trans
     step = 1
     while step < L:
-        later = pref[..., step:, :]
-        earlier = pref[..., :L - step, :]
-        cols = []
+        later = pref[..., step:]
+        earlier = pref[..., :L - step]
+        rows = []
         for d in range(5):
-            g = earlier[..., d]
-            acc = later[..., 0] * (g == 0).astype(trans.dtype)
+            g = earlier[d]
+            acc = later[0] * (g == 0).astype(trans.dtype)
             for k in range(1, 5):
-                acc = acc + later[..., k] * (g == k).astype(trans.dtype)
-            cols.append(acc)
-        composed = xp.stack(cols, axis=-1)
-        pref = xp.concatenate([pref[..., :step, :], composed], axis=-2)
+                acc = acc + later[k] * (g == k).astype(trans.dtype)
+            rows.append(acc)
+        composed = xp.stack(rows, axis=0)
+        pref = xp.concatenate([pref[..., :step], composed], axis=-1)
         step *= 2
     return pref
 
@@ -413,10 +418,12 @@ def pack_payload(is_open, code, nbits, xp=np, max_bits: int | None = None):
         bitsbuf = _scatter_set(bitsbuf, tgt,
                                ((code >> j) & 1).astype(xp.uint8), xp)
     total = nb.sum()
-    b = bitsbuf[:max_bits].reshape(-1, 8)
-    weights = (1 << xp.arange(8)).astype(xp.uint8)
-    payload = (b * weights[None, :]).sum(axis=1).astype(xp.uint8)
-    return payload, total
+    # Pack 8 bits/byte with strided slices (a reshape to (.., 8) would be
+    # tile-padded 16x on TPU).
+    payload = bitsbuf[0:max_bits:8]
+    for j in range(1, 8):
+        payload = payload + (bitsbuf[j:max_bits:8] << j)
+    return payload.astype(xp.uint8), total
 
 
 def encode_emissions_pa(valid, ctx, bit, xp=np):
