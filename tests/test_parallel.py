@@ -1,0 +1,53 @@
+"""Sharded multi-device encoding on a virtual CPU mesh.
+
+Validates the shard_map program end to end: the sharded batch encoder's
+streams must be byte-identical to the single-image host path.  Runs on
+8 virtual CPU devices (conftest sets xla_force_host_platform_device_count).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def _cpu_devices():
+    try:
+        return jax.devices("cpu")
+    except Exception:
+        return []
+
+
+pytestmark = pytest.mark.skipif(len(_cpu_devices()) < 4,
+                                reason="needs >=4 virtual cpu devices")
+
+
+def test_sharded_encode_matches_reference_path(rng):
+    from icer_compression_tpu.parallel.sharded import (
+        ShardedGrayscaleEncoder, make_mesh)
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import (
+        CodecConfig, allocate_from_table, assemble_stream)
+    from icer_compression_tpu.core.packets import (
+        build_packets_grayscale, rearrange_order_grayscale, sort_packets)
+
+    mesh = make_mesh(4, platform="cpu")
+    H = W = 32
+    stages, segments = 2, 2
+    enc = ShardedGrayscaleEncoder(mesh, W, H, stages, 0, segments,
+                                  mag_bits=15)
+    B = mesh.shape["data"] * 2
+    imgs = ((np.add.outer(np.arange(H) * 3, np.arange(W))[None] % 150)
+            + rng.integers(0, 40, (B, H, W))).astype(np.uint16)
+    ll_means, tables = enc.encode_batch(imgs)
+    cfg = CodecConfig(stages=stages, filt=0, segments=segments,
+                      byte_quota=H * W * 2)
+    for bi in range(B):
+        ref = G.compress(imgs[bi], cfg)
+        table = {(0,) + k: v for k, v in tables[bi].items()}
+        packets = sort_packets(build_packets_grayscale(
+            W, H, stages, int(ll_means[bi]), 9))
+        nsegs = {(p.decomp_level, p.subband_type): segments
+                 for p in packets}
+        encoded = allocate_from_table(packets, table, H * W * 2, nsegs, W, H)
+        assert assemble_stream(encoded, rearrange_order_grayscale(9)) == ref
