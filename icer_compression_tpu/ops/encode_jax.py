@@ -32,7 +32,7 @@ from ..core import constants as C
 from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
 from ..core.status import IcerError, IcerStatus
-from . import entropy_jax, wavelet
+from . import entropy_jax2, wavelet
 from .context_model import plane_emissions_lanes
 
 _CACHE_SET = False
@@ -219,7 +219,8 @@ class JaxGrayscaleEncoder:
             ctx = jnp.concatenate(cs, axis=0)
             bit = jnp.concatenate(bs, axis=0)
             enc = self.jax.vmap(
-                lambda v, c, x: entropy_jax.encode_emissions_pa(v, c, x, jnp))
+                lambda v, c, x: entropy_jax2.encode_emissions_sorted(
+                    v, c, x, jnp))
             return enc(valid, ctx, bit)
 
         return fn

@@ -28,7 +28,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
-from ..ops import entropy_jax, wavelet
+from ..ops import entropy_jax2, wavelet
 from ..ops.context_model import plane_emissions_lanes
 
 
@@ -134,7 +134,7 @@ class ShardedGrayscaleEncoder:
             ctx = jnp.stack(cs)
             bit = jnp.stack(bs)
             enc = jax.vmap(jax.vmap(
-                lambda v, c, b: entropy_jax.encode_emissions_pa(v, c, b, jnp)))
+                lambda v, c, b: entropy_jax2.encode_emissions_sorted(v, c, b, jnp)))
             return enc(valid, ctx, bit)   # payload (P,Nl,cap), total, flush
 
         def step(local_images):           # (Bl, H, W) on this device

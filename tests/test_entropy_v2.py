@@ -1,0 +1,60 @@
+"""Sort-centric entropy encoder (v2, the TPU formulation) vs the
+sequential reference coder."""
+
+import numpy as np
+
+from icer_compression_tpu.backend import sequential as S
+from icer_compression_tpu.ops import entropy_jax2 as E2
+
+
+def _check(valid, ctx, bit):
+    pl_s, nb_s, fl = S.encode_emissions(valid, ctx, bit)
+    payload, total, flush = E2.encode_emissions_sorted(
+        np.asarray(valid, np.int32), np.asarray(ctx, np.int32),
+        np.asarray(bit, np.int32), np)
+    assert bool(flush) == (fl > 0)
+    if fl:
+        return
+    assert (bytes(np.asarray(payload)[: (int(total) + 7) // 8]),
+            int(total)) == (pl_s, nb_s)
+
+
+def test_v2_random_streams(rng):
+    for _ in range(60):
+        L = int(rng.integers(2, 3000))
+        ctx = rng.integers(0, 18, L).astype(np.int32)
+        p = rng.random(18)
+        bit = (rng.random(L) < p[ctx]).astype(np.int32)
+        valid = (rng.random(L) < 0.85).astype(np.int32)
+        _check(valid, ctx, bit)
+
+
+def test_v2_golomb_runs(rng):
+    # all-zero single context crosses golomb m boundaries and tails
+    for L in (5, 100, 511, 512, 513, 1200, 2600):
+        _check(np.ones(L), np.zeros(L, np.int32), np.zeros(L, np.int32))
+    # long biased runs with occasional ones
+    for L in (700, 1500):
+        bit = (rng.random(L) < 0.02).astype(np.int32)
+        _check(np.ones(L), np.zeros(L, np.int32), bit)
+
+
+def test_v2_flush_detection():
+    blk_ctx = np.tile(np.array([0] + [17] * 8), 1200)
+    blk_bit = np.tile(np.array([0, 1, 0, 1, 1, 0, 1, 0, 1]), 1200)
+    ctx = np.concatenate([np.zeros(600, np.int64), blk_ctx])
+    bit = np.concatenate([np.zeros(600, np.int64), blk_bit])
+    valid = np.ones(len(ctx))
+    _, _, fl = S.encode_emissions(valid, ctx, bit)
+    assert fl > 0
+    _, _, flush = E2.encode_emissions_sorted(
+        valid.astype(np.int32), ctx.astype(np.int32), bit.astype(np.int32),
+        np)
+    assert bool(flush)
+
+
+def test_v2_uncoded_only(rng):
+    L = 500
+    ctx = np.full(L, 17, np.int32)
+    bit = rng.integers(0, 2, L).astype(np.int32)
+    _check(np.ones(L), ctx, bit)
