@@ -28,7 +28,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
-from ..ops import entropy_jax2, wavelet
+from ..ops import entropy_jax, entropy_jax2, wavelet
 from ..ops.context_model import plane_emissions_lanes
 
 
@@ -79,7 +79,14 @@ class ShardedGrayscaleEncoder:
     """Batched grayscale encode sharded over a ('data', 'seg') mesh."""
 
     def __init__(self, mesh, image_w: int, image_h: int, stages: int,
-                 filt: int, segments: int, mag_bits: int = 15):
+                 filt: int, segments: int, mag_bits: int = 15,
+                 entropy: str = "pa"):
+        # entropy "pa" = position-aligned coder (ops/entropy_jax; compiles
+        # and runs well on the virtual-CPU dryrun mesh); "sorted" = the
+        # sort-centric coder (ops/entropy_jax2; the fast TPU formulation).
+        # Both are bit-exact.
+        from ..ops.encode_jax import _ensure_cache
+        _ensure_cache()
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -133,8 +140,13 @@ class ShardedGrayscaleEncoder:
             valid = jnp.stack(vs)                            # (P, Nl, L)
             ctx = jnp.stack(cs)
             bit = jnp.stack(bs)
-            enc = jax.vmap(jax.vmap(
-                lambda v, c, b: entropy_jax2.encode_emissions_sorted(v, c, b, jnp)))
+            if entropy == "sorted":
+                enc1 = lambda v, c, b: entropy_jax2.encode_emissions_sorted(
+                    v, c, b, jnp)
+            else:
+                enc1 = lambda v, c, b: entropy_jax.encode_emissions_pa(
+                    v, c, b, jnp)
+            enc = jax.vmap(jax.vmap(enc1))
             return enc(valid, ctx, bit)   # payload (P,Nl,cap), total, flush
 
         def step(local_images):           # (Bl, H, W) on this device
