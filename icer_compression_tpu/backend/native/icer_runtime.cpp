@@ -581,6 +581,183 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
   enc.drain();
 }
 
+
+// ---- integer lifting DWT (mirrors ops/wavelet.py semantics) -------------
+
+struct FiltParams { int a_n1, a0, a1, beta; };
+const FiltParams kFilt[7] = {
+    {0,4,4,0},{0,4,6,4},{-1,4,8,6},{0,4,5,2},{0,3,8,6},{0,3,9,8},{0,4,4,4}};
+
+inline int32_t floor_div(int32_t a, int32_t b) {
+  int32_t d = a / b, r = a % b;
+  return r && ((a < 0) != (b < 0)) ? d - 1 : d;
+}
+
+inline int32_t wrap_sample(int32_t v, int mag_bits) {
+  int bits = mag_bits + 1;
+  uint32_t m = (1u << bits) - 1;
+  uint32_t w = (uint32_t)v & m;
+  return (int32_t)w - (int32_t)(((w >> (bits - 1)) & 1) << bits);
+}
+
+// Forward lifting of one line (length N, stride st), out-of-place temp.
+// Returns overflow flag.
+bool dwt_fwd_line(int32_t *x, int N, int st, int filt, int mag_bits,
+                  int32_t *tmp) {
+  const FiltParams &f = kFilt[filt];
+  int lo = -(1 << mag_bits), hi = (1 << mag_bits) - 1;
+  bool ov = false;
+  int half = N / 2, is_odd = N & 1, nL = half + is_odd;
+  int32_t *L = tmp, *D = tmp + nL;
+  for (int n = 0; n < half; n++) {
+    int32_t d1 = x[(2 * n) * st], d2 = x[(2 * n + 1) * st];
+    int32_t l = floor_div(d1 + d2, 2), h = d1 - d2;
+    if (l > hi || l < lo || h > hi || h < lo) ov = true;
+    L[n] = wrap_sample(l, mag_bits);
+    D[n] = wrap_sample(h, mag_bits);
+  }
+  if (is_odd) L[half] = x[(N - 1) * st];
+
+  auto r_at = [&](int n) -> int32_t {
+    return n > 0 ? L[n - 1] - L[n] : 1;
+  };
+  for (int n = 0; n < half; n++) {
+    int32_t sub;
+    if (n == 0) {
+      sub = floor_div(r_at(1), 4);
+    } else if (n == 1 && f.a_n1 != 0) {
+      // filter C quirk: the d term reads the *original* high[1]
+      // (0 when N == 5); see ops/wavelet.py.
+      int32_t d2v = (is_odd && half == 2) ? 0 : D[1];
+      sub = floor_div(2 * r_at(1) + 3 * r_at(2) - 2 * d2v + 4, 8);
+    } else if (!is_odd && n == half - 1) {
+      sub = floor_div(r_at(half - 1), 4);
+    } else {
+      int32_t dn = (n + 1 < half) ? D[n + 1] : 0;
+      sub = floor_div(f.a_n1 * r_at(n - 1) + f.a0 * r_at(n)
+                      + f.a1 * r_at(n + 1) - f.beta * dn + 8, 16);
+    }
+    int32_t h = D[n] - sub;
+    if (h > hi || h < lo) ov = true;
+    D[n] = wrap_sample(h, mag_bits);
+  }
+  for (int n = 0; n < nL; n++) x[n * st] = L[n];
+  for (int n = 0; n < half; n++) x[(nL + n) * st] = D[n];
+  return ov;
+}
+
+// Inverse of dwt_fwd_line; includes the uint8 odd-length interleave quirk.
+bool dwt_inv_line(int32_t *x, int N, int st, int filt, int mag_bits,
+                  int32_t *tmp) {
+  const FiltParams &f = kFilt[filt];
+  int lo = -(1 << mag_bits), hi = (1 << mag_bits) - 1;
+  bool ov = false;
+  int half = N / 2, is_odd = N & 1, nL = half + is_odd;
+  int32_t *L = tmp, *D = tmp + nL;
+  for (int n = 0; n < nL; n++) L[n] = x[n * st];
+  for (int n = 0; n < half; n++) D[n] = x[(nL + n) * st];
+
+  auto r_at = [&](int n) -> int32_t {
+    return n > 0 ? L[n - 1] - L[n] : 1;
+  };
+  int32_t *H = tmp + nL + half;          // stored (coded) highs copy
+  for (int n = 0; n < half; n++) H[n] = D[n];
+  for (int n = half - 1; n >= 0; n--) {
+    int32_t add;
+    if (n == 0) {
+      add = floor_div(r_at(1), 4);
+    } else if (n == 1 && f.a_n1 != 0) {
+      int32_t d2v = (is_odd && half == 2) ? 0 : H[1];
+      add = floor_div(2 * r_at(1) + 3 * r_at(2) - 2 * d2v + 4, 8);
+    } else if (!is_odd && n == half - 1) {
+      add = floor_div(r_at(half - 1), 4);
+    } else {
+      int32_t dn = (n + 1 < half) ? D[n + 1] : 0;  // restored
+      add = floor_div(f.a_n1 * r_at(n - 1) + f.a0 * r_at(n)
+                      + f.a1 * r_at(n + 1) - f.beta * dn + 8, 16);
+    }
+    int32_t d = H[n] + add;
+    if (d > hi || d < lo) ov = true;
+    D[n] = wrap_sample(d, mag_bits);
+  }
+
+  // un-pair into y = [evens | tail | odds], then interleave
+  int32_t *Y = tmp + nL + 2 * half;
+  for (int n = 0; n < half; n++) {
+    int32_t t = L[n] + floor_div(D[n] + 1, 2);
+    int32_t o = t - D[n];
+    if (t > hi || t < lo || o > hi || o < lo) ov = true;
+    Y[n] = wrap_sample(t, mag_bits);
+    Y[nL + n] = wrap_sample(o, mag_bits);
+  }
+  if (is_odd) Y[half] = wrap_sample(L[half], mag_bits);
+
+  if (!is_odd) {
+    for (int n = 0; n < half; n++) {
+      x[(2 * n) * st] = Y[n];
+      x[(2 * n + 1) * st] = Y[nL + n];
+    }
+  } else if (mag_bits == 15) {
+    for (int n = 0; n < half; n++) {
+      x[(2 * n) * st] = Y[n];
+      x[(2 * n + 1) * st] = Y[nL + n];
+    }
+    x[(N - 1) * st] = Y[half];
+  } else {
+    // uint8 odd-length quirk: pairs (y[j], y[m+2+j]) then y[m-1..m+1]
+    int m = half, k = 0;
+    for (int j = 0; j + 1 < m; j++) {
+      x[(k++) * st] = Y[j];
+      x[(k++) * st] = Y[m + 2 + j];
+    }
+    x[(k++) * st] = Y[m - 1];
+    x[(k++) * st] = Y[m];
+    x[(k++) * st] = Y[m + 1];
+  }
+  return ov;
+}
+
+int ceil_div_int(int a, int b) { return (a + b - 1) / b; }
+
+bool dwt_2d(int32_t *img, int w, int h, int rowstride, int filt,
+            int mag_bits, bool inverse, int nthreads) {
+  std::atomic<bool> ov(false);
+  auto run_lines = [&](bool cols) {
+    int count = cols ? w : h;
+    int len = cols ? h : w;
+    int stride = cols ? rowstride : 1;
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+      std::vector<int32_t> tmp(4 * (len + 2));
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= count) return;
+        int32_t *base = img + (cols ? i : i * rowstride);
+        bool o = inverse
+            ? dwt_inv_line(base, len, stride, filt, mag_bits, tmp.data())
+            : dwt_fwd_line(base, len, stride, filt, mag_bits, tmp.data());
+        if (o) ov.store(true);
+      }
+    };
+    int nt = nthreads > 1 && count > 8 ? nthreads : 1;
+    if (nt == 1) {
+      worker();
+    } else {
+      std::vector<std::thread> ths;
+      for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+      for (auto &t : ths) t.join();
+    }
+  };
+  if (!inverse) {
+    run_lines(false);   // rows
+    run_lines(true);    // cols
+  } else {
+    run_lines(true);    // cols
+    run_lines(false);   // rows
+  }
+  return ov.load();
+}
+
 }  // namespace
 
 // ---- C ABI --------------------------------------------------------------
@@ -733,6 +910,34 @@ void icer_tpu_encode_segments(const int32_t *image, const EncTask *tasks,
     for (int i = 0; i < nt; i++) threads.emplace_back(worker);
     for (auto &th : threads) th.join();
   }
+}
+
+
+// Multi-stage DWT on an int32 image, in place.  Returns 1 on overflow.
+int32_t icer_tpu_dwt_forward(int32_t *img, int32_t w, int32_t h,
+                             int32_t stages, int32_t filt, int32_t mag_bits,
+                             int32_t nthreads) {
+  bool ov = false;
+  int lw = w, lh = h;
+  for (int s = 0; s < stages; s++) {
+    ov |= dwt_2d(img, lw, lh, w, filt, mag_bits, false, nthreads);
+    lw = (lw + 1) / 2;
+    lh = (lh + 1) / 2;
+  }
+  return ov ? 1 : 0;
+}
+
+int32_t icer_tpu_dwt_inverse(int32_t *img, int32_t w, int32_t h,
+                             int32_t stages, int32_t filt, int32_t mag_bits,
+                             int32_t nthreads) {
+  bool ov = false;
+  for (int it = 1; it <= stages; it++) {
+    int dec = stages - it;
+    int lw = w, lh = h;
+    for (int k = 0; k < dec; k++) { lw = (lw + 1) / 2; lh = (lh + 1) / 2; }
+    ov |= dwt_2d(img, lw, lh, w, filt, mag_bits, true, nthreads);
+  }
+  return ov ? 1 : 0;
 }
 
 }  // extern "C"

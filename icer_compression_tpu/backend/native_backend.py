@@ -127,6 +127,29 @@ def encode_batch_native(valid, ctx, bit, offsets, lengths, nthreads=0):
     return out, bits
 
 
+def dwt_native(image: np.ndarray, stages: int, filt: int, mag_bits: int,
+               inverse: bool = False, nthreads: int = 0) -> bool:
+    """Multi-stage integer lifting DWT in place (int32 image).
+
+    Returns the overflow flag.  Bit-identical to ops/wavelet.py
+    (differentially tested), threaded over lines.
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_dwt_declared"):
+        for name in ("icer_tpu_dwt_forward", "icer_tpu_dwt_inverse"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_int32
+            fn.argtypes = [ct.POINTER(ct.c_int32)] + [ct.c_int32] * 6
+        lib._dwt_declared = True
+    assert image.dtype == np.int32 and image.flags.c_contiguous
+    h, w = image.shape
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    fn = lib.icer_tpu_dwt_inverse if inverse else lib.icer_tpu_dwt_forward
+    return bool(fn(image.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                   w, h, stages, filt, mag_bits, nthreads))
+
+
 class EncTask(ct.Structure):
     _fields_ = [
         ("seg_off", ct.c_int32), ("h", ct.c_int32), ("w", ct.c_int32),

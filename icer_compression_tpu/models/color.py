@@ -135,9 +135,8 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
         img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
         img[:ll_h, :ll_w] = wavelet._wrap(
             img[:ll_h, :ll_w] + ll_means[chan], mag_bits, np)
-        img, _ = wavelet.inverse_stages(img, config.stages, config.filt,
-                                        mag_bits)
-        img = np.asarray(img)
+        from .grayscale import inverse_transform
+        img = inverse_transform(img, config.stages, config.filt, mag_bits)
         img[img < 0] = 0
         out.append(img.astype(dtype))
     return tuple(out)

@@ -80,9 +80,14 @@ def transform_for_encode(image: np.ndarray, stages: int, filt: int,
                          mag_bits: int):
     """DWT + LL mean removal + sign-magnitude.  Returns (array, ll_mean)."""
     h, w = image.shape
-    img = image.astype(np.int32)
-    img, overflow = wavelet.forward_stages(img, stages, filt, mag_bits)
-    img = np.asarray(img)
+    wavelet.check_stages(w, h, stages)
+    img = np.ascontiguousarray(image, dtype=np.int32)
+    from ..backend import native_backend
+    if native_backend.available():
+        overflow = native_backend.dwt_native(img, stages, filt, mag_bits)
+    else:
+        img, overflow = wavelet.forward_stages(img, stages, filt, mag_bits)
+        img = np.asarray(img)
     if overflow:
         raise IcerError(IcerStatus.INTEGER_OVERFLOW, "wavelet transform")
 
@@ -295,14 +300,26 @@ def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
 
 def assemble_stream(encoded: dict, order) -> bytes:
     """Lay out segments grouped by segment number, then rearrange order."""
-    out = bytearray()
+    parts = []
     for seg in range(C.MAX_SEGMENTS + 1):
         for (chan, stage, subband, lsb) in order:
             entry = encoded.get((chan, stage, subband, lsb, seg))
             if entry is not None:
                 hdr, payload = entry
-                out += hdr.pack(payload)
-    return bytes(out)
+                parts.append(hdr.pack(payload))
+    return b"".join(parts)
+
+
+def inverse_transform(img: np.ndarray, stages: int, filt: int,
+                      mag_bits: int) -> np.ndarray:
+    """Inverse DWT (native runtime when available)."""
+    from ..backend import native_backend
+    img = np.ascontiguousarray(img, dtype=np.int32)
+    if native_backend.available():
+        native_backend.dwt_native(img, stages, filt, mag_bits, inverse=True)
+        return img
+    out, _ = wavelet.inverse_stages(img, stages, filt, mag_bits)
+    return np.asarray(out)
 
 
 def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
@@ -333,8 +350,7 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     ll_h = dim_low(h, config.stages)
     img[:ll_h, :ll_w] = wavelet._wrap(img[:ll_h, :ll_w] + ll_mean,
                                       mag_bits, np)
-    img, _ = wavelet.inverse_stages(img, config.stages, config.filt, mag_bits)
-    img = np.asarray(img)
+    img = inverse_transform(img, config.stages, config.filt, mag_bits)
     img[img < 0] = 0
     return img.astype(dtype)
 

@@ -492,18 +492,18 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None):
     off = xp.cumsum(nb) - nb
     total = nb.sum()
 
-    targets = []
-    bits = []
+    # Pack each slot's bit into the low bit of its sort key: one-operand
+    # sort, bit recovered from the sorted keys.
+    entries = []
     for j in range(10):
         ok = rec_valid & (j < nb)
-        targets.append(xp.where(ok, off + j, BIG))
-        bits.append(((code_o >> j) & 1).astype(xp.int32))
-    tgt = xp.concatenate(targets)
-    bv = xp.concatenate(bits)
-    _, (bv_sorted,) = _sort_by(tgt, (bv,), xp)
+        key = xp.where(ok, ((off + j) << 1) | ((code_o >> j) & 1), BIG)
+        entries.append(key)
+    keys = xp.concatenate(entries)
+    keys_sorted = xp.sort(keys)
 
     cap = min(max_bits, 10 * L)
-    bitstream = bv_sorted[:cap].astype(xp.uint8)
+    bitstream = (keys_sorted[:cap] & 1).astype(xp.uint8)
     if cap < max_bits:
         bitstream = xp.concatenate(
             [bitstream, xp.zeros(max_bits - cap, dtype=xp.uint8)])
