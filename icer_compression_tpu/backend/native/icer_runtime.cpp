@@ -809,7 +809,8 @@ struct SegTask {
 // statuses[i]: 0 full, >0 = number of planes decoded before stopping.
 void icer_tpu_decode_segments(int32_t *image, const SegTask *tasks,
                               int64_t ntasks, const uint8_t *blob,
-                              int32_t nthreads, int32_t *planes_done) {
+                              int64_t blob_len, int32_t nthreads,
+                              int32_t *planes_done) {
   std::atomic<int64_t> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -821,7 +822,10 @@ void icer_tpu_decode_segments(int32_t *image, const SegTask *tasks,
       for (int lsb = task.nplanes - 1; lsb >= 0; lsb--) {
         if (task.plane_off[lsb] < 0) break;
         Counters cnt;
-        size_t nbytes = (size_t)((task.plane_bits[lsb] + 7) / 8);
+        // Readable extent runs to the end of the blob: the reference
+        // decodes zero-copy from the stream, so out-of-contract over-reads
+        // consume the following stream bytes (reproduced for parity).
+        size_t nbytes = (size_t)(blob_len - task.plane_off[lsb]);
         Decoder dec(blob + task.plane_off[lsb], nbytes,
                     (uint32_t)task.plane_bits[lsb]);
         int r = decode_plane(seg, task.h, task.w, task.rowstride,

@@ -62,7 +62,8 @@ def get_lib():
             i32p, i32p, i32p, ct.c_int64, u8p, ct.c_int64, i32p]
         lib.icer_tpu_decode_segments.restype = None
         lib.icer_tpu_decode_segments.argtypes = [
-            i32p, ct.POINTER(SegTask), ct.c_int64, u8p, ct.c_int32, i32p]
+            i32p, ct.POINTER(SegTask), ct.c_int64, u8p, ct.c_int64,
+            ct.c_int32, i32p]
         lib.icer_tpu_encode_batch.restype = None
         lib.icer_tpu_encode_batch.argtypes = [
             i32p, i32p, i32p, i64p, i64p, ct.c_int64, u8p, ct.c_int64,
@@ -235,6 +236,6 @@ def decode_segments_native(image: np.ndarray, tasks: list[dict],
     assert image.dtype == np.int32 and image.flags.c_contiguous
     lib.icer_tpu_decode_segments(
         image.ctypes.data_as(ct.POINTER(ct.c_int32)), arr, n,
-        blob_arr.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        blob_arr.ctypes.data_as(ct.POINTER(ct.c_uint8)), len(blob),
         nthreads, done.ctypes.data_as(ct.POINTER(ct.c_int32)))
     return done

@@ -104,11 +104,15 @@ def try_parse_segment(buf: memoryview, offset: int):
     return hdr, payload, HEADER_SIZE + payload_len
 
 
-def scan_bytestream(data: bytes):
-    """Yield (header, payload) for every valid segment.
+def scan_bytestream(data: bytes, with_offsets: bool = False):
+    """Yield (header, payload[, payload_offset]) for every valid segment.
 
     Byte-by-byte resynchronization on corruption, exactly like the decoder's
-    scan loop (icer_compress.c:449-459 + find_packet).
+    scan loop (icer_compress.c:449-459 + find_packet).  ``with_offsets``
+    additionally reports each payload's absolute byte offset: the reference
+    decoder works zero-copy on the stream, so a decoder that (out of
+    contract) consumes past data_length reads the *following stream bytes*
+    -- offsets let our decoders reproduce that behavior exactly.
     """
     buf = memoryview(data)
     offset = 0
@@ -120,7 +124,10 @@ def scan_bytestream(data: bytes):
             offset += 1
             continue
         hdr, payload, consumed = parsed
-        out.append((hdr, payload))
+        if with_offsets:
+            out.append((hdr, payload, offset + HEADER_SIZE))
+        else:
+            out.append((hdr, payload))
         offset += consumed
     return out
 

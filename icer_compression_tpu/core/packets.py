@@ -54,7 +54,15 @@ def sort_packets(packets: list[PacketContext]) -> list[PacketContext]:
 def build_packets_grayscale(image_w: int, image_h: int, stages: int,
                             ll_mean: int, bitplanes: int,
                             channel: int = 0) -> list[PacketContext]:
-    """Packet list in creation order (icer_compress.c:54-103)."""
+    """Packet list in creation order (icer_compress.c:54-103).
+
+    The packet context's ll_mean_val field is uint8 in the reference
+    (icer.h:270) while the encoder subtracts the full 16-bit mean -- means
+    >= 256 are silently truncated in every header (and the decoder then
+    adds back only the low byte).  Reproduced for stream parity; reachable
+    only with >8-bit dynamic range inputs.
+    """
+    ll_mean = ll_mean & 0xFF
     packets: list[PacketContext] = []
 
     def add(subband, level, lsb, priority):
@@ -83,8 +91,10 @@ def build_packets_color(image_w: int, image_h: int, stages: int,
     Note the reference quirk: ``priority *= 2`` fires on every Y-channel
     visit and is never undone, so the priority base doubles once per bitplane
     iteration and the doubled value also applies to U and V packets of the
-    same iteration.  Reproduced exactly.
+    same iteration.  Reproduced exactly.  ll_means truncate to uint8 as in
+    build_packets_grayscale.
     """
+    ll_means = [m & 0xFF for m in ll_means]
     packets: list[PacketContext] = []
 
     def add(subband, level, lsb, priority, chan):

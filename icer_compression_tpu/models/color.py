@@ -112,16 +112,16 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
-    found = scan_bytestream(data)
+    found = scan_bytestream(data, with_offsets=True)
     if not found:
         raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
 
-    table: dict[tuple, tuple[bytes, int]] = {}
+    table: dict[tuple, tuple[int, int]] = {}
     w = h = 0
     ll_means = [0, 0, 0]
-    for hdr, payload in found:
+    for hdr, _payload, off in found:
         table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
-               hdr.segment_number, hdr.lsb)] = (payload, hdr.data_length)
+               hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
         w, h = hdr.image_w, hdr.image_h
         ll_means[hdr.channel] = hdr.ll_mean_val
 
@@ -131,7 +131,7 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
     for chan in range(3):
         img = np.zeros((h, w), dtype=np.int32)
         reconstruct_channel(img, table, chan, config, mag_bits, bitplanes,
-                            decode_partition)
+                            decode_partition, stream=data)
         img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
         img[:ll_h, :ll_w] = wavelet._wrap(
             img[:ll_h, :ll_w] + ll_means[chan], mag_bits, np)

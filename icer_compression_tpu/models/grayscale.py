@@ -5,11 +5,12 @@ Pipeline parity targets:
   279-426); decode -> icer_decompress_image_uint8/uint16
   (icer_compress.c:168-274, 430-537).
 
-The encode compute path (DWT, context modelling) is vectorized and runs on
-numpy or JAX; the entropy stage runs through the selected backend
-(sequential host reference by default; native / vectorized backends plug in
-behind the same per-segment-plane contract: emissions -> payload bytes +
-bit length).
+Encode backends (all byte-identical): "native" (default; C++ runtime with
+fused pixel-loop context modelling + interleaved coder, threaded over
+segments, native threaded DWT), compress_jax (the XLA/TPU pipeline), and
+the per-plane vectorized numpy path (the TPU algorithm prototype; also the
+route for custom ``encode_plane`` hooks).  Decode uses the native
+multithreaded segment decoder with a pure-python reference fallback.
 """
 
 from __future__ import annotations
@@ -328,22 +329,22 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
-    segments_found = scan_bytestream(data)
+    segments_found = scan_bytestream(data, with_offsets=True)
     if not segments_found:
         raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
 
-    table: dict[tuple, tuple[bytes, int]] = {}
+    table: dict[tuple, tuple[int, int]] = {}
     w = h = 0
     ll_mean = 0
-    for hdr, payload in segments_found:
+    for hdr, _payload, off in segments_found:
         table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
-               hdr.segment_number, hdr.lsb)] = (payload, hdr.data_length)
+               hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
         w, h = hdr.image_w, hdr.image_h
         ll_mean = hdr.ll_mean_val
 
     img = np.zeros((h, w), dtype=np.int32)
     reconstruct_channel(img, table, 0, config, mag_bits, bitplanes,
-                        decode_partition)
+                        decode_partition, stream=data)
 
     img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
     ll_w = dim_low(w, config.stages)
@@ -357,34 +358,49 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
 
 def reconstruct_channel(img: np.ndarray, table: dict, chan: int,
                         config: CodecConfig, mag_bits: int, bitplanes: int,
-                        decode_partition=None, backend: str = "auto") -> None:
+                        decode_partition=None, backend: str = "auto",
+                        stream: bytes | None = None) -> None:
     """Decode all subbands of one channel into ``img`` (sign-magnitude).
 
     backend: "native" (multithreaded C++ runtime), "python" (sequential
     reference), or "auto" (native when available).
+
+    Table values are either (payload bytes, bit_length), or -- when
+    ``stream`` is given -- (payload_offset, bit_length) into the stream.
+    The stream form matches the reference's zero-copy decoding: a decoder
+    driven (out of contract, e.g. by >9-bitplane content) to consume past
+    data_length reads the *following stream bytes*, exactly as the C
+    decoder does (icer_compress.c:449-459 keeps pointers into the
+    datastream).
     """
     h, w = img.shape
     if decode_partition is None and backend in ("auto", "native"):
         from ..backend import native_backend
         if native_backend.available():
             tasks, blob = collect_decode_tasks(
-                (h, w), table, chan, config, mag_bits, bitplanes)
+                (h, w), table, chan, config, mag_bits, bitplanes, stream)
             if tasks:
                 native_backend.decode_segments_native(img, tasks, blob)
             return
         if backend == "native":
             raise RuntimeError("native runtime unavailable")
 
+    mv = memoryview(stream) if stream is not None else None
     for (stage, subband) in decode_subband_order(config.stages):
         view = subband_view(w, h, stage, subband)
         sub = img[view.row:view.row + view.h, view.col:view.col + view.w]
         rects = partition_segments(view.w, view.h, config.segments)
         for rect in rects:
-            planes = {
-                lsb: table[(chan, stage, subband, rect.index, lsb)]
-                for lsb in range(bitplanes)
-                if (chan, stage, subband, rect.index, lsb) in table
-            }
+            planes = {}
+            for lsb in range(bitplanes):
+                ent = table.get((chan, stage, subband, rect.index, lsb))
+                if ent is None:
+                    continue
+                if mv is None:
+                    planes[lsb] = ent
+                else:
+                    off, nbits = ent
+                    planes[lsb] = (mv[off:], nbits)
             seg_arr = sub[rect.row:rect.row + rect.h,
                           rect.col:rect.col + rect.w]
             if decode_partition is not None:
@@ -395,16 +411,20 @@ def reconstruct_channel(img: np.ndarray, table: dict, chan: int,
 
 
 def collect_decode_tasks(img_shape, table: dict, chan: int,
-                         config: CodecConfig, mag_bits: int, bitplanes: int):
+                         config: CodecConfig, mag_bits: int, bitplanes: int,
+                         stream: bytes | None = None):
     """Flatten a channel's decode work into independent segment tasks.
 
     Returns (tasks, blob): each task decodes one segment of one subband
     (its bitplanes MSB->LSB); tasks touch disjoint image rectangles, so
-    they run in parallel across threads / cores / chips.
+    they run in parallel across threads / cores / chips.  With ``stream``
+    the blob IS the stream and table values are payload offsets (zero-copy,
+    reference-exact over-read behavior); without it, payload bytes are
+    concatenated.
     """
     h, w = img_shape
     tasks = []
-    blob = bytearray()
+    blob = bytearray() if stream is None else None
     for (stage, subband) in decode_subband_order(config.stages):
         view = subband_view(w, h, stage, subband)
         rects = partition_segments(view.w, view.h, config.segments)
@@ -414,9 +434,12 @@ def collect_decode_tasks(img_shape, table: dict, chan: int,
                 ent = table.get((chan, stage, subband, rect.index, lsb))
                 if ent is None:
                     continue
-                payload, nbits = ent
-                planes[lsb] = (len(blob), nbits)
-                blob += payload
+                if stream is None:
+                    payload, nbits = ent
+                    planes[lsb] = (len(blob), nbits)
+                    blob += payload
+                else:
+                    planes[lsb] = ent    # (offset, nbits)
             if not planes:
                 continue
             tasks.append({
@@ -425,4 +448,4 @@ def collect_decode_tasks(img_shape, table: dict, chan: int,
                 "subband": subband, "mag_bits": mag_bits,
                 "nplanes": bitplanes, "planes": planes,
             })
-    return tasks, bytes(blob)
+    return tasks, (stream if stream is not None else bytes(blob))

@@ -6,8 +6,8 @@ Structure (all shapes static per (W, H, stages, filter, segments, dtype)):
   per-stage emissions jit: gather the stage's subband segments into one
       padded lane batch -> context-model emission streams (valid/ctx/bit)
       for every bitplane
-  per-bucket entropy jit:  the position-aligned interleaved coder
-      (ops/entropy_jax) vmapped over all lanes of all stages whose padded
+  per-bucket entropy jit:  the sort-centric interleaved coder
+      (ops/entropy_jax2) vmapped over all lanes of all stages whose padded
       emission length falls in the bucket
 
 Stages are grouped into a small number of length buckets because the

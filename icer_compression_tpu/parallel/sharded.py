@@ -14,9 +14,9 @@ a codec; these are the analogous first-class axes):
 The step function runs under shard_map over a 2-D mesh: each device
 transforms its local image shard (DWT + sign-magnitude), extracts *its*
 subset of padded segment lanes with lax.dynamic_slice on the lane axis,
-runs the position-aligned interleaved coder (ops/entropy_jax), and emits
-payload buffers; out_specs reassemble the global (batch, plane, lane)
-tables.  Rate allocation and stream assembly remain host-side per image.
+runs the interleaved coder (position-aligned or sort-centric variant),
+and emits payload buffers; out_specs reassemble the global (batch, plane,
+lane) tables.  Rate allocation and stream assembly remain host-side per image.
 """
 
 from __future__ import annotations
