@@ -1,0 +1,312 @@
+"""Pallas TPU kernel: the ICER interleaved coder as a batched state machine.
+
+The interleaved coder is inherently sequential per stream, but
+embarrassingly parallel across streams (segments x bitplanes x channels x
+images).  This kernel runs the *exact* sequential algorithm -- adaptive
+counters, bin selection, golomb run-length and custom variable-to-variable
+codeword construction -- for 128 lanes at once on the VPU, one emission per
+loop step, with all per-lane state in VMEM:
+
+  state: zero/total counters (17, 128) and per-bin open-word state
+         (17, 128): run count / input prefix, prefix length, opening
+         emission index;
+  step:  17-way selects to read/update the lane's context and bin rows
+         (masked broadcast writes -- no per-lane dynamic indexing, which
+         Mosaic does not vectorize), bin id by 16 cutoff comparisons,
+         codeword construction with packed-constant LUTs (shift
+         arithmetic, no gathers), completed codewords emitted at the
+         *current* output row so a record's row IS its completion time;
+  out:   per-row (code, nbits, open) plus the final bin state for the
+         end-of-plane flush words (computed outside, 17 tiny rows).
+
+What stays in XLA: ordering records by opening emission (one sort --
+output order equals allocation order, icer_encoding.c:114-139), the
+CIRC_BUF flush-condition shift and bit packing (ops/entropy_jax2).
+
+Status: validated prototype (bit-exact vs the sequential coder, see
+tests/test_pallas_entropy.py); the production integration -- including the
+batched TPU decoder built on the same pattern -- is the round-2 plan
+(PERF_NOTES.md).  The counter core measures ~3.6 ms for 20k steps x 128
+lanes on v5e.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+
+LANES = 128
+BIG = 2 ** 30
+
+_GOL = [(int(C.GOLOMB_M[b]), int(C.GOLOMB_L[b]), int(C.GOLOMB_I[b]))
+        for b in range(17)]
+_CUT = [int(x) for x in C.BIN_PROBABILITY_CUTOFFS[:16]]
+
+
+def _packed_words(vals, width):
+    per = 32 // width
+    words = []
+    for w0 in range(0, len(vals), per):
+        word = 0
+        for k, v in enumerate(vals[w0:w0 + per]):
+            word |= int(v) << (k * width)
+        words.append(word)
+    return words, per, width
+
+
+_CIN = {b: _packed_words([C.CUSTOM_IN_BITS[b, v] for v in range(32)], 4)
+        for b in range(1, 8)}
+_COUT = {b: _packed_words([C.CUSTOM_OUT_CODE[b, v] for v in range(32)], 8)
+         for b in range(1, 8)}
+_COBITS = {b: _packed_words([C.CUSTOM_OUT_BITS[b, v] for v in range(32)], 4)
+           for b in range(1, 8)}
+
+
+def _plookup(packed, idx, jnp):
+    words, per, width = packed
+    mask = (1 << width) - 1
+    wi = idx // per
+    off = (idx % per) * width
+    out = jnp.zeros_like(idx)
+    for k, word in enumerate(words):
+        out = jnp.where(wi == k, (jnp.int32(word) >> off) & mask, out)
+    return out
+
+
+def _bitrev16(v, nbits, jnp):
+    v = v & 0xFFFF
+    v = ((v >> 1) & 0x5555) | ((v & 0x5555) << 1)
+    v = ((v >> 2) & 0x3333) | ((v & 0x3333) << 2)
+    v = ((v >> 4) & 0x0F0F) | ((v & 0x0F0F) << 4)
+    v = ((v >> 8) & 0x00FF) | ((v & 0x00FF) << 8)
+    return v >> (16 - nbits)
+
+
+def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
+    """Kernel factory for padded stream length L (L % chunk == 0).
+
+    Returns fn(valid, ctx, bit) -- (L, LANES) int32 each -- producing
+    (rec_code, rec_nbits, rec_open) of shape (L + 17, LANES): rows < L are
+    codewords completed at that emission (nbits == 0 means none); rows
+    L + b are bin b's end-of-plane flush word.  Record completion time is
+    the row index (BIG for flush rows), so downstream ordering/packing is
+    ops/entropy_jax2's record machinery.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert L % chunk == 0
+    ngrid = L // chunk
+
+    def kernel(valid_ref, ctx_ref, bit_ref,
+               code_ref, nbits_ref, open_ref, fk_ref, fnb_ref, fop_ref,
+               zero_s, total_s, bk_s, bnb_s, bop_s):
+        g = pl.program_id(0)
+        iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
+
+        @pl.when(g == 0)
+        def _():
+            zero_s[:] = jnp.full((17, LANES), 2, jnp.int32)
+            total_s[:] = jnp.full((17, LANES), 4, jnp.int32)
+            bk_s[:] = jnp.zeros((17, LANES), jnp.int32)
+            bnb_s[:] = jnp.zeros((17, LANES), jnp.int32)
+            bop_s[:] = jnp.full((17, LANES), -1, jnp.int32)
+
+        def sel17(state, c):
+            out = jnp.zeros((LANES,), jnp.int32)
+            for k in range(17):
+                out = jnp.where(c == k, state[k, :], out)
+            return out
+
+        def wr17(state, c, vals, mask):
+            m = (iota17 == c[None, :]) & mask[None, :]
+            return jnp.where(m, vals[None, :], state)
+
+        def body(i, state):
+            zero, total, bk, bnb, bop = state
+            v = valid_ref[i, :] != 0
+            c = ctx_ref[i, :]
+            b = bit_ref[i, :]
+            emi = g * chunk + i
+
+            unc = c >= 17
+            zc = sel17(zero, c)
+            tc = sel17(total, c)
+            zcu = jnp.where(unc, 1, zc)
+            tcu = jnp.where(unc, 2, tc)
+            inv = zcu < (tcu >> 1)
+            zeff = jnp.where(inv, tcu - zcu, zcu)
+            cb = (b ^ inv).astype(jnp.int32)
+
+            comp = zeff * 65536
+            bn = jnp.zeros((LANES,), jnp.int32)
+            for q in range(16):
+                bn = bn + (comp >= tcu * _CUT[q])
+
+            upd = v & (~unc)
+            tc2 = tc + 1
+            zc2 = zc + (b == 0)
+            resc = tc2 >= C.CONTEXT_RESCALING_CAP
+            tc2 = jnp.where(resc, tc2 >> 1, tc2)
+            zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
+            zero = wr17(zero, c, zc2, upd)
+            total = wr17(total, c, tc2, upd)
+
+            k = sel17(bk, bn)
+            nb = sel17(bnb, bn)
+            op = sel17(bop, bn)
+            newly = op < 0
+            op2 = jnp.where(newly, emi, op)
+            k = jnp.where(newly, 0, k)
+            nb = jnp.where(newly, 0, nb)
+
+            isg = bn >= 8
+            isc = (bn >= 1) & (bn <= 7)
+
+            m_e = jnp.ones((LANES,), jnp.int32)
+            l_e = jnp.ones((LANES,), jnp.int32)
+            i_e = jnp.zeros((LANES,), jnp.int32)
+            for gb in range(8, 17):
+                m, l, ii = _GOL[gb]
+                m_e = jnp.where(bn == gb, m, m_e)
+                l_e = jnp.where(bn == gb, l, l_e)
+                i_e = jnp.where(bn == gb, ii, i_e)
+
+            kz = k + (cb == 0)
+            g_run_done = (cb == 0) & (kz >= m_e)
+            adj = jnp.where(k < i_e, k, k + i_e)
+            gl = l_e + (k >= i_e)
+            g_code = jnp.where(g_run_done, 1, _bitrev16(adj, gl, jnp))
+            g_bits = jnp.where(g_run_done, 1, gl)
+            g_complete = (cb == 1) | g_run_done
+
+            val = (k | (cb << nb)) & 31
+            nb2 = nb + 1
+            cin = jnp.zeros((LANES,), jnp.int32)
+            ccode = jnp.zeros((LANES,), jnp.int32)
+            cbits = jnp.zeros((LANES,), jnp.int32)
+            for bb in range(1, 8):
+                s = bn == bb
+                cin = jnp.where(s, _plookup(_CIN[bb], val, jnp), cin)
+                ccode = jnp.where(s, _plookup(_COUT[bb], val, jnp), ccode)
+                cbits = jnp.where(s, _plookup(_COBITS[bb], val, jnp), cbits)
+            c_complete = cin == nb2
+
+            is0 = (~isg) & (~isc)
+            complete = v & ((isg & g_complete) | (isc & c_complete) | is0)
+            code = jnp.where(isg, g_code, jnp.where(isc, ccode, cb))
+            nbits = jnp.where(isg, g_bits, jnp.where(isc, cbits, 1))
+
+            newk = jnp.where(isg, kz, val)
+            bk = wr17(bk, bn, jnp.where(complete, 0, newk), v)
+            bnb = wr17(bnb, bn, jnp.where(complete, 0, nb2), v)
+            bop = wr17(bop, bn, jnp.where(complete, -1, op2), v)
+
+            code_ref[i, :] = jnp.where(complete, code, 0)
+            nbits_ref[i, :] = jnp.where(complete, nbits, 0)
+            open_ref[i, :] = jnp.where(complete, op2, BIG)
+            return (zero, total, bk, bnb, bop)
+
+        state = (zero_s[:], total_s[:], bk_s[:], bnb_s[:], bop_s[:])
+        zero, total, bk, bnb, bop = jax.lax.fori_loop(0, chunk, body, state)
+        zero_s[:] = zero
+        total_s[:] = total
+        bk_s[:] = bk
+        bnb_s[:] = bnb
+        bop_s[:] = bop
+
+        @pl.when(g == ngrid - 1)
+        def _():
+            fk_ref[:] = bk
+            fnb_ref[:] = bnb
+            fop_ref[:] = bop
+
+    @jax.jit
+    def run(valid, ctx, bit):
+        code, nbits, opn, fk, fnb, fop = pl.pallas_call(
+            kernel,
+            grid=(ngrid,),
+            out_shape=[jax.ShapeDtypeStruct((L, LANES), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((17, LANES), jnp.int32)] * 3,
+            in_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+                                    memory_space=pltpu.VMEM)] * 3
+            + [pl.BlockSpec((17, LANES), lambda g: (0, 0),
+                            memory_space=pltpu.VMEM)] * 3,
+            scratch_shapes=[pltpu.VMEM((17, LANES), jnp.int32)] * 5,
+            interpret=interpret,
+        )(valid, ctx, bit)
+        tcode, tbits = _tail_flush(fk, fnb, jnp)
+        is_open = fop >= 0
+        tail_code = jnp.where(is_open, tcode, 0)
+        tail_nbits = jnp.where(is_open, tbits, 0)
+        tail_open = jnp.where(is_open, fop, BIG)
+        return (jnp.concatenate([code, tail_code]),
+                jnp.concatenate([nbits, tail_nbits]),
+                jnp.concatenate([opn, tail_open]))
+
+    return run
+
+
+def _tail_flush(fk, fnb, jnp):
+    """End-of-plane flush codes for the (17, LANES) final bin state."""
+    code = jnp.zeros((17, LANES), jnp.int32)
+    bits = jnp.zeros((17, LANES), jnp.int32)
+    for b in range(1, 17):
+        k = fk[b]
+        nb = fnb[b]
+        if b >= 8:
+            m, l, ii = _GOL[b]
+            adj = jnp.where(k < ii, k, k + ii)
+            gl = l + (k >= ii).astype(jnp.int32)
+            cb = jnp.where(k == m - 1, 1, _bitrev16(adj, gl, jnp))
+            bb = jnp.where(k == m - 1, 1, gl)
+        else:
+            fv = jnp.zeros((LANES,), jnp.int32)
+            for (pv, pn), (av, an) in C.CUSTOM_FLUSH_BITS[b].items():
+                fv = jnp.where((k == pv) & (nb == pn), av, fv)
+            final = (k | (fv << nb)) & 31
+            cb = _plookup(_COUT[b], final, jnp)
+            bb = _plookup(_COBITS[b], final, jnp)
+        code = code.at[b].set(cb)
+        bits = bits.at[b].set(bb)
+    return code, bits
+
+
+def encode_lanes_pallas_full(valid, ctx, bit, run=None):
+    """Full encode of (L, LANES) emission streams via the kernel + the
+    sort-centric ordering/packing stages.  Returns per-lane
+    (payloads uint8 (LANES, max_bytes), totals, flush_flags)."""
+    import jax
+    import jax.numpy as jnp
+    from . import entropy_jax2 as E2
+
+    L = valid.shape[0]
+    if run is None:
+        run = make_encode_lanes_pallas(L)
+    code, nbits, opn = run(valid, ctx, bit)
+
+    codeT = code.T          # (LANES, L+17)
+    nbitsT = nbits.T
+    openT = opn.T
+    # a record's completion time is its row (BIG for tail flush rows)
+    rowidx = jnp.arange(code.shape[0])
+    doneT = jnp.broadcast_to(jnp.where(rowidx < L, rowidx, BIG)[None, :],
+                             codeT.shape)
+
+    def per_lane(c, n, o, d):
+        rec_valid = n > 0
+        rkey = jnp.where(rec_valid, o, BIG)
+        skey, (c2, n2, d2, rv) = E2._sort_by(
+            rkey, (c, n, d, rec_valid.astype(jnp.int32)), jnp)
+        rv = rv != 0
+        flush = E2.detect_flush_records(skey, d2, rv, jnp)
+        payload, total = E2.pack_records(c2, n2, rv, jnp)
+        return payload, total, flush
+
+    f = jax.jit(jax.vmap(per_lane))
+    return f(codeT, nbitsT, openT, doneT)

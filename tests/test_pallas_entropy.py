@@ -1,0 +1,56 @@
+"""Pallas batched state-machine coder vs the sequential reference.
+
+Runs in pallas interpreter mode (no TPU compile round trip); the same
+kernel is validated compiled-on-TPU in PERF_NOTES.md.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from icer_compression_tpu.backend import sequential as S  # noqa: E402
+from icer_compression_tpu.ops import pallas_entropy as PE  # noqa: E402
+
+
+def test_pallas_coder_matches_sequential(rng):
+    L = 512
+    run = PE.make_encode_lanes_pallas(L, chunk=256, interpret=True)
+    LANES = PE.LANES
+    ctx = rng.integers(0, 18, (L, LANES)).astype(np.int32)
+    p = rng.random((18, LANES))
+    bit = (rng.random((L, LANES))
+           < p[ctx, np.arange(LANES)[None, :]]).astype(np.int32)
+    valid = (rng.random((L, LANES)) < 0.9).astype(np.int32)
+
+    payload, total, flush = PE.encode_lanes_pallas_full(
+        jnp.asarray(valid), jnp.asarray(ctx), jnp.asarray(bit), run=run)
+    payload = np.asarray(payload)
+    total = np.asarray(total)
+    flush = np.asarray(flush)
+
+    for lane in range(0, LANES, 7):
+        pl_s, nb_s, fl = S.encode_emissions(
+            valid[:, lane], ctx[:, lane], bit[:, lane])
+        assert bool(flush[lane]) == (fl > 0)
+        if fl:
+            continue
+        nb = int(total[lane])
+        assert (bytes(payload[lane][: (nb + 7) // 8]), nb) == (pl_s, nb_s)
+
+
+def test_pallas_coder_golomb_runs(rng):
+    # all-zero streams exercise golomb run splitting and flush tails
+    L = 256
+    run = PE.make_encode_lanes_pallas(L, chunk=128, interpret=True)
+    LANES = PE.LANES
+    ctx = np.zeros((L, LANES), np.int32)
+    bit = np.zeros((L, LANES), np.int32)
+    valid = np.ones((L, LANES), np.int32)
+    payload, total, flush = PE.encode_lanes_pallas_full(
+        jnp.asarray(valid), jnp.asarray(ctx), jnp.asarray(bit), run=run)
+    pl_s, nb_s, fl = S.encode_emissions(valid[:, 0], ctx[:, 0], bit[:, 0])
+    assert not fl
+    nb = int(np.asarray(total)[0])
+    assert (bytes(np.asarray(payload)[0][: (nb + 7) // 8]), nb) == (pl_s, nb_s)
