@@ -224,8 +224,7 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
             fnb_ref[:] = bnb
             fop_ref[:] = bop
 
-    @jax.jit
-    def run(valid, ctx, bit):
+    def run_impl(valid, ctx, bit):
         code, nbits, opn, fk, fnb, fop = pl.pallas_call(
             kernel,
             grid=(ngrid,),
@@ -249,7 +248,14 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
                 jnp.concatenate([nbits, tail_nbits]),
                 jnp.concatenate([opn, tail_open]))
 
-    return run
+    if interpret:
+        # Eager execution on the host CPU device: avoids a (remote) device
+        # compile entirely; used by the correctness tests.
+        def run(valid, ctx, bit):
+            with jax.default_device(jax.devices("cpu")[0]):
+                return run_impl(valid, ctx, bit)
+        return run
+    return jax.jit(run_impl)
 
 
 def _tail_flush(fk, fnb, jnp):
@@ -277,10 +283,14 @@ def _tail_flush(fk, fnb, jnp):
     return code, bits
 
 
-def encode_lanes_pallas_full(valid, ctx, bit, run=None):
+def encode_lanes_pallas_full(valid, ctx, bit, run=None, host_post=False):
     """Full encode of (L, LANES) emission streams via the kernel + the
     sort-centric ordering/packing stages.  Returns per-lane
-    (payloads uint8 (LANES, max_bytes), totals, flush_flags)."""
+    (payloads uint8 (LANES, max_bytes), totals, flush_flags).
+
+    host_post=True runs the record ordering/packing in numpy (useful in
+    tests: avoids a device compile for the post stages).
+    """
     import jax
     import jax.numpy as jnp
     from . import entropy_jax2 as E2
@@ -290,23 +300,32 @@ def encode_lanes_pallas_full(valid, ctx, bit, run=None):
         run = make_encode_lanes_pallas(L)
     code, nbits, opn = run(valid, ctx, bit)
 
-    codeT = code.T          # (LANES, L+17)
-    nbitsT = nbits.T
-    openT = opn.T
-    # a record's completion time is its row (BIG for tail flush rows)
-    rowidx = jnp.arange(code.shape[0])
-    doneT = jnp.broadcast_to(jnp.where(rowidx < L, rowidx, BIG)[None, :],
-                             codeT.shape)
-
-    def per_lane(c, n, o, d):
+    def per_lane(c, n, o, d, xp):
         rec_valid = n > 0
-        rkey = jnp.where(rec_valid, o, BIG)
+        rkey = xp.where(rec_valid, o, BIG)
         skey, (c2, n2, d2, rv) = E2._sort_by(
-            rkey, (c, n, d, rec_valid.astype(jnp.int32)), jnp)
+            rkey, (c, n, d, rec_valid.astype(xp.int32)), xp)
         rv = rv != 0
-        flush = E2.detect_flush_records(skey, d2, rv, jnp)
-        payload, total = E2.pack_records(c2, n2, rv, jnp)
+        flush = E2.detect_flush_records(skey, d2, rv, xp)
+        payload, total = E2.pack_records(c2, n2, rv, xp)
         return payload, total, flush
 
-    f = jax.jit(jax.vmap(per_lane))
-    return f(codeT, nbitsT, openT, doneT)
+    if host_post:
+        code, nbits, opn = (np.asarray(code), np.asarray(nbits),
+                            np.asarray(opn))
+        rowidx = np.arange(code.shape[0])
+        done = np.where(rowidx < L, rowidx, BIG)
+        payloads, totals, flushes = [], [], []
+        for lane in range(code.shape[1]):
+            p, t, f = per_lane(code[:, lane], nbits[:, lane], opn[:, lane],
+                               done, np)
+            payloads.append(p)
+            totals.append(int(t))
+            flushes.append(bool(f))
+        return np.stack(payloads), np.array(totals), np.array(flushes)
+
+    rowidx = jnp.arange(code.shape[0])
+    doneT = jnp.broadcast_to(jnp.where(rowidx < L, rowidx, BIG)[None, :],
+                             code.T.shape)
+    f = jax.jit(jax.vmap(lambda c, n, o, d: per_lane(c, n, o, d, jnp)))
+    return f(code.T, nbits.T, opn.T, doneT)
