@@ -176,6 +176,26 @@ int compute_bin(uint32_t zero, uint32_t total) {
   return 0;
 }
 
+// Counter values stay below the rescale cap (total <= 500, zero <= total),
+// so (bin, invert) is precomputable for every reachable (total, zero):
+// one table read per coded bit instead of the 16-compare scan.
+constexpr int kLutT = 512;
+uint8_t g_bin_lut[kLutT][kLutT];   // bin | (invert << 5)
+
+struct BinLutInit {
+  BinLutInit() {
+    for (uint32_t total = 1; total < kLutT; total++) {
+      for (uint32_t zero = 0; zero <= total; zero++) {
+        uint32_t z = zero;
+        uint8_t inv = 0;
+        if (z < (total >> 1)) { z = total - z; inv = 1; }
+        g_bin_lut[total][zero] =
+            (uint8_t)(compute_bin(z, total) | (inv << 5));
+      }
+    }
+  }
+} g_bin_lut_init;
+
 // ---- encoder ------------------------------------------------------------
 
 struct Encoder {
@@ -249,8 +269,9 @@ struct Encoder {
   }
 
   void encode_bit(int bit, uint32_t zero, uint32_t total) {
-    if (zero < (total >> 1)) { zero = total - zero; bit ^= 1; }
-    int b = compute_bin(zero, total);
+    uint8_t lu = g_bin_lut[total][zero];
+    bit ^= (lu >> 5);
+    int b = lu & 31;
     int64_t idx = bin_word[b];
     if (idx < 0) {
       if (words.size() - head >= kCircBuf) { flush_events++; flush_head(); }
@@ -359,9 +380,9 @@ struct Decoder {
 
   // Returns 0/1, or -1 on error (out_of_data / invalid set).
   int decode_bit(uint32_t zero, uint32_t total) {
-    bool inv = false;
-    if (zero < (total >> 1)) { zero = total - zero; inv = true; }
-    int b = compute_bin(zero, total);
+    uint8_t lu = g_bin_lut[total][zero];
+    bool inv = (lu >> 5) != 0;
+    int b = lu & 31;
 
     if (bin_bits[b] <= 0 || decoded_words - bin_index[b] >= kCircBuf) {
       bin_bits[b] = 0;
