@@ -43,8 +43,8 @@ def _build() -> str:
             and os.path.getmtime(_SO) > os.path.getmtime(_SRC)):
         return _SO
     tmp = _SO + ".tmp"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           "-o", tmp, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", "-pthread", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True)
     os.replace(tmp, _SO)
     return _SO
