@@ -106,6 +106,47 @@ def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return assemble_stream(encoded, order)
 
 
+def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     config: CodecConfig) -> bytes:
+    """Color compression on the TPU (XLA) pipeline.
+
+    Three runs of the (cached, geometry-keyed) fused channel encoder --
+    identical geometry, so one compile serves all channels -- followed by
+    the shared host rate allocation.  Bit-identical to compress_yuv.
+    """
+    from .grayscale import _JAX_ENCODERS, allocate_from_table
+    from ..ops.encode_jax import JaxGrayscaleEncoder
+
+    if not (y.shape == u.shape == v.shape and y.dtype == u.dtype == v.dtype):
+        raise IcerError(IcerStatus.INVALID_INPUT, "channel mismatch")
+    mag_bits = _mag_bits(y.dtype)
+    bitplanes = _bitplanes(mag_bits)
+    h, w = y.shape
+    key = (w, h, config.stages, config.filt, config.segments, mag_bits)
+    enc = _JAX_ENCODERS.get(key)
+    if enc is None:
+        enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
+                                  config.segments, mag_bits)
+        _JAX_ENCODERS[key] = enc
+
+    table = {}
+    ll_means = []
+    for chan, plane in enumerate((y, u, v)):
+        raw, ll_mean = enc.encode(plane)
+        ll_means.append(ll_mean)
+        table.update({(chan,) + k: val for k, val in raw.items()})
+
+    packets = sort_packets(build_packets_color(
+        w, h, config.stages, ll_means, bitplanes))
+    nsegs = {(p.decomp_level, p.subband_type): config.segments
+             for p in packets}
+    encoded = allocate_from_table(packets, table, config.byte_quota, nsegs,
+                                  w, h)
+    order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
+             else rearrange_order_color_uint16(bitplanes))
+    return assemble_stream(encoded, order)
+
+
 def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
                    decode_partition=None):
     """Decompress a color stream into (y, u, v) planes."""
