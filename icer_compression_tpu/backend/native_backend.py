@@ -13,7 +13,6 @@ from __future__ import annotations
 import ctypes as ct
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 

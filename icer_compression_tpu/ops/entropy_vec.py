@@ -34,7 +34,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import constants as C
-from .context_model import CTX_UNCODED
 
 # --------------------------------------------------------------------------
 # Static LUTs for the custom-code bins

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.constants import HEADER_SIZE
 from ..core.header import scan_bytestream
 
 
