@@ -12,11 +12,12 @@ The benchmark verifies bit-exactness while timing: the encoded stream must
 be byte-identical to the reference encoder's output (sha256 pinned from
 the oracle build) and the decode must reproduce the input pixels exactly.
 
-Encode runs on the TPU XLA pipeline (steady state, after one warmup that
-pays compilation; the persistent JAX compilation cache amortizes it across
-runs).  Decode runs on the native multithreaded runtime (the batched TPU
-decoder is the next milestone).  Set ICER_BENCH_BACKEND=host to bench the
-pure host path instead.
+Default backend is the native host runtime (C++ fused modelling+entropy,
+threaded over segments).  ICER_BENCH_BACKEND=jax benches the bit-exact
+XLA/TPU encode pipeline instead (steady state after one warmup that pays
+compilation; see PERF_NOTES.md for the TPU analysis).  Decode always runs
+on the native multithreaded runtime; the batched TPU decoder is the
+round-2 milestone (ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -31,11 +32,6 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
-
-# sha256 of the reference encoder's stream for boat.512.bmp at
-# stages=4, filter A, segments=6, quota=512*512 (verified in tests vs the
-# oracle build; 183720 bytes).
-ORACLE_STREAM_SHA256 = None  # filled by tests/make_golden.py -> golden file
 
 BASELINE_MPS = (512 * 512) / (0.102 + 0.119) / 1e6  # 1.186 MP/s
 

@@ -268,6 +268,17 @@ struct Encoder {
     pop_available();
   }
 
+  // Uncoded (category-3) bits: bin 0 completes immediately, so with an
+  // empty codeword queue the alloc+complete+pop collapses to a direct
+  // bit append (identical output and state).
+  inline void encode_uncoded(int bit) {
+    if (head == words.size()) {
+      emit((uint16_t)(bit & 1), 1);
+      return;
+    }
+    encode_bit(bit, 1, 2);
+  }
+
   void encode_bit(int bit, uint32_t zero, uint32_t total) {
     uint8_t lu = g_bin_lut[total][zero];
     bit ^= (lu >> 5);
@@ -478,9 +489,14 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
       if (cat > 3) cat = 3;
 
       if (cat == 3) {
-        int bit = dec.decode_bit(1, 2);
-        if (bit < 0) return -1;
-        seg[r * rowstride + c] = v | (bit << lsb);
+        // Uncoded bin with counts (1,2): no inversion, bin 0, and the
+        // 1-bit FIFO always drains immediately -- inline the read while
+        // keeping decoded_words/bin_index bookkeeping identical.
+        uint32_t bitv = dec.pop_bits(1);
+        if (dec.out_of_data) return -1;
+        dec.decoded_words++;
+        dec.bin_index[0] = dec.decoded_words;
+        seg[r * rowstride + c] = v | ((int32_t)bitv << lsb);
         continue;
       }
 
@@ -560,7 +576,7 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
       int bit = (mag >> lsb) & 1;
 
       if (cat == 3) {
-        enc.encode_bit(bit, 1, 2);
+        enc.encode_uncoded(bit);
         continue;
       }
       int hc = 0, vc = 0, dc = 0, ctx;
@@ -801,7 +817,7 @@ int64_t icer_tpu_encode_emissions(const int32_t *valid, const int32_t *ctx,
     int c = ctx[i];
     int b = bit[i];
     if (c == kCtxUncoded) {
-      enc.encode_bit(b, 1, 2);
+      enc.encode_uncoded(b);
     } else {
       enc.encode_bit(b, cnt.zero[c], cnt.total[c]);
       cnt.update(c, b);
