@@ -214,6 +214,11 @@ struct Encoder {
     for (int b = 0; b < kBins; b++) { bin_word[b] = -1; bin_bits[b] = 0; }
   }
 
+  // Output is written strictly sequentially, so every byte is first
+  // touched at bit offset 0: assign fresh bytes instead of OR-ing into
+  // them.  The destination buffer therefore needs no pre-zeroing (a
+  // large saving: worst-case-stride batch buffers are ~100x the actual
+  // payload bytes).
   void emit(uint16_t v, int n) {
     size_t pos = out_bits;
     out_bits += n;
@@ -222,7 +227,11 @@ struct Encoder {
       size_t byte_i = pos >> 3;
       int bit_i = pos & 7;
       int take = 8 - bit_i < n ? 8 - bit_i : n;
-      out[byte_i] |= (uint8_t)((v & ((1u << take) - 1)) << bit_i);
+      uint8_t bits = (uint8_t)((v & ((1u << take) - 1)) << bit_i);
+      if (bit_i == 0)
+        out[byte_i] = bits;
+      else
+        out[byte_i] |= bits;
       v >>= take;
       n -= take;
       pos += take;
@@ -462,22 +471,49 @@ struct Counters {
   }
 };
 
+// Fill row significance flags: dst[c+1] = ((seg_row[c] & magmask) >>
+// plane) != 0 for c in [0, w); dst[0] and dst[w+1] stay 0 (border
+// sentinels).  Straight-line loop, auto-vectorizes.
+static inline void fill_sig_row(uint8_t *dst, const int32_t *seg_row,
+                                int w, int32_t magmask, int plane) {
+  for (int c = 0; c < w; c++)
+    dst[c + 1] = (uint8_t)(((seg_row[c] & magmask) >> plane) != 0);
+}
+
 // Decode one bitplane of one segment in place.  data is int32
 // sign-magnitude (sign at bit mag_bits).  Returns 0 ok, <0 error.
+//
+// Neighbor significance (icer_pixel_context's 3x3 probe) is kept in four
+// rolling row buffers instead of 8 scattered int32 loads per pixel:
+//   above_lsb -- row r-1 at plane lsb (already updated this plane),
+//   cur_lsb   -- row r at lsb, updated in place as pixels decode,
+//   cur_prev  -- row r at lsb+1 (static: this plane writes bit lsb only),
+//   below_prev-- row r+1 at lsb+1 (static).
+// Buffers are (w+2) wide with zero sentinels = "insignificant outside
+// the segment", exactly the reference's border handling.
 int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
                  int lsb, int mag_bits, Counters &cnt, Decoder &dec) {
   const int prev = lsb + 1;
   const int32_t magmask = (1 << mag_bits) - 1;
   const bool is_hl = subband == 1, is_hh = subband == 3;
 
-  auto sig = [&](int r, int c, int plane) -> int {
-    return ((seg[r * rowstride + c] & magmask) >> plane) != 0;
-  };
   auto sgn = [&](int r, int c, int plane) -> int {
     int32_t v = seg[r * rowstride + c];
     if (((v & magmask) >> plane) == 0) return 0;
     return (v >> mag_bits) & 1 ? -1 : 0;
   };
+
+  const int bw = w + 2;
+  std::vector<uint8_t> scratch(4 * bw, 0);
+  uint8_t *above_lsb = scratch.data();
+  uint8_t *cur_lsb = scratch.data() + bw;
+  uint8_t *cur_prev = scratch.data() + 2 * bw;
+  uint8_t *below_prev = scratch.data() + 3 * bw;
+  fill_sig_row(cur_prev, seg, w, magmask, prev);
+  // Pre-decode, every lsb bit in the row is still 0, so row-at-lsb
+  // significance equals row-at-prev significance.
+  std::memcpy(cur_lsb, cur_prev, bw);
+  if (h > 1) fill_sig_row(below_prev, seg + rowstride, w, magmask, prev);
 
   for (int r = 0; r < h; r++) {
     for (int c = 0; c < w; c++) {
@@ -500,18 +536,16 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
         continue;
       }
 
-      int hc = 0, vc = 0, dc = 0, ctx;
+      const int i = c + 1;
+      int ctx;
+      int hc = 0, vc = 0;
       if (cat <= 1) {
-        if (c > 0) hc += sig(r, c - 1, lsb);
-        if (c < w - 1) hc += sig(r, c + 1, prev);
-        if (r > 0) vc += sig(r - 1, c, lsb);
-        if (r < h - 1) vc += sig(r + 1, c, prev);
-        if (c > 0 && r > 0) dc += sig(r - 1, c - 1, lsb);
-        if (c > 0 && r < h - 1) dc += sig(r + 1, c - 1, prev);
-        if (c < w - 1 && r > 0) dc += sig(r - 1, c + 1, lsb);
-        if (c < w - 1 && r < h - 1) dc += sig(r + 1, c + 1, prev);
+        hc = cur_lsb[i - 1] + cur_prev[i + 1];
+        vc = above_lsb[i] + below_prev[i];
       }
       if (cat == 0) {
+        int dc = above_lsb[i - 1] + below_prev[i - 1]
+               + above_lsb[i + 1] + below_prev[i + 1];
         int hh = hc, vv = vc;
         if (is_hl) { hh = vc; vv = hc; }
         ctx = is_hh ? kCtxTableHH[hh + vv][dc] : kCtxTableLL[hh][vv][dc];
@@ -526,6 +560,7 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
       v |= bit << lsb;
       seg[r * rowstride + c] = v;
       cnt.update(ctx, bit);
+      if (cat == 0) cur_lsb[i] = (uint8_t)bit;
 
       if (cat == 0 && bit) {
         int sh = 2 + (c > 0 ? sgn(r, c - 1, lsb) : 0)
@@ -542,6 +577,15 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
         cnt.update(sctx, agree);
       }
     }
+    // Rotate: next row's above@lsb is this row's (updated) cur@lsb; next
+    // row's cur@prev is this row's below@prev.
+    std::swap(above_lsb, cur_lsb);
+    std::swap(cur_prev, below_prev);
+    std::memcpy(cur_lsb, cur_prev, bw);
+    if (r + 2 < h)
+      fill_sig_row(below_prev, seg + (r + 2) * rowstride, w, magmask, prev);
+    else
+      std::memset(below_prev, 0, bw);
   }
   return 0;
 }
@@ -556,14 +600,23 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
   const int32_t magmask = (1 << mag_bits) - 1;
   const bool is_hl = subband == 1, is_hh = subband == 3;
 
-  auto sig = [&](int r, int c, int plane) -> int {
-    return ((seg[r * rowstride + c] & magmask) >> plane) != 0;
-  };
   auto sgn = [&](int r, int c, int plane) -> int {
     int32_t v = seg[r * rowstride + c];
     if (((v & magmask) >> plane) == 0) return 0;
     return (v >> mag_bits) & 1 ? -1 : 0;
   };
+
+  // Rolling row significance buffers (see decode_plane): the data is
+  // static during encode, so all four rows are direct fills.
+  const int bw = w + 2;
+  std::vector<uint8_t> scratch(4 * bw, 0);
+  uint8_t *above_lsb = scratch.data();
+  uint8_t *cur_lsb = scratch.data() + bw;
+  uint8_t *cur_prev = scratch.data() + 2 * bw;
+  uint8_t *below_prev = scratch.data() + 3 * bw;
+  fill_sig_row(cur_lsb, seg, w, magmask, lsb);
+  fill_sig_row(cur_prev, seg, w, magmask, prev);
+  if (h > 1) fill_sig_row(below_prev, seg + rowstride, w, magmask, prev);
 
   for (int r = 0; r < h; r++) {
     for (int c = 0; c < w; c++) {
@@ -579,18 +632,16 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
         enc.encode_uncoded(bit);
         continue;
       }
-      int hc = 0, vc = 0, dc = 0, ctx;
+      const int i = c + 1;
+      int ctx;
+      int hc = 0, vc = 0;
       if (cat <= 1) {
-        if (c > 0) hc += sig(r, c - 1, lsb);
-        if (c < w - 1) hc += sig(r, c + 1, prev);
-        if (r > 0) vc += sig(r - 1, c, lsb);
-        if (r < h - 1) vc += sig(r + 1, c, prev);
-        if (c > 0 && r > 0) dc += sig(r - 1, c - 1, lsb);
-        if (c > 0 && r < h - 1) dc += sig(r + 1, c - 1, prev);
-        if (c < w - 1 && r > 0) dc += sig(r - 1, c + 1, lsb);
-        if (c < w - 1 && r < h - 1) dc += sig(r + 1, c + 1, prev);
+        hc = cur_lsb[i - 1] + cur_prev[i + 1];
+        vc = above_lsb[i] + below_prev[i];
       }
       if (cat == 0) {
+        int dc = above_lsb[i - 1] + below_prev[i - 1]
+               + above_lsb[i + 1] + below_prev[i + 1];
         int hh = hc, vv = vc;
         if (is_hl) { hh = vc; vv = hc; }
         ctx = is_hh ? kCtxTableHH[hh + vv][dc] : kCtxTableLL[hh][vv][dc];
@@ -614,6 +665,14 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
         cnt.update(sctx, agree);
       }
     }
+    std::swap(above_lsb, cur_lsb);
+    std::swap(cur_prev, below_prev);
+    if (r + 1 < h)
+      fill_sig_row(cur_lsb, seg + (r + 1) * rowstride, w, magmask, lsb);
+    if (r + 2 < h)
+      fill_sig_row(below_prev, seg + (r + 2) * rowstride, w, magmask, prev);
+    else
+      std::memset(below_prev, 0, bw);
   }
   enc.drain();
 }
@@ -809,7 +868,6 @@ int64_t icer_tpu_encode_emissions(const int32_t *valid, const int32_t *ctx,
                                   const int32_t *bit, int64_t n,
                                   uint8_t *out, int64_t out_cap,
                                   int32_t *flush_events) {
-  std::memset(out, 0, out_cap);
   Encoder enc(out, (size_t)out_cap);
   Counters cnt;
   for (int64_t i = 0; i < n; i++) {
@@ -924,27 +982,31 @@ struct EncTask {
 void icer_tpu_encode_segments(const int32_t *image, const EncTask *tasks,
                               int64_t ntasks, uint8_t *out, int64_t stride,
                               int64_t *out_bits, int32_t nthreads) {
+  // Planes of one segment are independent (fresh coder + counters each,
+  // mirroring icer_compress_partition_*), so parallelize over
+  // (task, plane) units: ~nplanes x finer-grained than whole segments,
+  // which balances the work when segment sizes span orders of magnitude.
   std::atomic<int64_t> next(0);
+  const int64_t nplanes = ntasks ? tasks[0].nplanes : 0;
+  const int64_t nunits = ntasks * nplanes;
   auto worker = [&]() {
     for (;;) {
-      int64_t t = next.fetch_add(1);
-      if (t >= ntasks) return;
+      int64_t u = next.fetch_add(1);
+      if (u >= nunits) return;
+      int64_t t = u / nplanes;
+      int lsb = (int)(u % nplanes);
       const EncTask &task = tasks[t];
       const int32_t *seg = image + task.seg_off;
-      for (int lsb = 0; lsb < task.nplanes; lsb++) {
-        uint8_t *o = out + (t * task.nplanes + lsb) * stride;
-        std::memset(o, 0, stride);
-        Encoder enc(o, (size_t)stride);
-        Counters cnt;
-        encode_plane(seg, task.h, task.w, task.rowstride, task.subband,
-                     lsb, task.mag_bits, cnt, enc);
-        out_bits[t * task.nplanes + lsb] =
-            enc.overflowed ? -1 : (int64_t)enc.out_bits;
-      }
+      uint8_t *o = out + u * stride;
+      Encoder enc(o, (size_t)stride);
+      Counters cnt;
+      encode_plane(seg, task.h, task.w, task.rowstride, task.subband,
+                   lsb, task.mag_bits, cnt, enc);
+      out_bits[u] = enc.overflowed ? -1 : (int64_t)enc.out_bits;
     }
   };
   int nt = nthreads > 0 ? nthreads : 1;
-  if (nt == 1 || ntasks <= 1) {
+  if (nt == 1 || nunits <= 1) {
     worker();
   } else {
     std::vector<std::thread> threads;

@@ -3,8 +3,8 @@
 --segments, --size, --color/--grayscale; bitstreams interoperate with the
 reference binaries at matching parameters.
 
-Extra over the reference: --backend {auto,jax,numpy} to select the encode
-compute path (TPU XLA pipeline vs host), and --time to print phase timings.
+Extra over the reference: --backend {auto,native,jax,numpy} to select the encode
+compute path (native host runtime, TPU XLA pipeline, or numpy), and --time to print phase timings.
 """
 
 from __future__ import annotations
@@ -48,20 +48,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "quota = raw byte count, like the reference CLI)")
     p.add_argument("-c", "--color", action="store_true")
     p.add_argument("-G", "--grayscale", action="store_true")
-    p.add_argument("--backend", choices=["auto", "jax", "numpy"],
+    p.add_argument("--backend", choices=["auto", "native", "jax", "numpy"],
                    default="auto")
     p.add_argument("--time", action="store_true", help="print phase timings")
     return p
 
 
 def _pick_backend(name: str) -> str:
-    if name != "auto":
-        return name
-    try:
-        import jax  # noqa: F401
-        return "jax"
-    except Exception:
-        return "numpy"
+    # auto = the native host runtime (fastest single-image path; compress()
+    # itself falls back to the vectorized numpy coder if the C++ build is
+    # unavailable).  The XLA/TPU pipeline is opt-in: it pays device
+    # transfer + compile latency, which only amortizes over batches.
+    if name == "auto":
+        return "native"
+    return name
 
 
 def cmd_compress(args) -> int:
@@ -82,7 +82,12 @@ def cmd_compress(args) -> int:
     else:
         img = arr.astype(np.uint16)
         if backend == "jax":
-            stream = gray_model.compress_jax(img, cfg)
+            try:
+                stream = gray_model.compress_jax(img, cfg)
+            except Exception as e:
+                print(f"jax backend unavailable ({type(e).__name__}); "
+                      "using native host runtime", file=sys.stderr)
+                stream = gray_model.compress(img, cfg)
         else:
             stream = gray_model.compress(img, cfg)
     dt = time.time() - t0

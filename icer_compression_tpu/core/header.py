@@ -32,11 +32,14 @@ from .constants import HEADER_SIZE, PACKET_PREAMBLE
 from .subbands import ceil_div
 
 _HEADER_STRUCT = struct.Struct("<HHBBBBIIIII")
+_HEAD24_STRUCT = struct.Struct("<HHBBBBIIII")  # header minus its own CRC
+_CRC_STRUCT = struct.Struct("<I")
 assert _HEADER_STRUCT.size == HEADER_SIZE
+assert _HEAD24_STRUCT.size == HEADER_SIZE - 4
 
 
 def crc32(data: bytes | bytearray | memoryview) -> int:
-    return zlib.crc32(bytes(data)) & 0xFFFFFFFF
+    return zlib.crc32(data) & 0xFFFFFFFF
 
 
 @dataclass
@@ -61,39 +64,57 @@ class SegmentHeader:
 
     def pack(self, payload: bytes) -> bytes:
         """Serialize header + payload with both CRCs."""
-        assert len(payload) == self.payload_bytes
-        data_crc = crc32(payload)
-        head24 = _HEADER_STRUCT.pack(
+        out = bytearray(HEADER_SIZE + len(payload))
+        self.pack_into(out, 0, payload)
+        return bytes(out)
+
+    def pack_into(self, buf: bytearray, offset: int, payload) -> int:
+        """Serialize header + payload into ``buf`` at ``offset``.
+
+        Returns the number of bytes written.  Used by the stream
+        assembler to build the full bytestream in one buffer without
+        per-segment bytes objects.
+        """
+        n = len(payload)
+        assert n == self.payload_bytes
+        _HEAD24_STRUCT.pack_into(
+            buf, offset,
             PACKET_PREAMBLE, self.ll_mean_val, self.decomp_level,
             self.subband_type, self.segment_number, self.lsb_chan,
-            self.image_w, self.image_h, self.data_length, data_crc, 0,
-        )[:24]
-        header_crc = crc32(head24)
-        return head24 + struct.pack("<I", header_crc) + payload
+            self.image_w, self.image_h, self.data_length, crc32(payload))
+        header_crc = zlib.crc32(
+            memoryview(buf)[offset:offset + 24]) & 0xFFFFFFFF
+        _CRC_STRUCT.pack_into(buf, offset + 24, header_crc)
+        buf[offset + HEADER_SIZE:offset + HEADER_SIZE + n] = payload
+        return HEADER_SIZE + n
 
 
-def try_parse_segment(buf: memoryview, offset: int):
+def try_parse_segment(buf: memoryview, offset: int,
+                      with_payload: bool = True):
     """Validate and parse a segment at ``offset``.
 
     Mirrors icer_find_packet_in_bytestream's per-position checks
     (icer_compress.c:569-588): preamble, header CRC, length sanity, payload
     CRC.  Returns (SegmentHeader, payload_bytes, total_len) or None.
+    ``with_payload=False`` skips materializing the payload copy (the
+    zero-copy decode paths work from (stream, offset) instead) -- the
+    payload CRC is still checked.
     """
     n = len(buf)
     if offset + HEADER_SIZE > n:
         return None
-    raw = bytes(buf[offset:offset + HEADER_SIZE])
     (preamble, ll_mean, level, subband, seg_num, lsb_chan,
-     image_w, image_h, data_length, data_crc, header_crc) = _HEADER_STRUCT.unpack(raw)
+     image_w, image_h, data_length, data_crc,
+     header_crc) = _HEADER_STRUCT.unpack_from(buf, offset)
     if preamble != PACKET_PREAMBLE:
         return None
-    if crc32(raw[:24]) != header_crc:
+    if zlib.crc32(buf[offset:offset + 24]) & 0xFFFFFFFF != header_crc:
         return None
     payload_len = ceil_div(data_length, 8)
     if payload_len > n - offset - HEADER_SIZE:
         return None
-    payload = bytes(buf[offset + HEADER_SIZE:offset + HEADER_SIZE + payload_len])
-    if crc32(payload) != data_crc:
+    pv = buf[offset + HEADER_SIZE:offset + HEADER_SIZE + payload_len]
+    if zlib.crc32(pv) & 0xFFFFFFFF != data_crc:
         return None
     hdr = SegmentHeader(
         ll_mean_val=ll_mean, decomp_level=level, subband_type=subband,
@@ -101,10 +122,12 @@ def try_parse_segment(buf: memoryview, offset: int):
         channel=(lsb_chan & 0xF0) >> 4, image_w=image_w, image_h=image_h,
         data_length=data_length,
     )
+    payload = bytes(pv) if with_payload else None
     return hdr, payload, HEADER_SIZE + payload_len
 
 
-def scan_bytestream(data: bytes, with_offsets: bool = False):
+def scan_bytestream(data: bytes, with_offsets: bool = False,
+                    with_payload: bool = True):
     """Yield (header, payload[, payload_offset]) for every valid segment.
 
     Byte-by-byte resynchronization on corruption, exactly like the decoder's
@@ -119,7 +142,7 @@ def scan_bytestream(data: bytes, with_offsets: bool = False):
     n = len(data)
     out = []
     while offset < n:
-        parsed = try_parse_segment(buf, offset)
+        parsed = try_parse_segment(buf, offset, with_payload)
         if parsed is None:
             offset += 1
             continue

@@ -153,7 +153,7 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
-    found = scan_bytestream(data, with_offsets=True)
+    found = scan_bytestream(data, with_offsets=True, with_payload=False)
     if not found:
         raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
 

@@ -300,15 +300,24 @@ def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
 
 
 def assemble_stream(encoded: dict, order) -> bytes:
-    """Lay out segments grouped by segment number, then rearrange order."""
-    parts = []
-    for seg in range(C.MAX_SEGMENTS + 1):
-        for (chan, stage, subband, lsb) in order:
-            entry = encoded.get((chan, stage, subband, lsb, seg))
-            if entry is not None:
-                hdr, payload = entry
-                parts.append(hdr.pack(payload))
-    return b"".join(parts)
+    """Lay out segments grouped by segment number, then rearrange order.
+
+    Sorts the encoded entries by (segment, rearrangement-order rank) and
+    packs them into a single preallocated buffer -- equivalent to the
+    reference's grouped rewrite loop (icer_compress.c:330-345) without
+    probing every (plane, segment) combination.
+    """
+    rank = {key: i for i, key in enumerate(order)}
+    items = sorted(
+        (kv for kv in encoded.items() if kv[0][:4] in rank),
+        key=lambda kv: (kv[0][4], rank[kv[0][:4]]))
+    total = sum(C.HEADER_SIZE + hdr.payload_bytes
+                for _, (hdr, _) in items)
+    out = bytearray(total)
+    off = 0
+    for _, (hdr, payload) in items:
+        off += hdr.pack_into(out, off, payload)
+    return bytes(out)
 
 
 def inverse_transform(img: np.ndarray, stages: int, filt: int,
@@ -329,7 +338,7 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
-    segments_found = scan_bytestream(data, with_offsets=True)
+    segments_found = scan_bytestream(data, with_offsets=True, with_payload=False)
     if not segments_found:
         raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
 
