@@ -364,11 +364,24 @@ struct Decoder {
 
   int peek_bit(int ahead) const { return bit_at(pos + ahead - 1); }
 
+  // Unaligned 64-bit window at byte_i; bytes past the readable extent are
+  // zero (same value bit_at would produce).  Codewords are at most 11 bits,
+  // so one window always covers a whole read.
+  uint64_t load_window(size_t byte_i) const {
+    if (byte_i + 8 <= nbytes) {
+      uint64_t w;
+      std::memcpy(&w, data + byte_i, 8);
+      return w;
+    }
+    uint64_t w = 0;
+    if (byte_i < nbytes) std::memcpy(&w, data + byte_i, nbytes - byte_i);
+    return w;
+  }
+
   uint32_t peek_bits(int n) {
     if ((uint32_t)n > encoded_bits) { out_of_data = true; return 0; }
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) v |= (uint32_t)bit_at(pos + i) << i;
-    return v;
+    uint64_t w = load_window(pos >> 3) >> (pos & 7);
+    return (uint32_t)(w & ((1ull << n) - 1));
   }
 
   uint32_t pop_bits(int n) {
@@ -429,11 +442,14 @@ struct Decoder {
           }
         }
       } else if (b != 0) {
+        // One windowed fetch covers the whole <=10-bit lookahead (bits
+        // beyond the readable extent read as 0, like bit_at).
+        const uint64_t look = load_window(pos >> 3) >> (pos & 7);
         uint32_t codeword = 0;
         int nb = 0;
         for (;;) {
           if ((uint32_t)(nb + 1) >= encoded_bits) { out_of_data = true; return -1; }
-          codeword |= (uint32_t)peek_bit(nb + 1) << nb;
+          codeword |= (uint32_t)((look >> nb) & 1) << nb;
           nb++;
           if (codeword >= 32) { invalid = true; return -1; }
           if (g_dec_valid[b][codeword][nb]) {
