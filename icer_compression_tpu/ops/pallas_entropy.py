@@ -83,6 +83,107 @@ def _bitrev16(v, nbits, jnp):
     return v >> (16 - nbits)
 
 
+def _coder_step(state, v, c, b, emi, jax, jnp):
+    """One emission step of the batched interleaved coder.
+
+    state: (zero, total, bk, bnb, bop) -- (17, LANES) int32 each, carried
+    in registers.  v/c/b: (LANES,) bool/int32.  Returns (state, code,
+    nbits, open) where nbits == 0 marks "no codeword completed here".
+    Mirrors icer_encode_bit/icer_compute_bin (icer_encoding.c) exactly;
+    see the module docstring for the vectorization scheme.
+    """
+    zero, total, bk, bnb, bop = state
+    iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
+
+    def sel17(st, cc):
+        out = jnp.zeros((LANES,), jnp.int32)
+        for k in range(17):
+            out = jnp.where(cc == k, st[k, :], out)
+        return out
+
+    def wr17(st, cc, vals, mask):
+        m = (iota17 == cc[None, :]) & mask[None, :]
+        return jnp.where(m, vals[None, :], st)
+
+    unc = c >= 17
+    zc = sel17(zero, c)
+    tc = sel17(total, c)
+    zcu = jnp.where(unc, 1, zc)
+    tcu = jnp.where(unc, 2, tc)
+    inv = zcu < (tcu >> 1)
+    zeff = jnp.where(inv, tcu - zcu, zcu)
+    cb = (b ^ inv).astype(jnp.int32)
+
+    comp = zeff * 65536
+    bn = jnp.zeros((LANES,), jnp.int32)
+    for q in range(16):
+        bn = bn + (comp >= tcu * _CUT[q])
+
+    upd = v & (~unc)
+    tc2 = tc + 1
+    zc2 = zc + (b == 0)
+    resc = tc2 >= C.CONTEXT_RESCALING_CAP
+    tc2 = jnp.where(resc, tc2 >> 1, tc2)
+    zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
+    zero = wr17(zero, c, zc2, upd)
+    total = wr17(total, c, tc2, upd)
+
+    k = sel17(bk, bn)
+    nb = sel17(bnb, bn)
+    op = sel17(bop, bn)
+    newly = op < 0
+    op2 = jnp.where(newly, emi, op)
+    k = jnp.where(newly, 0, k)
+    nb = jnp.where(newly, 0, nb)
+
+    isg = bn >= 8
+    isc = (bn >= 1) & (bn <= 7)
+
+    m_e = jnp.ones((LANES,), jnp.int32)
+    l_e = jnp.ones((LANES,), jnp.int32)
+    i_e = jnp.zeros((LANES,), jnp.int32)
+    for gb in range(8, 17):
+        m, l, ii = _GOL[gb]
+        m_e = jnp.where(bn == gb, m, m_e)
+        l_e = jnp.where(bn == gb, l, l_e)
+        i_e = jnp.where(bn == gb, ii, i_e)
+
+    kz = k + (cb == 0)
+    g_run_done = (cb == 0) & (kz >= m_e)
+    adj = jnp.where(k < i_e, k, k + i_e)
+    gl = l_e + (k >= i_e)
+    g_code = jnp.where(g_run_done, 1, _bitrev16(adj, gl, jnp))
+    g_bits = jnp.where(g_run_done, 1, gl)
+    g_complete = (cb == 1) | g_run_done
+
+    val = (k | (cb << nb)) & 31
+    nb2 = nb + 1
+    cin = jnp.zeros((LANES,), jnp.int32)
+    ccode = jnp.zeros((LANES,), jnp.int32)
+    cbits = jnp.zeros((LANES,), jnp.int32)
+    for bb in range(1, 8):
+        s = bn == bb
+        cin = jnp.where(s, _plookup(_CIN[bb], val, jnp), cin)
+        ccode = jnp.where(s, _plookup(_COUT[bb], val, jnp), ccode)
+        cbits = jnp.where(s, _plookup(_COBITS[bb], val, jnp), cbits)
+    c_complete = cin == nb2
+
+    is0 = (~isg) & (~isc)
+    complete = v & ((isg & g_complete) | (isc & c_complete) | is0)
+    code = jnp.where(isg, g_code, jnp.where(isc, ccode, cb))
+    nbits = jnp.where(isg, g_bits, jnp.where(isc, cbits, 1))
+
+    newk = jnp.where(isg, kz, val)
+    bk = wr17(bk, bn, jnp.where(complete, 0, newk), v)
+    bnb = wr17(bnb, bn, jnp.where(complete, 0, nb2), v)
+    bop = wr17(bop, bn, jnp.where(complete, -1, op2), v)
+
+    out_code = jnp.where(complete, code, 0)
+    out_nbits = jnp.where(complete, nbits, 0)
+    out_open = jnp.where(complete, op2, BIG)
+    return (zero, total, bk, bnb, bop), out_code, out_nbits, out_open
+
+
 def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
     """Kernel factory for padded stream length L (L % chunk == 0).
 
@@ -105,7 +206,6 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
                code_ref, nbits_ref, open_ref, fk_ref, fnb_ref, fop_ref,
                zero_s, total_s, bk_s, bnb_s, bop_s):
         g = pl.program_id(0)
-        iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
 
         @pl.when(g == 0)
         def _():
@@ -115,100 +215,16 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
             bnb_s[:] = jnp.zeros((17, LANES), jnp.int32)
             bop_s[:] = jnp.full((17, LANES), -1, jnp.int32)
 
-        def sel17(state, c):
-            out = jnp.zeros((LANES,), jnp.int32)
-            for k in range(17):
-                out = jnp.where(c == k, state[k, :], out)
-            return out
-
-        def wr17(state, c, vals, mask):
-            m = (iota17 == c[None, :]) & mask[None, :]
-            return jnp.where(m, vals[None, :], state)
-
         def body(i, state):
-            zero, total, bk, bnb, bop = state
             v = valid_ref[i, :] != 0
             c = ctx_ref[i, :]
             b = bit_ref[i, :]
             emi = g * chunk + i
-
-            unc = c >= 17
-            zc = sel17(zero, c)
-            tc = sel17(total, c)
-            zcu = jnp.where(unc, 1, zc)
-            tcu = jnp.where(unc, 2, tc)
-            inv = zcu < (tcu >> 1)
-            zeff = jnp.where(inv, tcu - zcu, zcu)
-            cb = (b ^ inv).astype(jnp.int32)
-
-            comp = zeff * 65536
-            bn = jnp.zeros((LANES,), jnp.int32)
-            for q in range(16):
-                bn = bn + (comp >= tcu * _CUT[q])
-
-            upd = v & (~unc)
-            tc2 = tc + 1
-            zc2 = zc + (b == 0)
-            resc = tc2 >= C.CONTEXT_RESCALING_CAP
-            tc2 = jnp.where(resc, tc2 >> 1, tc2)
-            zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
-            zero = wr17(zero, c, zc2, upd)
-            total = wr17(total, c, tc2, upd)
-
-            k = sel17(bk, bn)
-            nb = sel17(bnb, bn)
-            op = sel17(bop, bn)
-            newly = op < 0
-            op2 = jnp.where(newly, emi, op)
-            k = jnp.where(newly, 0, k)
-            nb = jnp.where(newly, 0, nb)
-
-            isg = bn >= 8
-            isc = (bn >= 1) & (bn <= 7)
-
-            m_e = jnp.ones((LANES,), jnp.int32)
-            l_e = jnp.ones((LANES,), jnp.int32)
-            i_e = jnp.zeros((LANES,), jnp.int32)
-            for gb in range(8, 17):
-                m, l, ii = _GOL[gb]
-                m_e = jnp.where(bn == gb, m, m_e)
-                l_e = jnp.where(bn == gb, l, l_e)
-                i_e = jnp.where(bn == gb, ii, i_e)
-
-            kz = k + (cb == 0)
-            g_run_done = (cb == 0) & (kz >= m_e)
-            adj = jnp.where(k < i_e, k, k + i_e)
-            gl = l_e + (k >= i_e)
-            g_code = jnp.where(g_run_done, 1, _bitrev16(adj, gl, jnp))
-            g_bits = jnp.where(g_run_done, 1, gl)
-            g_complete = (cb == 1) | g_run_done
-
-            val = (k | (cb << nb)) & 31
-            nb2 = nb + 1
-            cin = jnp.zeros((LANES,), jnp.int32)
-            ccode = jnp.zeros((LANES,), jnp.int32)
-            cbits = jnp.zeros((LANES,), jnp.int32)
-            for bb in range(1, 8):
-                s = bn == bb
-                cin = jnp.where(s, _plookup(_CIN[bb], val, jnp), cin)
-                ccode = jnp.where(s, _plookup(_COUT[bb], val, jnp), ccode)
-                cbits = jnp.where(s, _plookup(_COBITS[bb], val, jnp), cbits)
-            c_complete = cin == nb2
-
-            is0 = (~isg) & (~isc)
-            complete = v & ((isg & g_complete) | (isc & c_complete) | is0)
-            code = jnp.where(isg, g_code, jnp.where(isc, ccode, cb))
-            nbits = jnp.where(isg, g_bits, jnp.where(isc, cbits, 1))
-
-            newk = jnp.where(isg, kz, val)
-            bk = wr17(bk, bn, jnp.where(complete, 0, newk), v)
-            bnb = wr17(bnb, bn, jnp.where(complete, 0, nb2), v)
-            bop = wr17(bop, bn, jnp.where(complete, -1, op2), v)
-
-            code_ref[i, :] = jnp.where(complete, code, 0)
-            nbits_ref[i, :] = jnp.where(complete, nbits, 0)
-            open_ref[i, :] = jnp.where(complete, op2, BIG)
-            return (zero, total, bk, bnb, bop)
+            state, oc, onb, oop = _coder_step(state, v, c, b, emi, jax, jnp)
+            code_ref[i, :] = oc
+            nbits_ref[i, :] = onb
+            open_ref[i, :] = oop
+            return state
 
         state = (zero_s[:], total_s[:], bk_s[:], bnb_s[:], bop_s[:])
         zero, total, bk, bnb, bop = jax.lax.fori_loop(0, chunk, body, state)
@@ -251,6 +267,104 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
     if interpret:
         # Eager execution on the host CPU device: avoids a (remote) device
         # compile entirely; used by the correctness tests.
+        def run(valid, ctx, bit):
+            with jax.default_device(jax.devices("cpu")[0]):
+                return run_impl(valid, ctx, bit)
+        return run
+    return jax.jit(run_impl)
+
+
+def make_encode_lanes_pallas_tiled(L: int, chunk: int = 2048, tile: int = 8,
+                                   interpret=False):
+    """Tile-granular variant of make_encode_lanes_pallas.
+
+    Same contract, but the sequential loop moves (tile, LANES) blocks --
+    one native int32 VMEM tile for tile == 8 -- per iteration: a single
+    tile read of each input, ``tile`` unrolled coder steps on register
+    values (static sublane indexing), and a single tile write of each
+    output.  Per-step *dynamic-row* VMEM access was measured at ~1.4 us
+    per read / ~1.6 us per write on v5e (PERF_NOTES.md); amortizing it
+    over 8 steps removes the dominant cost of the row-at-a-time kernel.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert L % chunk == 0 and chunk % tile == 0
+    ngrid = L // chunk
+
+    def kernel(valid_ref, ctx_ref, bit_ref,
+               code_ref, nbits_ref, open_ref, fk_ref, fnb_ref, fop_ref,
+               zero_s, total_s, bk_s, bnb_s, bop_s):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            zero_s[:] = jnp.full((17, LANES), 2, jnp.int32)
+            total_s[:] = jnp.full((17, LANES), 4, jnp.int32)
+            bk_s[:] = jnp.zeros((17, LANES), jnp.int32)
+            bnb_s[:] = jnp.zeros((17, LANES), jnp.int32)
+            bop_s[:] = jnp.full((17, LANES), -1, jnp.int32)
+
+        def body(t, state):
+            base = t * tile
+            vt = valid_ref[pl.ds(base, tile), :] != 0
+            ct = ctx_ref[pl.ds(base, tile), :]
+            bt = bit_ref[pl.ds(base, tile), :]
+            ocs, onbs, oops = [], [], []
+            for j in range(tile):
+                emi = g * chunk + base + j
+                state, oc, onb, oop = _coder_step(
+                    state, vt[j, :], ct[j, :], bt[j, :], emi, jax, jnp)
+                ocs.append(oc)
+                onbs.append(onb)
+                oops.append(oop)
+            code_ref[pl.ds(base, tile), :] = jnp.stack(ocs)
+            nbits_ref[pl.ds(base, tile), :] = jnp.stack(onbs)
+            open_ref[pl.ds(base, tile), :] = jnp.stack(oops)
+            return state
+
+        state = (zero_s[:], total_s[:], bk_s[:], bnb_s[:], bop_s[:])
+        zero, total, bk, bnb, bop = jax.lax.fori_loop(
+            0, chunk // tile, body, state)
+        zero_s[:] = zero
+        total_s[:] = total
+        bk_s[:] = bk
+        bnb_s[:] = bnb
+        bop_s[:] = bop
+
+        @pl.when(g == ngrid - 1)
+        def _():
+            fk_ref[:] = bk
+            fnb_ref[:] = bnb
+            fop_ref[:] = bop
+
+    def run_impl(valid, ctx, bit):
+        code, nbits, opn, fk, fnb, fop = pl.pallas_call(
+            kernel,
+            grid=(ngrid,),
+            out_shape=[jax.ShapeDtypeStruct((L, LANES), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((17, LANES), jnp.int32)] * 3,
+            in_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+                                    memory_space=pltpu.VMEM)] * 3
+            + [pl.BlockSpec((17, LANES), lambda g: (0, 0),
+                            memory_space=pltpu.VMEM)] * 3,
+            scratch_shapes=[pltpu.VMEM((17, LANES), jnp.int32)] * 5,
+            interpret=interpret,
+        )(valid, ctx, bit)
+        tcode, tbits = _tail_flush(fk, fnb, jnp)
+        is_open = fop >= 0
+        tail_code = jnp.where(is_open, tcode, 0)
+        tail_nbits = jnp.where(is_open, tbits, 0)
+        tail_open = jnp.where(is_open, fop, BIG)
+        return (jnp.concatenate([code, tail_code]),
+                jnp.concatenate([nbits, tail_nbits]),
+                jnp.concatenate([opn, tail_open]))
+
+    if interpret:
         def run(valid, ctx, bit):
             with jax.default_device(jax.devices("cpu")[0]):
                 return run_impl(valid, ctx, bit)

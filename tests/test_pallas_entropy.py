@@ -23,9 +23,14 @@ from icer_compression_tpu.backend import sequential as S  # noqa: E402
 from icer_compression_tpu.ops import pallas_entropy as PE  # noqa: E402
 
 
-def test_pallas_coder_matches_sequential(rng):
+@pytest.mark.parametrize("tiled", [False, True])
+def test_pallas_coder_matches_sequential(rng, tiled):
     L = 160
-    run = PE.make_encode_lanes_pallas(L, chunk=80, interpret=True)
+    if tiled:
+        run = PE.make_encode_lanes_pallas_tiled(L, chunk=80, tile=8,
+                                                interpret=True)
+    else:
+        run = PE.make_encode_lanes_pallas(L, chunk=80, interpret=True)
     LANES = PE.LANES
     ctx = rng.integers(0, 18, (L, LANES)).astype(np.int32)
     p = rng.random((18, LANES))
