@@ -1,0 +1,191 @@
+"""Lane-batched (TPU-architecture) grayscale decode orchestration.
+
+Mirrors models/grayscale.decompress but runs the bitplane decoding as
+lock-step lane rounds over all segments (the batched-decoder execution
+model: round t decodes every segment's t-th-from-MSB plane), instead of
+the per-segment thread pool.  Backends:
+
+  * "model": the validated numpy lane machine (ops/decode_lanes) -- used
+    for end-to-end differential testing of the orchestration;
+  * "pallas": the TPU kernel (ops/pallas_decode), one call per
+    (bucket, round).
+
+Segments are bucketed by subband geometry so lanes in a bucket share
+(Hmax, Wmax) padding; each bucket independently walks its plane rounds.
+A lane leaves the active set at its first missing plane or stream error,
+exactly like the reference's per-segment loop (icer_partition.c:206-221).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.header import scan_bytestream
+from ..core.partition import partition_segments
+from ..core.status import IcerError, IcerStatus
+from ..core.subbands import decode_subband_order, dim_low, subband_view
+from ..ops import decode_lanes as DL
+from ..ops import wavelet
+from .grayscale import (CodecConfig, _bitplanes, _mag_bits,
+                        inverse_transform)
+
+
+def _plan_lanes(w, h, config):
+    """Per-segment lane records grouped into equal-geometry buckets."""
+    buckets = {}
+    for (stage, subband) in decode_subband_order(config.stages):
+        view = subband_view(w, h, stage, subband)
+        rects = partition_segments(view.w, view.h, config.segments)
+        key = (view.w, view.h)
+        b = buckets.setdefault(key, [])
+        for rect in rects:
+            b.append({
+                "stage": stage, "subband": subband, "seg": rect.index,
+                "row": view.row + rect.row, "col": view.col + rect.col,
+                "h": rect.h, "w": rect.w,
+            })
+    return list(buckets.values())
+
+
+def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
+                              config: CodecConfig, mag_bits: int,
+                              bitplanes: int, stream: bytes,
+                              backend: str = "model") -> None:
+    """Decode all subbands of one channel via lane rounds, in place."""
+    h, w = img.shape
+    sdata = np.frombuffer(stream, np.uint8)
+    for lanes in _plan_lanes(w, h, config):
+        n = len(lanes)
+        Hmax = max(t["h"] for t in lanes)
+        Wmax = max(t["w"] for t in lanes)
+        seg = np.zeros((Hmax, Wmax, n), np.int32)
+        hh = np.array([t["h"] for t in lanes], np.int32)
+        ww = np.array([t["w"] for t in lanes], np.int32)
+        sb = np.array([t["subband"] for t in lanes], np.int32)
+        alive = np.ones(n, bool)
+        for rnd in range(bitplanes):
+            lsb = bitplanes - 1 - rnd
+            offs = np.full(n, -1, np.int64)
+            ebits = np.zeros(n, np.int64)
+            for i, t in enumerate(lanes):
+                ent = table.get((chan, t["stage"], t["subband"], t["seg"],
+                                 lsb))
+                if ent is not None:
+                    offs[i], ebits[i] = ent
+            alive &= offs >= 0
+            if not alive.any():
+                break
+            # per-lane plane payload views; readable extent runs to the
+            # stream end (the reference's zero-copy over-read semantics)
+            maxb = int((len(stream) - offs[alive].min()))
+            maxb = min(maxb, int(ebits.max() // 8 + 4096))
+            data = np.zeros((n, max(maxb, 8)), np.uint8)
+            readable = np.zeros(n, np.int64)
+            for i in range(n):
+                if not alive[i]:
+                    continue
+                end = min(len(stream), offs[i] + data.shape[1])
+                chunkb = sdata[offs[i]:end]
+                data[i, :len(chunkb)] = chunkb
+                readable[i] = len(chunkb)
+            if backend == "model":
+                dec = DL.LaneDecoders(data, readable, ebits)
+                ok = DL.decode_plane_lanes(
+                    seg, hh, ww, sb, np.full(n, lsb, np.int32),
+                    np.full(n, mag_bits, np.int32), dec, alive)
+                alive &= ok
+            else:
+                alive &= _pallas_round(seg, hh, ww, sb, lsb, mag_bits,
+                                       data, readable, ebits, alive)
+        for i, t in enumerate(lanes):
+            img[t["row"]:t["row"] + t["h"],
+                t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
+
+
+_PALLAS_RUNS: dict = {}
+
+
+def _pallas_round(seg, hh, ww, sb, lsb, mag_bits, data, readable, ebits,
+                  alive, interpret=False):
+    """One (bucket, round) via the pallas kernel; lanes in blocks of 128."""
+    import jax.numpy as jnp
+    from ..ops import pallas_decode as PD
+
+    Hmax, Wmax, n = seg.shape
+    Wpad = -(-Wmax // 8) * 8
+    PX = Hmax * Wpad
+    nbytes = data.shape[1]
+    NW = -(-(-(-nbytes // 4)) // 8) * 8
+    ok = np.zeros(n, bool)
+    key = (PX, Wpad, NW, interpret)
+    run = _PALLAS_RUNS.get(key)
+    if run is None:
+        run = PD.make_decode_plane_pallas(PX, Wpad, NW, interpret=interpret)
+        _PALLAS_RUNS[key] = run
+
+    pad4 = np.zeros((n, NW * 4 - nbytes), np.uint8)
+    db = np.concatenate([data, pad4], axis=1)
+    words_all = (db[:, 0::4].astype(np.int64)
+                 | (db[:, 1::4].astype(np.int64) << 8)
+                 | (db[:, 2::4].astype(np.int64) << 16)
+                 | (db[:, 3::4].astype(np.int64) << 24))
+    words_all = (words_all & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    for blk in range(0, n, PD.LANES):
+        idx = np.arange(blk, min(blk + PD.LANES, n))
+        m = len(idx)
+        segp = np.zeros((Hmax, Wpad, PD.LANES), np.int32)
+        segp[:, :Wmax, :m] = seg[:, :, idx]
+        words = np.zeros((NW, PD.LANES), np.int32)
+        words[:, :m] = words_all[idx].T
+        geom = np.zeros((8, PD.LANES), np.int32)
+        geom[0, :m] = hh[idx]
+        geom[1, :m] = ww[idx]
+        geom[2, :m] = sb[idx]
+        geom[3, :m] = lsb
+        geom[4, :m] = mag_bits
+        geom[5, :m] = alive[idx]
+        geom[6, :m] = ebits[idx]
+        geom[7, :m] = readable[idx] * 8
+        out, err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
+                             jnp.asarray(segp.reshape(PX, PD.LANES)))
+        out = np.asarray(out).reshape(Hmax, Wpad, PD.LANES)
+        err = np.asarray(err)
+        seg[:, :, idx] = out[:, :Wmax, :m]
+        ok[idx] = (err[:m] == 0) & alive[idx]
+    return ok
+
+
+def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
+                     backend: str = "model") -> np.ndarray:
+    """Grayscale decompression via the lane-batched decode path.
+
+    Bit-identical to models/grayscale.decompress (differentially tested);
+    the execution model is the TPU one: lock-step plane rounds across
+    segments.
+    """
+    mag_bits = _mag_bits(dtype)
+    bitplanes = _bitplanes(mag_bits)
+    found = scan_bytestream(data, with_offsets=True, with_payload=False)
+    if not found:
+        raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
+    table: dict = {}
+    w = h = 0
+    ll_mean = 0
+    for hdr, _p, off in found:
+        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+               hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
+        w, h = hdr.image_w, hdr.image_h
+        ll_mean = hdr.ll_mean_val
+
+    img = np.zeros((h, w), np.int32)
+    reconstruct_channel_lanes(img, table, 0, config, mag_bits, bitplanes,
+                              data, backend)
+    img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
+    ll_w = dim_low(w, config.stages)
+    ll_h = dim_low(h, config.stages)
+    img[:ll_h, :ll_w] = wavelet._wrap(img[:ll_h, :ll_w] + ll_mean,
+                                      mag_bits, np)
+    img = inverse_transform(img, config.stages, config.filt, mag_bits)
+    img[img < 0] = 0
+    return img.astype(dtype)

@@ -122,10 +122,19 @@ class JaxGrayscaleEncoder:
 
     def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
                  segments: int, mag_bits: int,
-                 blob_cap: int | None = None):
+                 blob_cap: int | None = None, entropy: str | None = None):
         _ensure_cache()
         import jax
         import jax.numpy as jnp
+        # entropy backend: "sorted" (ops/entropy_jax2, the default) or
+        # "pallas" (the batched state-machine kernel, ops/pallas_entropy).
+        if entropy is None:
+            entropy = os.environ.get("ICER_JAX_ENTROPY", "sorted")
+        if entropy not in ("sorted", "pallas"):
+            raise ValueError(
+                f"unknown entropy backend {entropy!r}: expected 'sorted' "
+                "or 'pallas' (ICER_JAX_ENTROPY)")
+        self.entropy = entropy
         self.jax, self.jnp = jax, jnp
         self.w, self.h = image_w, image_h
         self.stages, self.filt, self.segments = stages, filt, segments
@@ -225,10 +234,68 @@ class JaxGrayscaleEncoder:
 
         return fn
 
+    def _make_bucket_fn_pallas(self, b):
+        """Bucket entropy via the pallas batched state-machine coder.
+
+        Lanes are padded to blocks of PE.LANES columns and to a
+        chunk-aligned emission length; the kernel produces the codeword
+        record streams, and the sort-centric ordering/packing stages run
+        vmapped per lane (identical to the "sorted" backend's tail).
+        """
+        jax, jnp = self.jax, self.jnp
+        from . import pallas_entropy as PE
+
+        Lb = b["L"]
+        chunk = 256
+        Lpad = -(-Lb // chunk) * chunk
+        run = PE.make_encode_lanes_pallas(Lpad, chunk=chunk)
+
+        def fn(parts):
+            vs, cs, bs = [], [], []
+            for (v, c, bit) in parts:
+                pad = Lb - v.shape[-1]
+                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
+                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
+                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
+            valid = jnp.concatenate(vs, axis=0)
+            ctx = jnp.concatenate(cs, axis=0)
+            bit = jnp.concatenate(bs, axis=0)
+            n = valid.shape[0]
+            nblk = -(-n // PE.LANES)
+            rpad = nblk * PE.LANES - n
+            cpad = Lpad - Lb
+            valid = jnp.pad(valid, ((0, rpad), (0, cpad)))
+            ctx = jnp.pad(ctx, ((0, rpad), (0, cpad)))
+            bit = jnp.pad(bit, ((0, rpad), (0, cpad)))
+
+            rowidx = jnp.arange(Lpad + 17)
+            done = jnp.where(rowidx < Lpad, rowidx, PE.BIG)
+            post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
+                c, nn, o, done, jnp))
+            pls, tts, fls = [], [], []
+            for blk in range(nblk):
+                sl = slice(blk * PE.LANES, (blk + 1) * PE.LANES)
+                code, nbits, opn = run(
+                    valid[sl].T.astype(jnp.int32),
+                    ctx[sl].T.astype(jnp.int32),
+                    bit[sl].T.astype(jnp.int32))
+                p, t, f = post(code.T, nbits.T, opn.T)
+                pls.append(p)
+                tts.append(t)
+                fls.append(f)
+            payload = jnp.concatenate(pls)[:n]
+            total = jnp.concatenate(tts)[:n]
+            flush = jnp.concatenate(fls)[:n]
+            return payload, total, flush
+
+        return fn
+
     def _make_fused_fn(self):
         jnp = self.jnp
         emit_fns = [self._make_emit_fn(g) for g in self.groups]
-        bucket_fns = [self._make_bucket_fn(b) for b in self.buckets]
+        mk = (self._make_bucket_fn_pallas if self.entropy == "pallas"
+              else self._make_bucket_fn)
+        bucket_fns = [mk(b) for b in self.buckets]
         cap = self.blob_cap
 
         def fused(image):

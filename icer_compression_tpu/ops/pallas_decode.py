@@ -1,0 +1,496 @@
+"""Pallas TPU kernel: batched ICER bitplane decoding.
+
+One kernel call decodes ONE bitplane for LANES independent segments in
+lock-step (the missing TPU-side decode path; planes of a segment chain
+sequentially through repeated calls, exactly like the reference's
+per-segment plane loop).  The semantic model -- bin-FIFO stacks as
+(depth, low-5-bits) registers, the dense custom-code refill LUT, frozen
+out-of-data guards, sticky per-lane error flags -- is ops/decode_lanes.py,
+differentially validated against the sequential reference decoder; this
+kernel reproduces it within Mosaic's vectorization envelope:
+
+  * per-lane state lives in (17, LANES) registers (17-way select/masked
+    broadcast, as in ops/pallas_entropy);
+  * neighbor significance/sign come from eight rolling row buffers in
+    VMEM -- the same scheme as the native C++ decoder
+    (backend/native/icer_runtime.cpp decode_plane) -- swept in (8, LANES)
+    tiles with a carried "previous tile" register so the left neighbor
+    reflects the just-decoded pixel;
+  * stream reads use per-lane bit positions with a one-hot two-word
+    fetch over the (NW, LANES) word-transposed streams (Mosaic has no
+    per-lane dynamic indexing); bits past each lane's readable extent
+    are zero, matching the reference's bounds-replicated zero-copy
+    over-read.
+
+Layout contract (all int32):
+  words:  (NW, LANES)  lane l's plane payload bits, word w = bits
+          [32w, 32w+32) LSB-first, including over-read slack.
+  geom:   (8, LANES)   rows: h, w, subband, lsb, mag_bits, active,
+          encoded_bits (frozen data_length), readable_bits.
+  seg:    (PX, LANES)  sign-magnitude coefficients, pixel (r, c) at row
+          r * Wpad + c; aliased in/out.  Wpad % 8 == 0; columns >= w and
+          rows >= h are untouched padding (doubling as the
+          "insignificant outside the segment" border).
+Returns (seg, err, pos): sticky error flags and final bit positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from . import decode_lanes as DL
+
+LANES = 128
+
+_CUT = [int(x) for x in C.BIN_PROBABILITY_CUTOFFS[:16]]
+_GOL = [(int(C.GOLOMB_M[b]), int(C.GOLOMB_L[b]), int(C.GOLOMB_I[b]))
+        for b in range(17)]
+
+
+def _pack(vals, width):
+    per = 32 // width
+    words = []
+    for w0 in range(0, len(vals), per):
+        word = 0
+        for k, v in enumerate(vals[w0:w0 + per]):
+            word |= int(v) << (k * width)
+        words.append(word)
+    return words, per, width
+
+
+# custom-code refill LUTs from the validated model (bin 1..7 x 32 lookups)
+_RHIT = {b: _pack(list(DL._CHIT[b]), 4) for b in range(1, 8)}
+_RVAL = {b: _pack(list(DL._CVAL[b]), 8) for b in range(1, 8)}
+_RBITS = {b: _pack(list(DL._CBITS[b]), 4) for b in range(1, 8)}
+
+# context tables flattened for packed lookup
+_LLPK = _pack([int(C.CONTEXT_TABLE_LL_LH_HL[hh][vv][dc])
+               for hh in range(3) for vv in range(3) for dc in range(5)], 8)
+_HHPK = _pack([int(C.CONTEXT_TABLE_HH[s][dc])
+               for s in range(5) for dc in range(5)], 8)
+_SCPK = _pack([int(C.SIGN_CONTEXT_TABLE[sh][sv])
+               for sh in range(5) for sv in range(5)], 8)
+_SPPK = _pack([int(C.SIGN_PREDICTION_TABLE[sh][sv])
+               for sh in range(5) for sv in range(5)], 8)
+
+
+def _plookup(packed, idx, jnp):
+    words, per, width = packed
+    mask = (1 << width) - 1
+    wi = idx // per
+    off = (idx % per) * width
+    out = jnp.zeros_like(idx)
+    for k, word in enumerate(words):
+        out = jnp.where(wi == k, (jnp.int32(word) >> off) & mask, out)
+    return out
+
+
+def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
+    """Kernel factory: decode one bitplane of LANES segments.
+
+    PX = padded pixel rows of the seg array (multiple of Wpad), Wpad the
+    padded width (multiple of 8), NW the stream word rows.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert Wpad % 8 == 0 and PX % Wpad == 0
+    Hmax = PX // Wpad
+    ntiles = Wpad // 8
+    NBUF = Wpad + 16  # row buffers with one spare tile each side
+
+    def kernel(words_ref, geom_ref, seg_ref, out_ref, err_ref, pos_ref,
+               buf_ref):
+        # buf_ref: (8, NBUF, LANES) scratch: rolling row buffers
+        #   0 above_sig_lsb  1 cur_sig_lsb  2 cur_sig_prev  3 below_sig_prev
+        #   4 above_sgn_lsb  5 cur_sgn_lsb  6 cur_sgn_prev  7 below_sgn_prev
+        h_l = geom_ref[0, :]
+        w_l = geom_ref[1, :]
+        subband = geom_ref[2, :]
+        lsb = geom_ref[3, :]
+        mag_bits = geom_ref[4, :]
+        active0 = geom_ref[5, :] != 0
+        ebits = geom_ref[6, :]
+        readable = geom_ref[7, :]
+        magmask = (jnp.int32(1) << mag_bits) - 1
+        prev = lsb + 1
+        is_hl = subband == 1
+        is_hh = subband == 3
+        iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
+
+        out_ref[:] = seg_ref[:]
+
+        def sel17(st, cc):
+            out = jnp.zeros((LANES,), jnp.int32)
+            for k in range(17):
+                out = jnp.where(cc == k, st[k, :], out)
+            return out
+
+        def wr17(st, cc, vals, mask):
+            m = (iota17 == cc[None, :]) & mask[None, :]
+            return jnp.where(m, vals[None, :], st)
+
+        # ---- stream access ------------------------------------------
+        def fetch11(pos):
+            """11-bit lookahead at per-lane bit position (one-hot fetch)."""
+            w0 = pos >> 5
+            off = pos & 31
+            acc0 = jnp.zeros((LANES,), jnp.int32)
+            acc1 = jnp.zeros((LANES,), jnp.int32)
+
+            def scan_tile(t, accs):
+                a0, a1 = accs
+                rows = words_ref[pl.ds(t * 8, 8), :]
+                base = t * 8
+                for j in range(8):
+                    rj = rows[j, :]
+                    a0 = jnp.where(w0 == base + j, rj, a0)
+                    a1 = jnp.where(w0 + 1 == base + j, rj, a1)
+                return a0, a1
+
+            acc0, acc1 = jax.lax.fori_loop(0, NW // 8, scan_tile,
+                                           (acc0, acc1))
+            # zero bits past the readable extent (reference over-read = 0)
+            v0 = jnp.where(w0 * 32 < readable, acc0, 0)
+            v1 = jnp.where((w0 + 1) * 32 < readable, acc1, 0)
+            # mask the valid tail bits of a partially-readable word
+            rem0 = jnp.clip(readable - w0 * 32, 0, 31)
+            rem1 = jnp.clip(readable - (w0 + 1) * 32, 0, 31)
+            keep0 = jnp.where(readable - w0 * 32 >= 32, -1,
+                              (jnp.int32(1) << rem0) - 1)
+            keep1 = jnp.where(readable - (w0 + 1) * 32 >= 32, -1,
+                              (jnp.int32(1) << rem1) - 1)
+            v0 = v0 & keep0
+            v1 = v1 & keep1
+            lo = jax.lax.shift_right_logical(v0, off)
+            hi = jnp.where(off == 0, 0,
+                           jax.lax.shift_left(v1, (32 - off) & 31))
+            return ((lo | hi) & 0x7FF).astype(jnp.int32)
+
+        # ---- one decode_bit over all lanes --------------------------
+        def decode_bit(st, ctx, act, cat3):
+            (zero, total, bn_n, bn_low, bn_idx, dwords, pos, err) = st
+            m = act & ~err
+            zc0 = sel17(zero, ctx)
+            tc0 = sel17(total, ctx)
+            zc = jnp.where(cat3, 1, zc0)
+            tc = jnp.where(cat3, 2, tc0)
+            inv = zc < (tc >> 1)
+            zeff = jnp.where(inv, tc - zc, zc)
+            comp = zeff * 65536
+            bn = jnp.zeros((LANES,), jnp.int32)
+            for q in range(16):
+                bn = bn + (comp >= tc * _CUT[q])
+
+            sn = sel17(bn_n, bn)
+            sidx = sel17(bn_idx, bn)
+            need = m & ((sn <= 0) | (dwords - sidx >= C.CIRC_BUF_SIZE))
+
+            look = fetch11(pos)
+
+            # Golomb refill
+            isg = bn >= 8
+            g = need & isg
+            m_e = jnp.ones((LANES,), jnp.int32)
+            l_e = jnp.ones((LANES,), jnp.int32)
+            i_e = jnp.zeros((LANES,), jnp.int32)
+            for gb in range(8, 17):
+                mm, ll, ii = _GOL[gb]
+                m_e = jnp.where(bn == gb, mm, m_e)
+                l_e = jnp.where(bn == gb, ll, l_e)
+                i_e = jnp.where(bn == gb, ii, i_e)
+            first = (look & 1) != 0
+            kl = jnp.zeros((LANES,), jnp.int32)
+            for i in range(1, 11):
+                kl = jnp.where(l_e >= i, (kl << 1) | ((look >> (i - 1)) & 1),
+                               kl)
+            klong = jnp.zeros((LANES,), jnp.int32)
+            for i in range(1, 12):
+                klong = jnp.where(l_e + 1 >= i,
+                                  (klong << 1) | ((look >> (i - 1)) & 1),
+                                  klong)
+            long_needed = (~first) & (kl >= i_e)
+            gerr = g & (~first) & ((l_e > ebits)
+                                   | (long_needed & (l_e + 1 > ebits)))
+            gok = g & ~gerr
+            adv_g = jnp.where(first, 1,
+                              jnp.where(long_needed, l_e + 1, l_e))
+            zeros_g = jnp.where(first, m_e,
+                                jnp.where(long_needed, klong - i_e, kl))
+            ones_g = jnp.where(first, 0, 1)
+
+            # Custom refill (dense 5-bit-lookahead LUT)
+            isc = (bn >= 1) & (bn <= 7)
+            cu = need & isc
+            look5 = look & 31
+            hit = jnp.zeros((LANES,), jnp.int32)
+            ival = jnp.zeros((LANES,), jnp.int32)
+            ibits = jnp.zeros((LANES,), jnp.int32)
+            for bb in range(1, 8):
+                s = bn == bb
+                hit = jnp.where(s, _plookup(_RHIT[bb], look5, jnp), hit)
+                ival = jnp.where(s, _plookup(_RVAL[bb], look5, jnp), ival)
+                ibits = jnp.where(s, _plookup(_RBITS[bb], look5, jnp),
+                                  ibits)
+            cerr = cu & ((hit == 0) | (hit >= ebits))
+            cok = cu & ~cerr
+
+            # Uncoded refill
+            un = need & (bn == 0)
+            uerr = un & (ebits < 1)
+            uok = un & ~uerr
+
+            err = err | gerr | cerr | uerr
+            okany = gok | cok | uok
+            adv = jnp.where(gok, adv_g, jnp.where(cok, hit, 1))
+            new_n = jnp.where(gok, zeros_g + ones_g,
+                              jnp.where(cok, ibits, 1))
+            new_low = jnp.where(gok, ones_g,
+                                jnp.where(cok, ival, look & 1))
+            pos = jnp.where(okany, pos + adv, pos)
+            bn_n = wr17(bn_n, bn, new_n, okany)
+            bn_low = wr17(bn_low, bn, new_low, okany)
+            dwords = jnp.where(okany, dwords + 1, dwords)
+            bn_idx = wr17(bn_idx, bn, dwords, okany)
+
+            # consume top of stack
+            m2 = m & ~err
+            n_now = sel17(bn_n, bn)
+            low_now = sel17(bn_low, bn)
+            n1 = n_now - 1
+            n1c = jnp.clip(n1, 0, 31)
+            bitv = jnp.where(n1 < 5,
+                             jax.lax.shift_right_logical(low_now, n1c) & 1,
+                             0)
+            bn_n = wr17(bn_n, bn, n1, m2)
+            cleared = low_now & ~jnp.where(n1 < 5,
+                                           jax.lax.shift_left(
+                                               jnp.int32(1), n1c), 0)
+            bn_low = wr17(bn_low, bn, cleared, m2)
+            bit = jnp.where(m2, bitv ^ inv.astype(jnp.int32), 0)
+
+            # counter update (skipped for the fixed cat-3 pseudo-context)
+            mu = m2 & ~cat3
+            tc2 = tc0 + 1
+            zc2 = zc0 + jnp.where(bit == 0, 1, 0)
+            resc = tc2 >= C.CONTEXT_RESCALING_CAP
+            tc2 = jnp.where(resc, tc2 >> 1, tc2)
+            zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
+            zero = wr17(zero, ctx, zc2, mu)
+            total = wr17(total, ctx, tc2, mu)
+            return (zero, total, bn_n, bn_low, bn_idx, dwords, pos,
+                    err), bit
+
+        # ---- row buffer fills ---------------------------------------
+        ONEB = NBUF // 8
+
+        def fill_row(bsel_sig, bsel_sgn, r):
+            """buf[bsel_*][8 + c] = sig/sgn of seg row r at plane prev
+            (above/cur-at-lsb rows only ever come from copies + in-place
+            updates, never from a fill)."""
+            plane = prev
+
+            def tilefill(t, _):
+                px = r * Wpad + t * 8
+                rows = out_ref[pl.ds(px, 8), :]
+                mag = rows & magmask[None, :]
+                s = ((jax.lax.shift_right_logical(mag, plane[None, :]))
+                     != 0).astype(jnp.int32)
+                neg = jax.lax.shift_right_logical(
+                    rows, mag_bits[None, :]) & 1
+                sg = jnp.where(s != 0, -neg, 0)
+                valid_row = (r < h_l)[None, :]
+                s = jnp.where(valid_row, s, 0)
+                sg = jnp.where(valid_row, sg, 0)
+                buf_ref[bsel_sig, pl.ds(8 + t * 8, 8), :] = s
+                buf_ref[bsel_sgn, pl.ds(8 + t * 8, 8), :] = sg
+                return 0
+
+            jax.lax.fori_loop(0, ntiles, tilefill, 0)
+
+        def zero_row(bsel):
+            buf_ref[bsel, :, :] = jnp.zeros((NBUF, LANES), jnp.int32)
+
+        def copy_row(dst, src):
+            buf_ref[dst, :, :] = buf_ref[src, :, :]
+
+        # ---- init ---------------------------------------------------
+        err_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
+        pos_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
+        for b in range(8):
+            zero_row(b)
+        fill_row(2, 6, 0)              # cur @ prev
+        copy_row(1, 2)                 # cur @ lsb starts == cur @ prev
+        copy_row(5, 6)
+
+        if Hmax > 1:
+            fill_row(3, 7, 1)          # below @ prev
+
+        st0 = (jnp.full((17, LANES), 2, jnp.int32),
+               jnp.full((17, LANES), 4, jnp.int32),
+               jnp.zeros((17, LANES), jnp.int32),
+               jnp.zeros((17, LANES), jnp.int32),
+               jnp.zeros((17, LANES), jnp.int32),
+               jnp.zeros((LANES,), jnp.int32),
+               jnp.zeros((LANES,), jnp.int32),
+               jnp.zeros((LANES,), jnp.bool_) | ~active0)
+
+        # ---- main sweep ---------------------------------------------
+        def row_body(r, st):
+            def tile_body(t, st):
+                base = r * Wpad + t * 8
+                seg_tile = out_ref[pl.ds(base, 8), :]
+                as_t = buf_ref[0, pl.ds(8 + t * 8 - 1, 10), :]
+                cs_t = buf_ref[1, pl.ds(8 + t * 8 - 1, 10), :]
+                cp_t = buf_ref[2, pl.ds(8 + t * 8 - 1, 10), :]
+                bp_t = buf_ref[3, pl.ds(8 + t * 8 - 1, 10), :]
+                ag_t = buf_ref[4, pl.ds(8 + t * 8 - 1, 10), :]
+                cg_t = buf_ref[5, pl.ds(8 + t * 8 - 1, 10), :]
+                pg_t = buf_ref[6, pl.ds(8 + t * 8 - 1, 10), :]
+                bg_t = buf_ref[7, pl.ds(8 + t * 8 - 1, 10), :]
+
+                def px_body(j, carry):
+                    st, seg_tile, cs_t, cg_t = carry
+                    c = t * 8 + j
+                    act = (r < h_l) & (c < w_l)
+
+                    def rowsel(tile, k, n):
+                        out = jnp.zeros((LANES,), jnp.int32)
+                        for q in range(n):
+                            out = jnp.where(k == q, tile[q, :], out)
+                        return out
+
+                    def row10(tile, k):
+                        return rowsel(tile, k, 10)
+
+                    v = rowsel(seg_tile, j, 8)
+                    mag = v & magmask
+                    msb = jnp.zeros((LANES,), jnp.int32)
+                    for kk in range(1, 17):
+                        msb = msb + (mag >= (1 << kk))
+                    cat = jnp.clip(msb - lsb, 0, 3)
+
+                    # neighbor counts from buffers (index j+1 == column c
+                    # relative to the loaded 10-wide strips)
+                    hc = row10(cs_t, j) + row10(cp_t, j + 2)
+                    vc = row10(as_t, j + 1) + row10(bp_t, j + 1)
+                    dc = (row10(as_t, j) + row10(bp_t, j)
+                          + row10(as_t, j + 2) + row10(bp_t, j + 2))
+                    hh = jnp.where(is_hl, vc, hc)
+                    vv = jnp.where(is_hl, hc, vc)
+                    ctx_ll = _plookup(
+                        _LLPK,
+                        (jnp.clip(hh, 0, 2) * 3 + jnp.clip(vv, 0, 2)) * 5
+                        + dc, jnp)
+                    ctx_hh = _plookup(
+                        _HHPK, jnp.clip(hh + vv, 0, 4) * 5 + dc, jnp)
+                    ctx0 = jnp.where(is_hh, ctx_hh, ctx_ll)
+                    ctx = jnp.where(
+                        cat == 0, ctx0,
+                        jnp.where(cat == 1,
+                                  jnp.where(hc + vc == 0, 9, 10), 11))
+                    cat3 = cat == 3
+                    ctx = jnp.where(cat3, 0, ctx)
+
+                    st, bit = decode_bit(st, ctx, act, cat3)
+                    err = st[7]
+                    ok = act & ~err
+                    newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
+                                     v)
+                    # significance update for newly-significant pixels
+                    new_sig = jnp.where(cat == 0, bit,
+                                        jnp.ones((LANES,), jnp.int32))
+                    cs_new = jnp.where(ok & (cat == 0), new_sig,
+                                       row10(cs_t, j + 1))
+
+                    # sign pass
+                    sgn_act = ok & (cat == 0) & (bit == 1)
+                    sh = (2 + row10(cg_t, j) + row10(pg_t, j + 2))
+                    sv = (2 + row10(ag_t, j + 1) + row10(bg_t, j + 1))
+                    sh2 = jnp.where(is_hl, sv, sh)
+                    sv2 = jnp.where(is_hl, sh, sv)
+                    sctx = _plookup(_SCPK, sh2 * 5 + sv2, jnp)
+                    pred = _plookup(_SPPK, sh2 * 5 + sv2, jnp)
+                    st, agree = decode_bit(st, sctx, sgn_act,
+                                           jnp.zeros((LANES,), jnp.bool_))
+                    err = st[7]
+                    ok2 = sgn_act & ~err
+                    actual = (agree ^ pred) & 1
+                    newv = jnp.where(
+                        ok2, newv | jax.lax.shift_left(actual, mag_bits),
+                        newv)
+                    # sign buffer update: newly significant -> -actual;
+                    # already-significant keep their prev-plane sign
+                    cg_new = jnp.where(ok2, -actual, row10(cg_t, j + 1))
+
+                    # write back pixel + buffer columns (10-wide strips,
+                    # column c is index j+1)
+                    iota10 = jax.lax.broadcasted_iota(
+                        jnp.int32, (10, LANES), 0)
+                    sel_j1 = iota10 == (j + 1)
+                    cs_t = jnp.where(sel_j1 & ok[None, :],
+                                     cs_new[None, :], cs_t)
+                    cg_t = jnp.where(sel_j1 & ok2[None, :],
+                                     cg_new[None, :], cg_t)
+                    iota8 = jax.lax.broadcasted_iota(
+                        jnp.int32, (8, LANES), 0)
+                    seg_tile = jnp.where((iota8 == j) & ok[None, :],
+                                         newv[None, :], seg_tile)
+                    return (st, seg_tile, cs_t, cg_t)
+
+                st, seg_tile, cs_t, cg_t = jax.lax.fori_loop(
+                    0, 8, px_body, (st, seg_tile, cs_t, cg_t))
+                out_ref[pl.ds(base, 8), :] = seg_tile
+                buf_ref[1, pl.ds(8 + t * 8 - 1, 10), :] = cs_t
+                buf_ref[5, pl.ds(8 + t * 8 - 1, 10), :] = cg_t
+                return st
+
+            st = jax.lax.fori_loop(0, ntiles, tile_body, st)
+
+            # rotate row buffers for row r+1
+            copy_row(0, 1)
+            copy_row(4, 5)
+            copy_row(2, 3)
+            copy_row(6, 7)
+            copy_row(1, 2)
+            copy_row(5, 6)
+
+            @pl.when(r + 2 < Hmax)
+            def _():
+                fill_row(3, 7, r + 2)
+
+            @pl.when(r + 2 >= Hmax)
+            def _():
+                zero_row(3)
+                zero_row(7)
+
+            return st
+
+        st = jax.lax.fori_loop(0, Hmax, row_body, st0)
+        err_ref[0, :] = st[7].astype(jnp.int32)
+        pos_ref[0, :] = st[6]
+
+    def run_impl(words, geom, seg):
+        out, err, pos = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((PX, LANES), jnp.int32),
+                       jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+                       jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
+            interpret=interpret,
+        )(words, geom, seg)
+        return out, err[0], pos[0]
+
+    if interpret:
+        def run(words, geom, seg):
+            import jax
+            with jax.default_device(jax.devices("cpu")[0]):
+                return run_impl(words, geom, seg)
+        return run
+    import jax
+    return jax.jit(run_impl)

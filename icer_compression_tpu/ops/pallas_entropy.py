@@ -397,6 +397,27 @@ def _tail_flush(fk, fnb, jnp):
     return code, bits
 
 
+def order_and_pack_lane(code, nbits, opn, done, xp):
+    """One lane's record stream -> (payload bytes, total bits, flush flag).
+
+    The sort-centric ordering/packing stages of ops/entropy_jax2 applied
+    to a kernel record stream: order by opening emission (output order ==
+    codeword allocation order, icer_encoding.c:114-139), detect the
+    CIRC_BUF flush condition, pack.  ``done`` is each record row's
+    completion index (row index for in-stream rows, BIG for flush rows).
+    """
+    from . import entropy_jax2 as E2
+
+    rec_valid = nbits > 0
+    rkey = xp.where(rec_valid, opn, BIG)
+    skey, (c2, n2, d2, rv) = E2._sort_by(
+        rkey, (code, nbits, done, rec_valid.astype(xp.int32)), xp)
+    rv = rv != 0
+    flush = E2.detect_flush_records(skey, d2, rv, xp)
+    payload, total = E2.pack_records(c2, n2, rv, xp)
+    return payload, total, flush
+
+
 def encode_lanes_pallas_full(valid, ctx, bit, run=None, host_post=False):
     """Full encode of (L, LANES) emission streams via the kernel + the
     sort-centric ordering/packing stages.  Returns per-lane
@@ -414,15 +435,7 @@ def encode_lanes_pallas_full(valid, ctx, bit, run=None, host_post=False):
         run = make_encode_lanes_pallas(L)
     code, nbits, opn = run(valid, ctx, bit)
 
-    def per_lane(c, n, o, d, xp):
-        rec_valid = n > 0
-        rkey = xp.where(rec_valid, o, BIG)
-        skey, (c2, n2, d2, rv) = E2._sort_by(
-            rkey, (c, n, d, rec_valid.astype(xp.int32)), xp)
-        rv = rv != 0
-        flush = E2.detect_flush_records(skey, d2, rv, xp)
-        payload, total = E2.pack_records(c2, n2, rv, xp)
-        return payload, total, flush
+    per_lane = order_and_pack_lane
 
     if host_post:
         code, nbits, opn = (np.asarray(code), np.asarray(nbits),

@@ -1,0 +1,31 @@
+"""Lane-batched decompress orchestration (models/decode_jax) vs the
+production decoder -- the TPU decode execution model, end to end."""
+
+import numpy as np
+import pytest
+
+from icer_compression_tpu.models.decode_jax import decompress_lanes
+from icer_compression_tpu.models.grayscale import (CodecConfig, compress,
+                                                   decompress)
+from icer_compression_tpu.utils.faults import corrupt_random, truncate
+
+
+@pytest.mark.parametrize("h,w,stages,filt,segs,dtype", [
+    (64, 64, 3, 0, 3, np.uint16),
+    (61, 97, 2, 1, 4, np.uint16),
+    (48, 48, 2, 0, 2, np.uint8),
+    (96, 64, 4, 3, 6, np.uint16),
+])
+def test_decompress_lanes_matches(rng, h, w, stages, filt, segs, dtype):
+    from conftest import make_test_image
+    amp, noise = (100, 25) if dtype == np.uint8 else (200, 40)
+    img = make_test_image(h, w, rng, dtype=dtype, amplitude=amp,
+                          noise=noise)
+    cfg = CodecConfig(stages=stages, filt=filt, segments=segs,
+                      byte_quota=h * w * 4)
+    s = compress(img, cfg)
+    assert np.array_equal(decompress(s, cfg, dtype=dtype),
+                          decompress_lanes(s, cfg, dtype=dtype))
+    for mod in (truncate(s, 0.4), corrupt_random(s, 6, seed=1)):
+        assert np.array_equal(decompress(mod, cfg, dtype=dtype),
+                              decompress_lanes(mod, cfg, dtype=dtype))

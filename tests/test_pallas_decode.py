@@ -1,0 +1,115 @@
+"""Pallas batched decoder kernel vs the validated numpy lane model.
+
+Interpret-mode (eager CPU) execution; opt in with ICER_RUN_PALLAS_TESTS=1
+(same gating/rationale as test_pallas_entropy.py).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import os
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ICER_RUN_PALLAS_TESTS") != "1",
+    reason="slow remote compile; set ICER_RUN_PALLAS_TESTS=1")
+
+import jax.numpy as jnp  # noqa: E402
+
+from icer_compression_tpu.backend import sequential as S  # noqa: E402
+from icer_compression_tpu.ops import decode_lanes as DL  # noqa: E402
+from icer_compression_tpu.ops import pallas_decode as PD  # noqa: E402
+from icer_compression_tpu.ops.context_model import plane_emissions  # noqa: E402
+
+
+def _encode_plane(seg, subband, lsb, mag_bits):
+    valid, ctx, bit = plane_emissions(seg, subband, lsb, mag_bits)
+    payload, nbits, _ = S.encode_emissions(valid, ctx, bit)
+    return payload, nbits
+
+
+def test_pallas_decode_plane_matches_model(rng):
+    n = PD.LANES
+    Hmax, Wpad = 4, 8
+    mag_bits = 7
+    lsb_v = 2
+    h = rng.integers(1, Hmax + 1, n).astype(np.int32)
+    w = rng.integers(1, Wpad + 1, n).astype(np.int32)
+    subband = rng.integers(0, 4, n).astype(np.int32)
+
+    full = np.zeros((Hmax, Wpad, n), np.int32)
+    for lane in range(n):
+        mag = rng.integers(0, 1 << mag_bits, (h[lane], w[lane]))
+        if lane % 3 == 1:
+            mag = (mag > 64) * mag
+        if lane % 3 == 2:
+            mag = np.zeros_like(mag)
+        sign = rng.integers(0, 2, (h[lane], w[lane]))
+        full[:h[lane], :w[lane], lane] = mag | (sign << mag_bits)
+
+    # encode plane lsb_v of each lane
+    payloads = []
+    for lane in range(n):
+        payloads.append(_encode_plane(full[:h[lane], :w[lane], lane],
+                                      int(subband[lane]), lsb_v, mag_bits))
+    # lane 9: truncate (error containment check)
+    payloads[9] = (payloads[9][0][:1], payloads[9][1])
+
+    # seg state with planes above lsb_v already decoded
+    magmask = (1 << mag_bits) - 1
+    seg0 = (full & magmask & ~((1 << (lsb_v + 1)) - 1)).astype(np.int32)
+    sig_above = (seg0 & magmask) != 0
+    seg0 |= np.where(sig_above, full & (1 << mag_bits), 0)
+
+    # numpy model decode
+    maxb = max(len(p) for p, _ in payloads) + 8
+    data = np.zeros((n, maxb), np.uint8)
+    readable = np.zeros(n, np.int64)
+    ebits = np.zeros(n, np.int64)
+    for lane, (p, nb) in enumerate(payloads):
+        data[lane, :len(p)] = np.frombuffer(bytes(p), np.uint8)
+        readable[lane] = len(p)
+        ebits[lane] = nb
+    ref = seg0.copy()
+    dec = DL.LaneDecoders(data, readable, ebits)
+    ok_ref = DL.decode_plane_lanes(ref, h, w, subband,
+                                   np.full(n, lsb_v, np.int32),
+                                   np.full(n, mag_bits, np.int32), dec,
+                                   np.ones(n, bool))
+
+    # pallas kernel decode
+    # little-endian bytes -> int32 words, LSB-first bit order
+    NW = ((maxb + 3) // 4 + 7) // 8 * 8
+    wbytes = np.zeros((NW * 4, n), np.uint8)
+    for lane in range(n):
+        wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
+    words = (wbytes[0::4].astype(np.int64)
+             | (wbytes[1::4].astype(np.int64) << 8)
+             | (wbytes[2::4].astype(np.int64) << 16)
+             | (wbytes[3::4].astype(np.int64) << 24))
+    words = (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    geom = np.zeros((8, n), np.int32)
+    geom[0] = h
+    geom[1] = w
+    geom[2] = subband
+    geom[3] = lsb_v
+    geom[4] = mag_bits
+    geom[5] = 1
+    geom[6] = ebits
+    geom[7] = readable * 8
+
+    seg_rows = seg0.reshape(Hmax * Wpad, n)
+    run = PD.make_decode_plane_pallas(Hmax * Wpad, Wpad, NW,
+                                      interpret=True)
+    out, err, pos = run(jnp.asarray(words), jnp.asarray(geom),
+                        jnp.asarray(seg_rows))
+    out = np.asarray(out).reshape(Hmax, Wpad, n)
+    err = np.asarray(err)
+
+    assert np.array_equal(err != 0, ~ok_ref), "error flags differ"
+    good = np.nonzero(ok_ref)[0]
+    assert np.array_equal(out[..., good], ref[..., good]), "pixels differ"
+    # errored lane's partial state must match the model's too
+    bad = np.nonzero(~ok_ref)[0]
+    assert np.array_equal(out[..., bad], ref[..., bad])
