@@ -15,7 +15,7 @@ import functools
 from dataclasses import dataclass, field
 
 from .constants import (
-    BITPLANES_8, BITPLANES_16, MAX_DECOMP_STAGES, MAX_SEGMENTS,
+    MAX_DECOMP_STAGES,
     SUBBAND_LL, SUBBAND_HL, SUBBAND_LH, SUBBAND_HH, SUBBAND_MAX,
 )
 

@@ -63,6 +63,10 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
         ww = np.array([t["w"] for t in lanes], np.int32)
         sb = np.array([t["subband"] for t in lanes], np.int32)
         alive = np.ones(n, bool)
+        # One payload-window size per bucket (max over all rounds): every
+        # round then shares one kernel instance / one compiled program.
+        per_round = []
+        bucket_maxb = 8
         for rnd in range(bitplanes):
             lsb = bitplanes - 1 - rnd
             offs = np.full(n, -1, np.int64)
@@ -72,13 +76,27 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                                  lsb))
                 if ent is not None:
                     offs[i], ebits[i] = ent
+            per_round.append((lsb, offs, ebits))
+            have = offs >= 0
+            if have.any():
+                mb = min(int(len(stream) - offs[have].min()),
+                         int(ebits.max() // 8 + 4096))
+                bucket_maxb = max(bucket_maxb, mb)
+        if backend.startswith("pallas"):
+            _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata,
+                           bucket_maxb,
+                           interpret=(backend == "pallas-interpret"))
+            for i, t in enumerate(lanes):
+                img[t["row"]:t["row"] + t["h"],
+                    t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
+            continue
+        for (lsb, offs, ebits) in per_round:
             alive &= offs >= 0
             if not alive.any():
                 break
             # per-lane plane payload views; readable extent runs to the
             # stream end (the reference's zero-copy over-read semantics)
-            maxb = int((len(stream) - offs[alive].min()))
-            maxb = min(maxb, int(ebits.max() // 8 + 4096))
+            maxb = bucket_maxb
             data = np.zeros((n, max(maxb, 8)), np.uint8)
             readable = np.zeros(n, np.int64)
             for i in range(n):
@@ -88,15 +106,11 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 chunkb = sdata[offs[i]:end]
                 data[i, :len(chunkb)] = chunkb
                 readable[i] = len(chunkb)
-            if backend == "model":
-                dec = DL.LaneDecoders(data, readable, ebits)
-                ok = DL.decode_plane_lanes(
-                    seg, hh, ww, sb, np.full(n, lsb, np.int32),
-                    np.full(n, mag_bits, np.int32), dec, alive)
-                alive &= ok
-            else:
-                alive &= _pallas_round(seg, hh, ww, sb, lsb, mag_bits,
-                                       data, readable, ebits, alive)
+            dec = DL.LaneDecoders(data, readable, ebits)
+            ok = DL.decode_plane_lanes(
+                seg, hh, ww, sb, np.full(n, lsb, np.int32),
+                np.full(n, mag_bits, np.int32), dec, alive)
+            alive &= ok
         for i, t in enumerate(lanes):
             img[t["row"]:t["row"] + t["h"],
                 t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
@@ -154,6 +168,76 @@ def _pallas_round(seg, hh, ww, sb, lsb, mag_bits, data, readable, ebits,
         seg[:, :, idx] = out[:, :Wmax, :m]
         ok[idx] = (err[:m] == 0) & alive[idx]
     return ok
+
+
+def _words_from_bytes(db: np.ndarray) -> np.ndarray:
+    """(n, 4*NW) little-endian bytes -> (n, NW) int32 words, LSB-first."""
+    w = (db[:, 0::4].astype(np.int64)
+         | (db[:, 1::4].astype(np.int64) << 8)
+         | (db[:, 2::4].astype(np.int64) << 16)
+         | (db[:, 3::4].astype(np.int64) << 24))
+    return (w & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
+                   interpret=False):
+    """All plane rounds of one bucket in ONE kernel call per 128-lane
+    block (the multi-round gridded kernel; retirement carried on-chip)."""
+    import jax.numpy as jnp
+    from ..ops import pallas_decode as PD
+
+    Hmax, Wmax, n = seg.shape
+    Wpad = -(-Wmax // 8) * 8
+    PX = Hmax * Wpad
+    nbytes = max(maxb, 8)
+    NW = -(-(-(-nbytes // 4)) // 8) * 8
+    R = len(per_round)
+    key = (PX, Wpad, NW, R, interpret)
+    run = _PALLAS_RUNS.get(key)
+    if run is None:
+        run = PD.make_decode_plane_pallas(PX, Wpad, NW,
+                                          interpret=interpret, nrounds=R)
+        _PALLAS_RUNS[key] = run
+
+    # per-round stacked words + geometry
+    stream_len = len(sdata)
+    words_r = np.zeros((R, NW, n), np.int32)
+    geom_r = np.zeros((R, 8, n), np.int32)
+    present = np.ones(n, bool)
+    for r, (lsb, offs, ebits) in enumerate(per_round):
+        present = present & (offs >= 0)
+        db = np.zeros((n, NW * 4), np.uint8)
+        readable = np.zeros(n, np.int64)
+        for i in range(n):
+            if not present[i]:
+                continue
+            end = min(stream_len, offs[i] + NW * 4)
+            chunkb = sdata[offs[i]:end]
+            db[i, :len(chunkb)] = chunkb
+            readable[i] = len(chunkb)
+        words_r[r] = _words_from_bytes(db).T
+        geom_r[r, 0] = hh
+        geom_r[r, 1] = ww
+        geom_r[r, 2] = sb
+        geom_r[r, 3] = lsb
+        geom_r[r, 4] = mag_bits
+        geom_r[r, 5] = present
+        geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
+        geom_r[r, 7] = readable * 8
+
+    for blk in range(0, n, PD.LANES):
+        idx = np.arange(blk, min(blk + PD.LANES, n))
+        m = len(idx)
+        segp = np.zeros((Hmax, Wpad, PD.LANES), np.int32)
+        segp[:, :Wmax, :m] = seg[:, :, idx]
+        words = np.zeros((R * NW, PD.LANES), np.int32)
+        words.reshape(R, NW, PD.LANES)[:, :, :m] = words_r[:, :, idx]
+        geom = np.zeros((R * 8, PD.LANES), np.int32)
+        geom.reshape(R, 8, PD.LANES)[:, :, :m] = geom_r[:, :, idx]
+        out, _err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
+                              jnp.asarray(segp.reshape(PX, PD.LANES)))
+        out = np.asarray(out).reshape(Hmax, Wpad, PD.LANES)
+        seg[:, :, idx] = out[:, :Wmax, :m]
 
 
 def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,

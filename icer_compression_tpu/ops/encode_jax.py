@@ -167,6 +167,7 @@ class JaxGrayscaleEncoder:
         self.blob_cap = blob_cap
 
         self._fused = jax.jit(self._make_fused_fn())
+        self._batch_fns: dict[int, object] = {}
         self._transform = jax.jit(self._transform_fn)
 
     # ---- device functions ----------------------------------------------
@@ -351,11 +352,31 @@ class JaxGrayscaleEncoder:
         return fused
 
     # ---- host orchestration --------------------------------------------
+    def encode_batch(self, images: np.ndarray):
+        """Batched encode of (B, h, w) same-geometry images.
+
+        One device round trip for the whole batch (the fused program
+        vmapped over the leading axis); per-image unpack + flush/overflow
+        fallbacks identical to encode().  Returns a list of
+        (payload_table, ll_mean) pairs.
+        """
+        jnp = self.jnp
+        B = images.shape[0]
+        fn = self._batch_fns.get(B)
+        if fn is None:
+            fn = self.jax.jit(self.jax.vmap(self._make_fused_fn()))
+            self._batch_fns[B] = fn
+        out = np.asarray(fn(jnp.asarray(images)))
+        return [self._unpack(out[i], images[i]) for i in range(B)]
+
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},
         ll_mean)."""
         jnp = self.jnp
         out = np.asarray(self._fused(jnp.asarray(image)))
+        return self._unpack(out, image)
+
+    def _unpack(self, out: np.ndarray, image: np.ndarray):
         n = self.n_lanes
         meta_bytes = 4 * (2 * n + 4)
         meta = out[:meta_bytes].view(np.int32)

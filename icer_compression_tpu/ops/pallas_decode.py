@@ -86,11 +86,20 @@ def _plookup(packed, idx, jnp):
     return out
 
 
-def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
-    """Kernel factory: decode one bitplane of LANES segments.
+def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
+                             nrounds: int | None = None):
+    """Kernel factory: decode bitplanes of LANES segments.
 
     PX = padded pixel rows of the seg array (multiple of Wpad), Wpad the
-    padded width (multiple of 8), NW the stream word rows.
+    padded width (multiple of 8), NW the stream word rows per round.
+
+    With ``nrounds=None`` one call decodes a single plane (words (NW,
+    LANES), geom (8, LANES)).  With ``nrounds=R`` the kernel grids over R
+    plane rounds in one call -- words (R*NW, LANES) and geom (R*8, LANES)
+    stacked per round -- and the per-lane retirement mask (first missing
+    plane or stream error stops a lane for all later rounds, matching the
+    reference's per-segment plane loop) persists in the err output across
+    rounds.  One device round trip for a whole bucket's decode.
     """
     import jax
     import jax.numpy as jnp
@@ -101,6 +110,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
     Hmax = PX // Wpad
     ntiles = Wpad // 8
     NBUF = Wpad + 16  # row buffers with one spare tile each side
+
+    multi = nrounds is not None
 
     def kernel(words_ref, geom_ref, seg_ref, out_ref, err_ref, pos_ref,
                buf_ref):
@@ -115,13 +126,25 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
         active0 = geom_ref[5, :] != 0
         ebits = geom_ref[6, :]
         readable = geom_ref[7, :]
+        if multi:
+            g = pl.program_id(0)
+            # retirement persists across rounds via the err output block
+            prev_err = jnp.where(g == 0, 0, err_ref[0, :])
+        else:
+            g = 0
+            prev_err = jnp.zeros((LANES,), jnp.int32)
         magmask = (jnp.int32(1) << mag_bits) - 1
         prev = lsb + 1
         is_hl = subband == 1
         is_hh = subband == 3
         iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
 
-        out_ref[:] = seg_ref[:]
+        if multi:
+            @pl.when(g == 0)
+            def _():
+                out_ref[:] = seg_ref[:]
+        else:
+            out_ref[:] = seg_ref[:]
 
         def sel17(st, cc):
             out = jnp.zeros((LANES,), jnp.int32)
@@ -172,7 +195,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
 
         # ---- one decode_bit over all lanes --------------------------
         def decode_bit(st, ctx, act, cat3):
-            (zero, total, bn_n, bn_low, bn_idx, dwords, pos, err) = st
+            (zero, total, bn_n, bn_low, bn_idx, dwords, pos, erri) = st
+            err = erri != 0
             m = act & ~err
             zc0 = sel17(zero, ctx)
             tc0 = sel17(total, ctx)
@@ -244,6 +268,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
             uok = un & ~uerr
 
             err = err | gerr | cerr | uerr
+            erri = jnp.where(err, 1, erri).astype(jnp.int32)
             okany = gok | cok | uok
             adv = jnp.where(gok, adv_g, jnp.where(cok, hit, 1))
             new_n = jnp.where(gok, zeros_g + ones_g,
@@ -282,7 +307,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
             zero = wr17(zero, ctx, zc2, mu)
             total = wr17(total, ctx, tc2, mu)
             return (zero, total, bn_n, bn_low, bn_idx, dwords, pos,
-                    err), bit
+                    erri), bit
 
         # ---- row buffer fills ---------------------------------------
         ONEB = NBUF // 8
@@ -336,7 +361,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
                jnp.zeros((17, LANES), jnp.int32),
                jnp.zeros((LANES,), jnp.int32),
                jnp.zeros((LANES,), jnp.int32),
-               jnp.zeros((LANES,), jnp.bool_) | ~active0)
+               jnp.where(active0 & (prev_err == 0), 0,
+                         1).astype(jnp.int32))
 
         # ---- main sweep ---------------------------------------------
         def row_body(r, st):
@@ -396,7 +422,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
                     ctx = jnp.where(cat3, 0, ctx)
 
                     st, bit = decode_bit(st, ctx, act, cat3)
-                    err = st[7]
+                    err = st[7] != 0
                     ok = act & ~err
                     newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
                                      v)
@@ -415,8 +441,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
                     sctx = _plookup(_SCPK, sh2 * 5 + sv2, jnp)
                     pred = _plookup(_SPPK, sh2 * 5 + sv2, jnp)
                     st, agree = decode_bit(st, sctx, sgn_act,
-                                           jnp.zeros((LANES,), jnp.bool_))
-                    err = st[7]
+                                           sgn_act & ~sgn_act)
+                    err = st[7] != 0
                     ok2 = sgn_act & ~err
                     actual = (agree ^ pred) & 1
                     newv = jnp.where(
@@ -470,20 +496,46 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False):
             return st
 
         st = jax.lax.fori_loop(0, Hmax, row_body, st0)
-        err_ref[0, :] = st[7].astype(jnp.int32)
+        err_ref[0, :] = st[7]
         pos_ref[0, :] = st[6]
 
     def run_impl(words, geom, seg):
-        out, err, pos = pl.pallas_call(
-            kernel,
-            out_shape=[jax.ShapeDtypeStruct((PX, LANES), jnp.int32),
-                       jax.ShapeDtypeStruct((1, LANES), jnp.int32),
-                       jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-            scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
-            interpret=interpret,
-        )(words, geom, seg)
+        if multi:
+            call = pl.pallas_call(
+                kernel,
+                grid=(nrounds,),
+                out_shape=[jax.ShapeDtypeStruct((PX, LANES), jnp.int32),
+                           jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+                           jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
+                in_specs=[
+                    pl.BlockSpec((NW, LANES), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, LANES), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((PX, LANES), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=[
+                    pl.BlockSpec((PX, LANES), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, LANES), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, LANES), lambda g: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
+                interpret=interpret,
+            )
+        else:
+            call = pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((PX, LANES), jnp.int32),
+                           jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+                           jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
+                interpret=interpret,
+            )
+        out, err, pos = call(words, geom, seg)
         return out, err[0], pos[0]
 
     if interpret:

@@ -113,3 +113,76 @@ def test_pallas_decode_plane_matches_model(rng):
     # errored lane's partial state must match the model's too
     bad = np.nonzero(~ok_ref)[0]
     assert np.array_equal(out[..., bad], ref[..., bad])
+
+
+def test_pallas_decode_multitile(rng):
+    """Wpad=16 (two column tiles): exercises the strip-boundary carry."""
+    n = PD.LANES
+    Hmax, Wpad = 3, 16
+    mag_bits = 7
+    lsb_v = 1
+    h = np.full(n, Hmax, np.int32)
+    w = rng.integers(9, Wpad + 1, n).astype(np.int32)  # always > 1 tile
+    subband = rng.integers(0, 4, n).astype(np.int32)
+
+    full = np.zeros((Hmax, Wpad, n), np.int32)
+    for lane in range(n):
+        mag = rng.integers(0, 1 << mag_bits, (Hmax, w[lane]))
+        if lane % 2:
+            mag = (mag > 80) * mag
+        sign = rng.integers(0, 2, (Hmax, w[lane]))
+        full[:, :w[lane], lane] = mag | (sign << mag_bits)
+
+    payloads = []
+    for lane in range(n):
+        payloads.append(_encode_plane(full[:, :w[lane], lane],
+                                      int(subband[lane]), lsb_v, mag_bits))
+
+    magmask = (1 << mag_bits) - 1
+    seg0 = (full & magmask & ~((1 << (lsb_v + 1)) - 1)).astype(np.int32)
+    sig_above = (seg0 & magmask) != 0
+    seg0 |= np.where(sig_above, full & (1 << mag_bits), 0)
+
+    maxb = max(len(p) for p, _ in payloads) + 8
+    data = np.zeros((n, maxb), np.uint8)
+    readable = np.zeros(n, np.int64)
+    ebits = np.zeros(n, np.int64)
+    for lane, (p, nb) in enumerate(payloads):
+        data[lane, :len(p)] = np.frombuffer(bytes(p), np.uint8)
+        readable[lane] = len(p)
+        ebits[lane] = nb
+    ref = seg0.copy()
+    dec = DL.LaneDecoders(data, readable, ebits)
+    ok_ref = DL.decode_plane_lanes(ref, h, w, subband,
+                                   np.full(n, lsb_v, np.int32),
+                                   np.full(n, mag_bits, np.int32), dec,
+                                   np.ones(n, bool))
+    assert ok_ref.all()
+
+    NW = ((maxb + 3) // 4 + 7) // 8 * 8
+    wbytes = np.zeros((NW * 4, n), np.uint8)
+    for lane in range(n):
+        wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
+    words = (wbytes[0::4].astype(np.int64)
+             | (wbytes[1::4].astype(np.int64) << 8)
+             | (wbytes[2::4].astype(np.int64) << 16)
+             | (wbytes[3::4].astype(np.int64) << 24))
+    words = (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    geom = np.zeros((8, n), np.int32)
+    geom[0] = h
+    geom[1] = w
+    geom[2] = subband
+    geom[3] = lsb_v
+    geom[4] = mag_bits
+    geom[5] = 1
+    geom[6] = ebits
+    geom[7] = readable * 8
+
+    run = PD.make_decode_plane_pallas(Hmax * Wpad, Wpad, NW,
+                                      interpret=True)
+    out, err, _ = run(jnp.asarray(words), jnp.asarray(geom),
+                      jnp.asarray(seg0.reshape(Hmax * Wpad, n)))
+    out = np.asarray(out).reshape(Hmax, Wpad, n)
+    assert not np.asarray(err).any()
+    assert np.array_equal(out, ref)
