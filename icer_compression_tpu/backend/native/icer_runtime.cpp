@@ -543,7 +543,32 @@ int decode_plane(int32_t *seg, int h, int w, int rowstride, int subband,
       if (cat == 3) {
         // Uncoded bin with counts (1,2): no inversion, bin 0, and the
         // 1-bit FIFO always drains immediately -- inline the read while
-        // keeping decoded_words/bin_index bookkeeping identical.
+        // keeping decoded_words/bin_index bookkeeping identical.  Runs
+        // of consecutive cat-3 pixels read in up-to-16-bit batches (the
+        // out-of-data guard compares a constant n against the frozen
+        // plane total, so batching only when the total covers the batch
+        // keeps the error semantics exactly).
+        if (dec.encoded_bits >= 16) {
+          int cend = c;
+          const int32_t hi = ((int32_t)1) << (lsb + 3);
+          while (cend < w
+                 && (seg[r * rowstride + cend] & magmask) >= hi)
+            cend++;
+          int run = cend - c;
+          while (run > 0) {
+            int take = run < 16 ? run : 16;
+            uint32_t bits = dec.pop_bits(take);
+            for (int k = 0; k < take; k++)
+              seg[r * rowstride + c + k] |=
+                  (int32_t)((bits >> k) & 1) << lsb;
+            dec.decoded_words += take;
+            c += take;
+            run -= take;
+          }
+          dec.bin_index[0] = dec.decoded_words;
+          c--;  // loop increment
+          continue;
+        }
         uint32_t bitv = dec.pop_bits(1);
         if (dec.out_of_data) return -1;
         dec.decoded_words++;
@@ -645,6 +670,26 @@ void encode_plane(const int32_t *seg, int h, int w, int rowstride,
       int bit = (mag >> lsb) & 1;
 
       if (cat == 3) {
+        // With an empty codeword queue, a run of cat-3 pixels is a raw
+        // bit run: gather up to 16 bits and emit once (state-equivalent
+        // to per-pixel encode_uncoded, which emits directly under the
+        // same queue-empty condition).
+        if (enc.head == enc.words.size()) {
+          int cend = c;
+          const int32_t hi = ((int32_t)1) << (lsb + 3);
+          while (cend < w && (seg[r * rowstride + cend] & magmask) >= hi)
+            cend++;
+          uint32_t wbuf = 0;
+          int nb = 0;
+          for (int k = c; k < cend; k++) {
+            wbuf |= (uint32_t)(((seg[r * rowstride + k] & magmask)
+                                >> lsb) & 1) << nb;
+            if (++nb == 16) { enc.emit((uint16_t)wbuf, 16); wbuf = 0; nb = 0; }
+          }
+          if (nb) enc.emit((uint16_t)wbuf, nb);
+          c = cend - 1;
+          continue;
+        }
         enc.encode_uncoded(bit);
         continue;
       }
