@@ -7,8 +7,9 @@ the per-segment thread pool.  Backends:
 
   * "model": the validated numpy lane machine (ops/decode_lanes) -- used
     for end-to-end differential testing of the orchestration;
-  * "pallas": the TPU kernel (ops/pallas_decode), one call per
-    (bucket, round).
+  * "pallas": the TPU kernel (ops/pallas_decode), ONE call per bucket
+    (the multi-round gridded kernel decodes all plane rounds on-chip,
+    with lane retirement carried across rounds).
 
 Segments are bucketed by subband geometry so lanes in a bucket share
 (Hmax, Wmax) padding; each bucket independently walks its plane rounds.
@@ -129,7 +130,7 @@ def _pallas_round(seg, hh, ww, sb, lsb, mag_bits, data, readable, ebits,
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = data.shape[1]
-    NW = -(-(-(-nbytes // 4)) // 8) * 8
+    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
     ok = np.zeros(n, bool)
     key = (PX, Wpad, NW, interpret)
     run = _PALLAS_RUNS.get(key)
@@ -190,7 +191,7 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
-    NW = -(-(-(-nbytes // 4)) // 8) * 8
+    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
     R = len(per_round)
     key = (PX, Wpad, NW, R, interpret)
     run = _PALLAS_RUNS.get(key)

@@ -107,6 +107,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     from jax.experimental.pallas import tpu as pltpu
 
     assert Wpad % 8 == 0 and PX % Wpad == 0
+    assert NW % 8 == 0 and NW >= 16  # ring needs two tiles
     Hmax = PX // Wpad
     ntiles = Wpad // 8
     NBUF = Wpad + 16  # row buffers with one spare tile each side
@@ -114,7 +115,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     multi = nrounds is not None
 
     def kernel(words_ref, geom_ref, seg_ref, out_ref, err_ref, pos_ref,
-               buf_ref):
+               buf_ref, ring_ref):
         # buf_ref: (8, NBUF, LANES) scratch: rolling row buffers
         #   0 above_sig_lsb  1 cur_sig_lsb  2 cur_sig_prev  3 below_sig_prev
         #   4 above_sgn_lsb  5 cur_sgn_lsb  6 cur_sgn_prev  7 below_sgn_prev
@@ -156,41 +157,73 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             m = (iota17 == cc[None, :]) & mask[None, :]
             return jnp.where(m, vals[None, :], st)
 
-        # ---- stream access ------------------------------------------
-        def fetch11(pos):
-            """11-bit lookahead at per-lane bit position (one-hot fetch)."""
-            w0 = pos >> 5
-            off = pos & 31
-            acc0 = jnp.zeros((LANES,), jnp.int32)
-            acc1 = jnp.zeros((LANES,), jnp.int32)
+        # ---- stream access: per-lane 512-bit ring ---------------------
+        # Each lane holds words [rbase, rbase+16) of its stream in two
+        # (8, LANES) register tiles (r0, r1).  A single one-hot scan over
+        # the word array -- serving ALL lanes at once -- tops the ring up
+        # once per 8-pixel tile (consumption is <= 22 bits/pixel, so one
+        # 8-word advance per sweep keeps every lookahead in-ring).  Bits
+        # past a lane's readable extent are zeroed at fetch time (the
+        # reference's zero-copy over-read reads zeros here).
+        iota8L = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
-            def scan_tile(t, accs):
-                a0, a1 = accs
+        def mask_readable_tile(tile, tidx):
+            wglob = tidx[None, :] * 8 + iota8L
+            rem = readable[None, :] - wglob * 32
+            remc = jnp.clip(rem, 0, 31)
+            keep = jnp.where(
+                rem >= 32, -1,
+                jnp.where(rem <= 0, 0, (jnp.int32(1) << remc) - 1))
+            return tile & keep
+
+        def scan_tiles(tidx):
+            # (1, LANES) -> (8, LANES) broadcasts must be anchored on an
+            # (8, LANES) iota: Mosaic cannot relayout a natural (1, 128)
+            # vector into a sublane-replicated destination inside a loop.
+            tidx8 = jnp.concatenate([tidx[None, :]] * 8, axis=0)
+
+            def body(t, acc):
                 rows = words_ref[pl.ds(t * 8, 8), :]
-                base = t * 8
-                for j in range(8):
-                    rj = rows[j, :]
-                    a0 = jnp.where(w0 == base + j, rj, a0)
-                    a1 = jnp.where(w0 + 1 == base + j, rj, a1)
-                return a0, a1
+                return jnp.where(tidx8 == t, rows, acc)
+            acc = jax.lax.fori_loop(0, NW // 8,  body,
+                                    jnp.zeros((8, LANES), jnp.int32))
+            return mask_readable_tile(acc, tidx)
 
-            acc0, acc1 = jax.lax.fori_loop(0, NW // 8, scan_tile,
-                                           (acc0, acc1))
-            # zero bits past the readable extent (reference over-read = 0)
-            v0 = jnp.where(w0 * 32 < readable, acc0, 0)
-            v1 = jnp.where((w0 + 1) * 32 < readable, acc1, 0)
-            # mask the valid tail bits of a partially-readable word
-            rem0 = jnp.clip(readable - w0 * 32, 0, 31)
-            rem1 = jnp.clip(readable - (w0 + 1) * 32, 0, 31)
-            keep0 = jnp.where(readable - w0 * 32 >= 32, -1,
-                              (jnp.int32(1) << rem0) - 1)
-            keep1 = jnp.where(readable - (w0 + 1) * 32 >= 32, -1,
-                              (jnp.int32(1) << rem1) - 1)
-            v0 = v0 & keep0
-            v1 = v1 & keep1
-            lo = jax.lax.shift_right_logical(v0, off)
+        # The ring lives in VMEM scratch, not in loop carries: Mosaic's
+        # layout inference rejects 1D carries that are conditionally
+        # updated against other carries (relayout natural->replicated),
+        # so the mutable ring state is read/written through ring_ref.
+        def ring_sweep(pos):
+            r0 = ring_ref[0:8, :]
+            r1 = ring_ref[8:16, :]
+            rbase = ring_ref[16, :]
+            wi = (pos >> 5) - rbase
+            shift = wi >= 8
+            shift8 = shift[None, :]
+            fetched = scan_tiles((rbase >> 3) + 2)
+            ring_ref[0:8, :] = jnp.where(shift8, r1, r0)
+            ring_ref[8:16, :] = jnp.where(shift8, fetched, r1)
+            ring_ref[16, :] = jnp.where(shift, rbase + 8, rbase)
+
+        def ring_look11(pos):
+            r0 = ring_ref[0:8, :]
+            r1 = ring_ref[8:16, :]
+            rbase = ring_ref[16, :]
+            wi = (pos >> 5) - rbase    # 0..14 by the sweep invariant
+            off = pos & 31
+
+            def rsel(k):
+                out = jnp.zeros((LANES,), jnp.int32)
+                for q in range(8):
+                    out = jnp.where(k == q, r0[q, :], out)
+                    out = jnp.where(k == 8 + q, r1[q, :], out)
+                return out
+
+            w0 = rsel(wi)
+            w1 = rsel(wi + 1)
+            lo = jax.lax.shift_right_logical(w0, off)
             hi = jnp.where(off == 0, 0,
-                           jax.lax.shift_left(v1, (32 - off) & 31))
+                           jax.lax.shift_left(w1, (32 - off) & 31))
             return ((lo | hi) & 0x7FF).astype(jnp.int32)
 
         # ---- one decode_bit over all lanes --------------------------
@@ -213,7 +246,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             sidx = sel17(bn_idx, bn)
             need = m & ((sn <= 0) | (dwords - sidx >= C.CIRC_BUF_SIZE))
 
-            look = fetch11(pos)
+            look = ring_look11(pos)
 
             # Golomb refill
             isg = bn >= 8
@@ -354,6 +387,11 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         if Hmax > 1:
             fill_row(3, 7, 1)          # below @ prev
 
+        tz = jnp.zeros((LANES,), jnp.int32)
+        ring_ref[0:8, :] = mask_readable_tile(words_ref[pl.ds(0, 8), :], tz)
+        ring_ref[8:16, :] = mask_readable_tile(words_ref[pl.ds(8, 8), :],
+                                               tz + 1)
+        ring_ref[16, :] = tz
         st0 = (jnp.full((17, LANES), 2, jnp.int32),
                jnp.full((17, LANES), 4, jnp.int32),
                jnp.zeros((17, LANES), jnp.int32),
@@ -367,6 +405,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         # ---- main sweep ---------------------------------------------
         def row_body(r, st):
             def tile_body(t, st):
+                # ring top-up once per 8-pixel tile (see ring_sweep)
+                ring_sweep(st[6])
                 base = r * Wpad + t * 8
                 seg_tile = out_ref[pl.ds(base, 8), :]
                 as_t = buf_ref[0, pl.ds(8 + t * 8 - 1, 10), :]
@@ -521,7 +561,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
-                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
+                                pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
         else:
@@ -532,7 +573,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                            jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
+                                pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
         out, err, pos = call(words, geom, seg)

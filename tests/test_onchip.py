@@ -1,0 +1,88 @@
+"""On-hardware validation of the TPU paths (real chip required).
+
+Opt in with ICER_RUN_ONCHIP=1.  These are the drives used to validate
+round-1 bring-up; each asserts bit/pixel-exactness against the host
+paths (which are themselves oracle-verified).  First runs pay remote
+Mosaic/XLA compiles (minutes per geometry).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ICER_RUN_ONCHIP") != "1",
+    reason="needs a real TPU chip + remote compiles; set ICER_RUN_ONCHIP=1")
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from conftest import make_test_image  # noqa: E402
+
+from icer_compression_tpu.models import grayscale as G  # noqa: E402
+from icer_compression_tpu.models.grayscale import CodecConfig  # noqa: E402
+
+
+def test_jax_encode_sorted_vs_native(rng):
+    img = make_test_image(128, 128, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=3, filt=0, segments=4, byte_quota=128 * 128 * 2)
+    assert G.compress_jax(img, cfg) == G.compress(img, cfg)
+
+
+def test_jax_encode_pallas_entropy(rng):
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+    from icer_compression_tpu.models.grayscale import _JAX_ENCODERS
+    img = make_test_image(128, 128, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=3, filt=0, segments=4, byte_quota=128 * 128 * 2)
+    key = (128, 128, 3, 0, 4, 15)
+    _JAX_ENCODERS[key] = JaxGrayscaleEncoder(128, 128, 3, 0, 4, 15,
+                                             entropy="pallas")
+    try:
+        assert G.compress_jax(img, cfg) == G.compress(img, cfg)
+    finally:
+        del _JAX_ENCODERS[key]
+
+
+def test_jax_encode_uint8(rng):
+    img = make_test_image(96, 96, rng, dtype=np.uint8, amplitude=100,
+                          noise=25)
+    cfg = CodecConfig(stages=2, filt=0, segments=3, byte_quota=96 * 96 * 2)
+    assert G.compress_jax(img, cfg) == G.compress(img, cfg)
+
+
+def test_jax_encode_color(rng):
+    from icer_compression_tpu.models.color import (compress_yuv,
+                                                   compress_yuv_jax)
+    y = make_test_image(96, 96, rng, dtype=np.uint16)
+    u = make_test_image(96, 96, rng, dtype=np.uint16)
+    v = make_test_image(96, 96, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=2, filt=1, segments=3, byte_quota=96 * 96 * 6)
+    assert compress_yuv_jax(y, u, v, cfg) == compress_yuv(y, u, v, cfg)
+
+
+def test_batch_encode_matches_single(rng):
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+    imgs = np.stack([make_test_image(96, 96, rng, dtype=np.uint16)
+                     for _ in range(3)])
+    enc = JaxGrayscaleEncoder(96, 96, 2, 0, 3, 15)
+    batched = enc.encode_batch(imgs)
+    for i in range(3):
+        tb, lb = batched[i]
+        ts, ls = enc.encode(imgs[i])
+        assert lb == ls and tb == ts
+
+
+def test_pallas_decode_identity_and_faults(rng):
+    from icer_compression_tpu.models.decode_jax import decompress_lanes
+    from icer_compression_tpu.utils.faults import truncate
+    img = make_test_image(64, 64, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=64 * 64 * 4)
+    s = G.compress(img, cfg)
+    for stream in (s, truncate(s, 0.35)):
+        ref = G.decompress(stream, cfg, dtype=np.uint16)
+        out = decompress_lanes(stream, cfg, dtype=np.uint16,
+                               backend="pallas")
+        assert np.array_equal(out, ref)

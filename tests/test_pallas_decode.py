@@ -79,7 +79,7 @@ def test_pallas_decode_plane_matches_model(rng):
 
     # pallas kernel decode
     # little-endian bytes -> int32 words, LSB-first bit order
-    NW = ((maxb + 3) // 4 + 7) // 8 * 8
+    NW = max(16, ((maxb + 3) // 4 + 7) // 8 * 8)
     wbytes = np.zeros((NW * 4, n), np.uint8)
     for lane in range(n):
         wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
@@ -159,7 +159,7 @@ def test_pallas_decode_multitile(rng):
                                    np.ones(n, bool))
     assert ok_ref.all()
 
-    NW = ((maxb + 3) // 4 + 7) // 8 * 8
+    NW = max(16, ((maxb + 3) // 4 + 7) // 8 * 8)
     wbytes = np.zeros((NW * 4, n), np.uint8)
     for lane in range(n):
         wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
