@@ -200,22 +200,22 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                                           interpret=interpret, nrounds=R)
         _PALLAS_RUNS[key] = run
 
-    # per-round stacked words + geometry
+    # per-round stacked words + geometry (vectorized window gather: one
+    # fancy index per round instead of per-lane python copies)
     stream_len = len(sdata)
     words_r = np.zeros((R, NW, n), np.int32)
     geom_r = np.zeros((R, 8, n), np.int32)
     present = np.ones(n, bool)
+    span = np.arange(NW * 4, dtype=np.int64)
     for r, (lsb, offs, ebits) in enumerate(per_round):
         present = present & (offs >= 0)
-        db = np.zeros((n, NW * 4), np.uint8)
-        readable = np.zeros(n, np.int64)
-        for i in range(n):
-            if not present[i]:
-                continue
-            end = min(stream_len, offs[i] + NW * 4)
-            chunkb = sdata[offs[i]:end]
-            db[i, :len(chunkb)] = chunkb
-            readable[i] = len(chunkb)
+        offs_ok = np.where(present, offs, 0)
+        idx = offs_ok[:, None] + span[None, :]
+        db = np.where(idx < stream_len,
+                      sdata[np.minimum(idx, stream_len - 1)], 0)
+        db = np.where(present[:, None], db, 0).astype(np.uint8)
+        readable = np.where(present,
+                            np.minimum(stream_len - offs_ok, NW * 4), 0)
         words_r[r] = _words_from_bytes(db).T
         geom_r[r, 0] = hh
         geom_r[r, 1] = ww
@@ -229,16 +229,42 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     for blk in range(0, n, PD.LANES):
         idx = np.arange(blk, min(blk + PD.LANES, n))
         m = len(idx)
-        segp = np.zeros((Hmax, Wpad, PD.LANES), np.int32)
-        segp[:, :Wmax, :m] = seg[:, :, idx]
-        words = np.zeros((R * NW, PD.LANES), np.int32)
-        words.reshape(R, NW, PD.LANES)[:, :, :m] = words_r[:, :, idx]
-        geom = np.zeros((R * 8, PD.LANES), np.int32)
-        geom.reshape(R, 8, PD.LANES)[:, :, :m] = geom_r[:, :, idx]
-        out, _err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
-                              jnp.asarray(segp.reshape(PX, PD.LANES)))
-        out = np.asarray(out).reshape(Hmax, Wpad, PD.LANES)
-        seg[:, :, idx] = out[:, :Wmax, :m]
+        # Transfer only the real lanes (device-side pad to LANES, trim
+        # on the way back): buckets often fill a small fraction of the
+        # 128 lanes and the tunnel transfers dominate decode wall time.
+        if interpret:
+            def prun(words_m, geom_m, seg_m, run=run, m=m):
+                pad = ((0, 0), (0, PD.LANES - m))
+                out, err, _pos = run(np.pad(words_m, pad),
+                                     np.pad(geom_m, pad),
+                                     np.pad(seg_m, pad))
+                return np.asarray(out)[:, :m], np.asarray(err)[:m]
+        else:
+            pkey = key + (m,)
+            prun = _PALLAS_RUNS.get(pkey)
+            if prun is None:
+                import jax
+
+                def make(run=run, m=m):
+                    def padded(words_m, geom_m, seg_m):
+                        pad = PD.LANES - m
+                        w = jnp.pad(words_m, ((0, 0), (0, pad)))
+                        ge = jnp.pad(geom_m, ((0, 0), (0, pad)))
+                        sg = jnp.pad(seg_m, ((0, 0), (0, pad)))
+                        out, err, pos = run(w, ge, sg)
+                        return out[:, :m], err[:m]
+                    return jax.jit(padded)
+                prun = make()
+                _PALLAS_RUNS[pkey] = prun
+        segp = np.zeros((Hmax, Wpad, m), np.int32)
+        segp[:, :Wmax, :] = seg[:, :, idx]
+        words = np.ascontiguousarray(
+            words_r[:, :, idx].reshape(R * NW, m))
+        geom = np.ascontiguousarray(geom_r[:, :, idx].reshape(R * 8, m))
+        out, _err = prun(jnp.asarray(words), jnp.asarray(geom),
+                         jnp.asarray(segp.reshape(PX, m)))
+        out = np.asarray(out).reshape(Hmax, Wpad, m)
+        seg[:, :, idx] = out[:, :Wmax, :]
 
 
 def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
