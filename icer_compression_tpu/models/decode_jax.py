@@ -55,6 +55,7 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
     """Decode all subbands of one channel via lane rounds, in place."""
     h, w = img.shape
     sdata = np.frombuffer(stream, np.uint8)
+    pending = []  # (seg, lanes, prepared) for the fused pallas path
     for lanes in _plan_lanes(w, h, config):
         n = len(lanes)
         Hmax = max(t["h"] for t in lanes)
@@ -83,13 +84,16 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 mb = min(int(len(stream) - offs[have].min()),
                          int(ebits.max() // 8 + 4096))
                 bucket_maxb = max(bucket_maxb, mb)
-        if backend.startswith("pallas"):
+        if backend == "pallas-interpret":
             _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata,
-                           bucket_maxb,
-                           interpret=(backend == "pallas-interpret"))
+                           bucket_maxb, interpret=True)
             for i, t in enumerate(lanes):
                 img[t["row"]:t["row"] + t["h"],
                     t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
+            continue
+        if backend == "pallas":
+            pending.append((seg, lanes, _prep_bucket(
+                seg, hh, ww, sb, per_round, mag_bits, sdata, bucket_maxb)))
             continue
         for (lsb, offs, ebits) in per_round:
             alive &= offs >= 0
@@ -115,6 +119,17 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
         for i, t in enumerate(lanes):
             img[t["row"]:t["row"] + t["h"],
                 t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
+
+    if pending:
+        # ONE device round trip for every bucket of the channel
+        _run_fused([u for (_, _, units) in pending for u in units])
+        for (seg, lanes, units) in pending:
+            for u in units:
+                out = u["out"].reshape(u["Hmax"], u["Wpad"], u["m"])
+                seg[:, :u["Wmax"], u["idx"]] = out[:, :u["Wmax"], :]
+            for i, t in enumerate(lanes):
+                img[t["row"]:t["row"] + t["h"],
+                    t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
 
 
 _PALLAS_RUNS: dict = {}
@@ -169,6 +184,102 @@ def _pallas_round(seg, hh, ww, sb, lsb, mag_bits, data, readable, ebits,
         seg[:, :, idx] = out[:, :Wmax, :m]
         ok[idx] = (err[:m] == 0) & alive[idx]
     return ok
+
+
+def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb):
+    """Host-side assembly of one bucket's kernel inputs (see
+    _pallas_bucket); returns unit dicts for the fused runner."""
+    from ..ops import pallas_decode as PD
+
+    Hmax, Wmax, n = seg.shape
+    Wpad = -(-Wmax // 8) * 8
+    PX = Hmax * Wpad
+    nbytes = max(maxb, 8)
+    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
+    R = len(per_round)
+    stream_len = len(sdata)
+    words_r = np.zeros((R, NW, n), np.int32)
+    geom_r = np.zeros((R, 8, n), np.int32)
+    present = np.ones(n, bool)
+    span = np.arange(NW * 4, dtype=np.int64)
+    for r, (lsb, offs, ebits) in enumerate(per_round):
+        present = present & (offs >= 0)
+        offs_ok = np.where(present, offs, 0)
+        idx = offs_ok[:, None] + span[None, :]
+        db = np.where(idx < stream_len,
+                      sdata[np.minimum(idx, stream_len - 1)], 0)
+        db = np.where(present[:, None], db, 0).astype(np.uint8)
+        readable = np.where(present,
+                            np.minimum(stream_len - offs_ok, NW * 4), 0)
+        words_r[r] = _words_from_bytes(db).T
+        geom_r[r, 0] = hh
+        geom_r[r, 1] = ww
+        geom_r[r, 2] = sb
+        geom_r[r, 3] = lsb
+        geom_r[r, 4] = mag_bits
+        geom_r[r, 5] = present
+        geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
+        geom_r[r, 7] = readable * 8
+
+    units = []
+    for blk in range(0, n, PD.LANES):
+        idx = np.arange(blk, min(blk + PD.LANES, n))
+        m = len(idx)
+        segp = np.zeros((Hmax, Wpad, m), np.int32)
+        segp[:, :Wmax, :] = seg[:, :, idx]
+        units.append({
+            "key": (PX, Wpad, NW, R, m),
+            "words": np.ascontiguousarray(
+                words_r[:, :, idx].reshape(R * NW, m)),
+            "geom": np.ascontiguousarray(
+                geom_r[:, :, idx].reshape(R * 8, m)),
+            "seg": segp.reshape(PX, m),
+            "Hmax": Hmax, "Wpad": Wpad, "Wmax": Wmax, "m": m, "idx": idx,
+        })
+    return units
+
+
+def _run_fused(units):
+    """Run every unit's multi-round kernel inside ONE jit program (one
+    dispatch, one concatenated fetch); fills unit["out"]."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops import pallas_decode as PD
+
+    fkey = ("fused",) + tuple(u["key"] for u in units)
+    fn = _PALLAS_RUNS.get(fkey)
+    if fn is None:
+        for u in units:
+            kkey = u["key"][:4]
+            if kkey not in _PALLAS_RUNS:
+                PX, Wpad, NW, R = kkey
+                _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
+                    PX, Wpad, NW, nrounds=R)
+        runs = [(_PALLAS_RUNS[u["key"][:4]], u["key"][4]) for u in units]
+
+        def fused(*arrays):
+            outs = []
+            for i, (run, m) in enumerate(runs):
+                wds, ge, sg = arrays[3 * i:3 * i + 3]
+                pad = ((0, 0), (0, PD.LANES - m))
+                out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
+                                     jnp.pad(sg, pad))
+                outs.append(out[:, :m].reshape(-1))
+            return jnp.concatenate(outs)
+
+        fn = jax.jit(fused)
+        _PALLAS_RUNS[fkey] = fn
+
+    flat = []
+    for u in units:
+        flat += [jnp.asarray(u["words"]), jnp.asarray(u["geom"]),
+                 jnp.asarray(u["seg"])]
+    blob = np.asarray(fn(*flat))
+    off = 0
+    for u in units:
+        size = u["key"][0] * u["m"]
+        u["out"] = blob[off:off + size].reshape(u["key"][0], u["m"])
+        off += size
 
 
 def _words_from_bytes(db: np.ndarray) -> np.ndarray:
