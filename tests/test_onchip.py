@@ -86,3 +86,17 @@ def test_pallas_decode_identity_and_faults(rng):
         out = decompress_lanes(stream, cfg, dtype=np.uint16,
                                backend="pallas")
         assert np.array_equal(out, ref)
+
+
+def test_batched_decode_matches_single(rng):
+    from icer_compression_tpu.models.decode_jax import decompress_lanes_batch
+    from icer_compression_tpu.utils.faults import truncate
+    img = make_test_image(96, 96, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=2, filt=0, segments=3, byte_quota=96 * 96 * 4)
+    streams = [G.compress(np.roll(img, i * 5, axis=1), cfg)
+               for i in range(4)]
+    streams[2] = truncate(streams[2], 0.5)
+    refs = [G.decompress(s, cfg, dtype=np.uint16) for s in streams]
+    outs = decompress_lanes_batch(streams, cfg, dtype=np.uint16)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
