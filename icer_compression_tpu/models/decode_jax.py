@@ -519,3 +519,41 @@ def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
     img = inverse_transform(img, config.stages, config.filt, mag_bits)
     img[img < 0] = 0
     return img.astype(dtype)
+
+
+def decompress_yuv_lanes(data: bytes, config: CodecConfig,
+                         dtype=np.uint16, backend: str = "model"):
+    """Color (YUV) decompression via the lane-batched decode path.
+
+    Three channel passes of reconstruct_channel_lanes (each fusing its
+    buckets into one device program on the pallas backend); bit-identical
+    to models/color.decompress_yuv.
+    """
+    mag_bits = _mag_bits(dtype)
+    bitplanes = _bitplanes(mag_bits)
+    found = scan_bytestream(data, with_offsets=True, with_payload=False)
+    if not found:
+        raise IcerError(IcerStatus.DECODER_OUT_OF_DATA, "no valid segments")
+    table: dict = {}
+    w = h = 0
+    ll_means = [0, 0, 0]
+    for hdr, _p, off in found:
+        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+               hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
+        w, h = hdr.image_w, hdr.image_h
+        ll_means[hdr.channel] = hdr.ll_mean_val
+
+    ll_w = dim_low(w, config.stages)
+    ll_h = dim_low(h, config.stages)
+    out = []
+    for chan in range(3):
+        img = np.zeros((h, w), np.int32)
+        reconstruct_channel_lanes(img, table, chan, config, mag_bits,
+                                  bitplanes, data, backend)
+        img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
+        img[:ll_h, :ll_w] = wavelet._wrap(
+            img[:ll_h, :ll_w] + ll_means[chan], mag_bits, np)
+        img = inverse_transform(img, config.stages, config.filt, mag_bits)
+        img[img < 0] = 0
+        out.append(img.astype(dtype))
+    return tuple(out)

@@ -29,3 +29,19 @@ def test_decompress_lanes_matches(rng, h, w, stages, filt, segs, dtype):
     for mod in (truncate(s, 0.4), corrupt_random(s, 6, seed=1)):
         assert np.array_equal(decompress(mod, cfg, dtype=dtype),
                               decompress_lanes(mod, cfg, dtype=dtype))
+
+
+def test_decompress_yuv_lanes_matches(rng):
+    from conftest import make_test_image
+    from icer_compression_tpu.models.color import (compress_yuv,
+                                                   decompress_yuv)
+    from icer_compression_tpu.models.decode_jax import decompress_yuv_lanes
+    y = make_test_image(61, 45, rng, dtype=np.uint16)
+    u = make_test_image(61, 45, rng, dtype=np.uint16)
+    v = make_test_image(61, 45, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=2, filt=1, segments=3, byte_quota=61 * 45 * 8)
+    s = compress_yuv(y, u, v, cfg)
+    for stream in (s, truncate(s, 0.5)):
+        a = decompress_yuv(stream, cfg, dtype=np.uint16)
+        b = decompress_yuv_lanes(stream, cfg, dtype=np.uint16)
+        assert all(np.array_equal(x, z) for x, z in zip(a, b))
