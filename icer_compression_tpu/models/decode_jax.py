@@ -135,57 +135,6 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 _PALLAS_RUNS: dict = {}
 
 
-def _pallas_round(seg, hh, ww, sb, lsb, mag_bits, data, readable, ebits,
-                  alive, interpret=False):
-    """One (bucket, round) via the pallas kernel; lanes in blocks of 128."""
-    import jax.numpy as jnp
-    from ..ops import pallas_decode as PD
-
-    Hmax, Wmax, n = seg.shape
-    Wpad = -(-Wmax // 8) * 8
-    PX = Hmax * Wpad
-    nbytes = data.shape[1]
-    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
-    ok = np.zeros(n, bool)
-    key = (PX, Wpad, NW, interpret)
-    run = _PALLAS_RUNS.get(key)
-    if run is None:
-        run = PD.make_decode_plane_pallas(PX, Wpad, NW, interpret=interpret)
-        _PALLAS_RUNS[key] = run
-
-    pad4 = np.zeros((n, NW * 4 - nbytes), np.uint8)
-    db = np.concatenate([data, pad4], axis=1)
-    words_all = (db[:, 0::4].astype(np.int64)
-                 | (db[:, 1::4].astype(np.int64) << 8)
-                 | (db[:, 2::4].astype(np.int64) << 16)
-                 | (db[:, 3::4].astype(np.int64) << 24))
-    words_all = (words_all & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-
-    for blk in range(0, n, PD.LANES):
-        idx = np.arange(blk, min(blk + PD.LANES, n))
-        m = len(idx)
-        segp = np.zeros((Hmax, Wpad, PD.LANES), np.int32)
-        segp[:, :Wmax, :m] = seg[:, :, idx]
-        words = np.zeros((NW, PD.LANES), np.int32)
-        words[:, :m] = words_all[idx].T
-        geom = np.zeros((8, PD.LANES), np.int32)
-        geom[0, :m] = hh[idx]
-        geom[1, :m] = ww[idx]
-        geom[2, :m] = sb[idx]
-        geom[3, :m] = lsb
-        geom[4, :m] = mag_bits
-        geom[5, :m] = alive[idx]
-        geom[6, :m] = ebits[idx]
-        geom[7, :m] = readable[idx] * 8
-        out, err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
-                             jnp.asarray(segp.reshape(PX, PD.LANES)))
-        out = np.asarray(out).reshape(Hmax, Wpad, PD.LANES)
-        err = np.asarray(err)
-        seg[:, :, idx] = out[:, :Wmax, :m]
-        ok[idx] = (err[:m] == 0) & alive[idx]
-    return ok
-
-
 def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                  lane_end=None):
     """Host-side assembly of one bucket's kernel inputs (see

@@ -23,11 +23,12 @@ What stays in XLA: ordering records by opening emission (one sort --
 output order equals allocation order, icer_encoding.c:114-139), the
 CIRC_BUF flush-condition shift and bit packing (ops/entropy_jax2).
 
-Status: validated prototype (bit-exact vs the sequential coder, see
-tests/test_pallas_entropy.py); the production integration -- including the
-batched TPU decoder built on the same pattern -- is the round-2 plan
-(PERF_NOTES.md).  The counter core measures ~3.6 ms for 20k steps x 128
-lanes on v5e.
+Status: production (opt-in): wired into the fused encoder as
+ICER_JAX_ENTROPY=pallas / JaxGrayscaleEncoder(entropy="pallas"),
+sha-verified bit-exact on chip against the reference golden stream;
+~2 us/step on v5e (scripts/bench_pallas_tile.py; a shared-onehot
+variant of the state writes measured slightly WORSE -- 2.6 vs 2.1
+us/step -- so the inline compares stay).
 """
 
 from __future__ import annotations
