@@ -214,6 +214,33 @@ class JaxGrayscaleEncoder:
 
         return fn
 
+    def _compact_emissions(self, valid, ctx, bit, Lb):
+        """Stable valid-first compaction of per-lane emission streams.
+
+        Emission slots are 2 per pixel (magnitude + sign), but sign slots
+        are only valid for newly-significant one-bits -- typically a small
+        fraction.  The coder's output depends only on the *subsequence* of
+        valid emissions, so packing them to the front and truncating to
+        Lc = 3/4 Lb (rounded to the entropy chunk) shortens every
+        downstream O(L) stage by ~25%.  Lanes whose valid count exceeds Lc
+        (sign fraction > 1/2; rare) are flagged for the existing host
+        fallback.  Returns (valid, ctx, bit, over) at length Lc.
+        """
+        jax, jnp = self.jax, self.jnp
+        Lc = min(Lb, (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        if Lc >= Lb:
+            n = valid.shape[0]
+            return valid, ctx, bit, jnp.zeros((n,), bool)
+        iota = jnp.arange(Lb, dtype=jnp.int32)
+
+        def one(v, c, x):
+            key = jnp.where(v != 0, iota, Lb + iota)
+            _, (v2, c2, x2) = entropy_jax2._sort_by(
+                key, (v.astype(jnp.int32), c, x), jnp)
+            return v2[:Lc], c2[:Lc], x2[:Lc], v.sum() > Lc
+
+        return jax.vmap(one)(valid, ctx, bit)
+
     def _make_bucket_fn(self, b):
         jnp = self.jnp
         Lb = b["L"]
@@ -228,10 +255,13 @@ class JaxGrayscaleEncoder:
             valid = jnp.concatenate(vs, axis=0)
             ctx = jnp.concatenate(cs, axis=0)
             bit = jnp.concatenate(bs, axis=0)
+            valid, ctx, bit, over = self._compact_emissions(
+                valid, ctx, bit, Lb)
             enc = self.jax.vmap(
                 lambda v, c, x: entropy_jax2.encode_emissions_sorted(
                     v, c, x, jnp))
-            return enc(valid, ctx, bit)
+            payload, total, flush = enc(valid, ctx, bit)
+            return payload, total, flush | over
 
         return fn
 
@@ -248,8 +278,9 @@ class JaxGrayscaleEncoder:
 
         Lb = b["L"]
         chunk = 256
-        Lpad = -(-Lb // chunk) * chunk
-        run = PE.make_encode_lanes_pallas(Lpad, chunk=chunk)
+        Lc = min(-(-Lb // chunk) * chunk,
+                 (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        run = PE.make_encode_lanes_pallas(Lc, chunk=chunk)
 
         def fn(parts):
             vs, cs, bs = [], [], []
@@ -261,16 +292,25 @@ class JaxGrayscaleEncoder:
             valid = jnp.concatenate(vs, axis=0)
             ctx = jnp.concatenate(cs, axis=0)
             bit = jnp.concatenate(bs, axis=0)
+            if Lc < Lb:
+                valid, ctx, bit, over = self._compact_emissions(
+                    valid, ctx, bit, Lb)
+            else:
+                over = jnp.zeros((valid.shape[0],), bool)
+                cpad0 = Lc - Lb
+                valid = jnp.pad(valid, ((0, 0), (0, cpad0)))
+                ctx = jnp.pad(ctx, ((0, 0), (0, cpad0)))
+                bit = jnp.pad(bit, ((0, 0), (0, cpad0)))
             n = valid.shape[0]
             nblk = -(-n // PE.LANES)
             rpad = nblk * PE.LANES - n
-            cpad = Lpad - Lb
-            valid = jnp.pad(valid, ((0, rpad), (0, cpad)))
-            ctx = jnp.pad(ctx, ((0, rpad), (0, cpad)))
-            bit = jnp.pad(bit, ((0, rpad), (0, cpad)))
+            valid = jnp.pad(valid, ((0, rpad), (0, 0)))
+            ctx = jnp.pad(ctx, ((0, rpad), (0, 0)))
+            bit = jnp.pad(bit, ((0, rpad), (0, 0)))
+            over = jnp.pad(over, (0, rpad))
 
-            rowidx = jnp.arange(Lpad + 17)
-            done = jnp.where(rowidx < Lpad, rowidx, PE.BIG)
+            rowidx = jnp.arange(Lc + 17)
+            done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
             post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
                 c, nn, o, done, jnp))
             pls, tts, fls = [], [], []
@@ -286,7 +326,7 @@ class JaxGrayscaleEncoder:
                 fls.append(f)
             payload = jnp.concatenate(pls)[:n]
             total = jnp.concatenate(tts)[:n]
-            flush = jnp.concatenate(fls)[:n]
+            flush = jnp.concatenate(fls)[:n] | over[:n]
             return payload, total, flush
 
         return fn

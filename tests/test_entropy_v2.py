@@ -58,3 +58,24 @@ def test_v2_uncoded_only(rng):
     ctx = np.full(L, 17, np.int32)
     bit = rng.integers(0, 2, L).astype(np.int32)
     _check(np.ones(L), ctx, bit)
+
+
+def test_compaction_equivalence(rng):
+    """Dropping invalid emission slots (stable) never changes the coder
+    output -- the contract behind the fused encoder's compaction."""
+    from icer_compression_tpu.ops.entropy_jax2 import encode_emissions_sorted
+    for _ in range(20):
+        L = int(rng.integers(40, 400))
+        valid = (rng.random(L) < 0.55).astype(np.int32)
+        ctx = rng.integers(0, 18, L).astype(np.int32)
+        bit = rng.integers(0, 2, L).astype(np.int32)
+        a = encode_emissions_sorted(valid, ctx, bit, np)
+        keep = valid != 0
+        Lc = int(keep.sum())
+        v2 = np.ones(Lc, np.int32)
+        c2 = ctx[keep]
+        b2 = bit[keep]
+        b_res = encode_emissions_sorted(v2, c2, b2, np)
+        assert bytes(a[0][: (int(a[1]) + 7) // 8]) == \
+            bytes(b_res[0][: (int(b_res[1]) + 7) // 8])
+        assert int(a[1]) == int(b_res[1]) and bool(a[2]) == bool(b_res[2])
