@@ -15,6 +15,11 @@ Segments are bucketed by subband geometry so lanes in a bucket share
 (Hmax, Wmax) padding; each bucket independently walks its plane rounds.
 A lane leaves the active set at its first missing plane or stream error,
 exactly like the reference's per-segment loop (icer_partition.c:206-221).
+
+Entry points: decompress_lanes (grayscale), decompress_yuv_lanes (color),
+decompress_lanes_batch (multi-image serving mode: lanes from B
+same-geometry streams share the 128-lane kernel blocks in one fused
+device program).
 """
 
 from __future__ import annotations

@@ -6,9 +6,11 @@ Structure (all shapes static per (W, H, stages, filter, segments, dtype)):
   per-stage emissions jit: gather the stage's subband segments into one
       padded lane batch -> context-model emission streams (valid/ctx/bit)
       for every bitplane
-  per-bucket entropy jit:  the sort-centric interleaved coder
-      (ops/entropy_jax2) vmapped over all lanes of all stages whose padded
-      emission length falls in the bucket
+  per-bucket entropy jit:  valid-first emission compaction, then the
+      interleaved coder -- "sorted" (ops/entropy_jax2, default) or
+      "pallas" (ops/pallas_entropy batched state-machine kernel, via
+      ICER_JAX_ENTROPY=pallas) -- vmapped over all lanes of all stages
+      whose padded emission length falls in the bucket
 
 Stages are grouped into a small number of length buckets because the
 entropy program's *compile* cost (via the remote TPU compiler) dominates
@@ -18,7 +20,9 @@ amortizes across processes.
 
 Rate allocation, headers/CRC and stream assembly stay on host (kilobytes).
 Lanes hitting the 2048-codeword buffer flush (exactly detected on device)
-re-encode on host via the native runtime.
+or overflowing the compaction margin re-encode on host via the native
+runtime.  encode_batch vmaps the whole fused program over a leading
+image axis (one device round trip per batch).
 """
 
 from __future__ import annotations

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Randomized color (YUV) differential fuzz vs the reference build.
+
+Covers encode parity, decode parity (production + lane-batched decoder),
+within the defined-behavior envelope: streams where the quota cut removed
+every segment of a channel are skipped -- the reference decoder then adds
+an UNINITIALIZED stack value as that channel's LL mean
+(icer_color.c:555/229, see ROADMAP.md known quirks); we use mean 0.
+
+Run directly with an optional duration in seconds (default 300).
+"""
+
+import sys, time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+import numpy as np
+import oracle
+from icer_compression_tpu.models.grayscale import CodecConfig
+from icer_compression_tpu.models.color import compress_yuv, decompress_yuv
+from icer_compression_tpu.models.decode_jax import decompress_yuv_lanes
+o = oracle.get_oracle()
+rng = np.random.default_rng()
+t0 = time.time(); trials = bad = 0
+dur = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+while time.time() - t0 < dur:
+    h = int(rng.integers(8, 96)); w = int(rng.integers(8, 96))
+    st = int(rng.integers(1, 5))
+    if min(-(-w // (1 << st)), -(-h // (1 << st))) < 3: continue
+    from icer_compression_tpu.models.grayscale import all_subbands
+    from icer_compression_tpu.core.subbands import subband_view
+    minpix = min(subband_view(w, h, s_, sb).h * subband_view(w, h, s_, sb).w
+                 for (s_, sb) in all_subbands(st))
+    g = int(rng.integers(1, min(16, minpix) + 1))
+    f = int(rng.integers(0, 7))
+    qf = rng.choice([0.15, 0.6, 1.5])
+    planes = [rng.integers(0, 256, (h, w)).astype(np.uint16) for _ in range(3)]
+    quota = max(256, int(h * w * 6 * qf))
+    trials += 1
+    _, cs = o.compress_yuv_u16(*planes, st, f, g, quota)
+    cfg = CodecConfig(stages=st, filt=f, segments=g, byte_quota=quota)
+    ours = compress_yuv(*planes, cfg)
+    if ours != cs:
+        bad += 1; print("ENC MISMATCH", (h, w, st, g, f, float(qf))); continue
+    # skip reference-UB streams: a channel with no surviving segments
+    # makes the C decoder read an uninitialized ll_mean (icer_color.c:555)
+    from icer_compression_tpu.core.header import scan_bytestream
+    chans_present = {hd.channel for hd, _ in scan_bytestream(cs)}
+    if chans_present != {0, 1, 2}:
+        continue
+    _, (cy, cu, cv) = o.decompress_yuv_u16(cs, st, f, g, h * w * 16)
+    my = decompress_yuv(cs, cfg, dtype=np.uint16)
+    ml = decompress_yuv_lanes(cs, cfg, dtype=np.uint16)
+    if not all(np.array_equal(a, b) for a, b in zip(my, (cy, cu, cv))):
+        bad += 1; print("DEC MISMATCH", (h, w, st, g, f)); continue
+    if not all(np.array_equal(a, b) for a, b in zip(ml, my)):
+        bad += 1; print("LANE DEC MISMATCH", (h, w, st, g, f))
+print(f"color fuzz: {trials} trials, {bad} failures")
