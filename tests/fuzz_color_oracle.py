@@ -34,12 +34,28 @@ while time.time() - t0 < dur:
     g = int(rng.integers(1, min(16, minpix) + 1))
     f = int(rng.integers(0, 7))
     qf = rng.choice([0.15, 0.6, 1.5])
-    planes = [rng.integers(0, 256, (h, w)).astype(np.uint16) for _ in range(3)]
-    quota = max(256, int(h * w * 6 * qf))
+    u8 = bool(rng.integers(0, 2))
+    if u8:
+        planes = [(rng.integers(0, 100, (h, w))
+                   + rng.integers(0, 26, (h, w))).astype(np.uint8)
+                  for _ in range(3)]
+    else:
+        planes = [rng.integers(0, 256, (h, w)).astype(np.uint16)
+                  for _ in range(3)]
+    quota = max(256, int(h * w * (3 if u8 else 6) * qf))
     trials += 1
-    _, cs = o.compress_yuv_u16(*planes, st, f, g, quota)
+    comp = o.compress_yuv_u8 if u8 else o.compress_yuv_u16
+    _, cs = comp(*planes, st, f, g, quota)
     cfg = CodecConfig(stages=st, filt=f, segments=g, byte_quota=quota)
-    ours = compress_yuv(*planes, cfg)
+    try:
+        ours = compress_yuv(*planes, cfg)
+    except Exception as e:
+        # uint8 DWT overflow parity: the reference returns an error and
+        # writes nothing; we raise.
+        if len(cs) == 0:
+            continue
+        bad += 1; print("ENC RAISES but C produced bytes", (h, w, st, g, f), e)
+        continue
     if ours != cs:
         bad += 1; print("ENC MISMATCH", (h, w, st, g, f, float(qf))); continue
     # skip reference-UB streams: a channel with no surviving segments
@@ -48,9 +64,11 @@ while time.time() - t0 < dur:
     chans_present = {hd.channel for hd, _ in scan_bytestream(cs)}
     if chans_present != {0, 1, 2}:
         continue
-    _, (cy, cu, cv) = o.decompress_yuv_u16(cs, st, f, g, h * w * 16)
-    my = decompress_yuv(cs, cfg, dtype=np.uint16)
-    ml = decompress_yuv_lanes(cs, cfg, dtype=np.uint16)
+    dt = np.uint8 if u8 else np.uint16
+    dec = o.decompress_yuv_u8 if u8 else o.decompress_yuv_u16
+    _, (cy, cu, cv) = dec(cs, st, f, g, h * w * 16)
+    my = decompress_yuv(cs, cfg, dtype=dt)
+    ml = decompress_yuv_lanes(cs, cfg, dtype=dt)
     if not all(np.array_equal(a, b) for a, b in zip(my, (cy, cu, cv))):
         bad += 1; print("DEC MISMATCH", (h, w, st, g, f)); continue
     if not all(np.array_equal(a, b) for a, b in zip(ml, my)):
