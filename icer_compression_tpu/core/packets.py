@@ -15,9 +15,10 @@ import functools
 from dataclasses import dataclass, field
 
 from .constants import (
-    MAX_DECOMP_STAGES,
+    MAX_DECOMP_STAGES, MAX_PACKETS_8, MAX_PACKETS_16,
     SUBBAND_LL, SUBBAND_HL, SUBBAND_LH, SUBBAND_HH, SUBBAND_MAX,
 )
+from .status import IcerError, IcerStatus
 
 
 @dataclass
@@ -47,8 +48,31 @@ def sort_packets(packets: list[PacketContext]) -> list[PacketContext]:
     glibc's qsort is a mergesort (stable) for small element counts, and the
     reference relies on the resulting order.  Python's sorted() is stable,
     giving the same result.
+
+    Caveat: glibc >= 2.37 switched qsort to an unstable introsort, and
+    priority ties are reachable (e.g. HL stage 2 lsb 0 and HL stage 1
+    lsb 1 both have priority 4), so byte-exactness of the rearranged
+    stream is defined against the pinned reference build (glibc < 2.37,
+    stable mergesort).  A reference binary built on glibc >= 2.37 may
+    order tied packets differently; decode is order-insensitive either
+    way (the decoder rescans the whole stream).
     """
     return sorted(packets, key=functools.cmp_to_key(_comp_packet))
+
+
+def _check_packet_count(packets: list[PacketContext], bitplanes: int):
+    """ICER_MAX_PACKETS parity (icer.h:33-39).
+
+    The reference's packet-list build errors when the running index
+    reaches the static array capacity -- after the final increment too, so
+    the condition is count >= MAX (icer_compress.c:67 and the matching
+    checks in icer_color.c).  Reachable in-contract: color uint8 at
+    stages >= 5 (3*(3*stages*7+7) >= 300)."""
+    cap = MAX_PACKETS_8 if bitplanes <= 7 else MAX_PACKETS_16
+    if len(packets) >= cap:
+        raise IcerError(IcerStatus.PACKET_COUNT_EXCEEDED,
+                        f"{len(packets)} packets >= ICER_MAX_PACKETS {cap}")
+    return packets
 
 
 def build_packets_grayscale(image_w: int, image_h: int, stages: int,
@@ -81,7 +105,7 @@ def build_packets_grayscale(image_w: int, image_h: int, stages: int,
     priority = 1 << stages
     for lsb in range(bitplanes):
         add(SUBBAND_LL, stages, lsb, (2 * priority) << lsb)
-    return packets
+    return _check_packet_count(packets, bitplanes)
 
 
 def build_packets_color(image_w: int, image_h: int, stages: int,
@@ -119,7 +143,7 @@ def build_packets_color(image_w: int, image_h: int, stages: int,
             if chan == 0:
                 priority *= 2
             add(SUBBAND_LL, stages, lsb, (2 * priority) << lsb, chan)
-    return packets
+    return _check_packet_count(packets, bitplanes)
 
 
 # --------------------------------------------------------------------------

@@ -148,8 +148,14 @@ def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
-                   decode_partition=None):
-    """Decompress a color stream into (y, u, v) planes."""
+                   decode_partition=None, max_pixels: int | None = None):
+    """Decompress a color stream into (y, u, v) planes.
+
+    ``max_pixels`` (default grayscale.DEFAULT_MAX_PIXELS) bounds the
+    allocation implied by the untrusted header dimensions."""
+    from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
+    if max_pixels is None:
+        max_pixels = DEFAULT_MAX_PIXELS
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
@@ -166,6 +172,7 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
         w, h = hdr.image_w, hdr.image_h
         ll_means[hdr.channel] = hdr.ll_mean_val
 
+    _check_decode_dims(w, h, max_pixels)
     out = []
     ll_w = dim_low(w, config.stages)
     ll_h = dim_low(h, config.stages)

@@ -332,9 +332,34 @@ def inverse_transform(img: np.ndarray, stages: int, filt: int,
     return np.asarray(out)
 
 
+# Decode-side allocation guard: header dimensions are attacker-controlled
+# u32 fields protected only by CRC32 (not cryptographic), so a crafted
+# stream can request an arbitrarily large image buffer.  The reference is
+# implicitly bounded by the caller-supplied image_bufsize
+# (icer_compress.c:430-444); we bound with a pixel-count cap instead.
+DEFAULT_MAX_PIXELS = 1 << 28          # 268 MP ~= 512 MB of int32 workspace
+
+
+def _check_decode_dims(w: int, h: int, max_pixels: int | None):
+    if max_pixels is None:
+        return
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        raise IcerError(
+            IcerStatus.INVALID_INPUT,
+            f"header dimensions {w}x{h} exceed max_pixels={max_pixels}")
+
+
 def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
-               decode_partition=None) -> np.ndarray:
-    """Decompress an ICER bytestream into a grayscale image."""
+               decode_partition=None,
+               max_pixels: int | None = DEFAULT_MAX_PIXELS) -> np.ndarray:
+    """Decompress an ICER bytestream into a grayscale image.
+
+    Like the reference grayscale decoder, the header's channel nibble is
+    ignored (icer_compress.c:449-467 indexes its reconstruct table without
+    the channel): every segment lands in the single grayscale table,
+    last-in-stream wins on duplicates.  ``max_pixels`` bounds the decode
+    allocation implied by the (untrusted) header dimensions.
+    """
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
@@ -346,11 +371,12 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     w = h = 0
     ll_mean = 0
     for hdr, _payload, off in segments_found:
-        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+        table[(0, hdr.decomp_level, hdr.subband_type,
                hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
         w, h = hdr.image_w, hdr.image_h
         ll_mean = hdr.ll_mean_val
 
+    _check_decode_dims(w, h, max_pixels)
     img = np.zeros((h, w), dtype=np.int32)
     reconstruct_channel(img, table, 0, config, mag_bits, bitplanes,
                         decode_partition, stream=data)

@@ -84,20 +84,20 @@ def _bitrev16(v, nbits, jnp):
     return v >> (16 - nbits)
 
 
-def _coder_step(state, v, c, b, emi, jax, jnp):
+def _coder_step(state, v, c, b, emi, jax, jnp, lanes=LANES):
     """One emission step of the batched interleaved coder.
 
-    state: (zero, total, bk, bnb, bop) -- (17, LANES) int32 each, carried
-    in registers.  v/c/b: (LANES,) bool/int32.  Returns (state, code,
+    state: (zero, total, bk, bnb, bop) -- (17, lanes) int32 each, carried
+    in registers.  v/c/b: (lanes,) bool/int32.  Returns (state, code,
     nbits, open) where nbits == 0 marks "no codeword completed here".
     Mirrors icer_encode_bit/icer_compute_bin (icer_encoding.c) exactly;
     see the module docstring for the vectorization scheme.
     """
     zero, total, bk, bnb, bop = state
-    iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
+    iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
 
     def sel17(st, cc):
-        out = jnp.zeros((LANES,), jnp.int32)
+        out = jnp.zeros((lanes,), jnp.int32)
         for k in range(17):
             out = jnp.where(cc == k, st[k, :], out)
         return out
@@ -116,7 +116,7 @@ def _coder_step(state, v, c, b, emi, jax, jnp):
     cb = (b ^ inv).astype(jnp.int32)
 
     comp = zeff * 65536
-    bn = jnp.zeros((LANES,), jnp.int32)
+    bn = jnp.zeros((lanes,), jnp.int32)
     for q in range(16):
         bn = bn + (comp >= tcu * _CUT[q])
 
@@ -140,9 +140,9 @@ def _coder_step(state, v, c, b, emi, jax, jnp):
     isg = bn >= 8
     isc = (bn >= 1) & (bn <= 7)
 
-    m_e = jnp.ones((LANES,), jnp.int32)
-    l_e = jnp.ones((LANES,), jnp.int32)
-    i_e = jnp.zeros((LANES,), jnp.int32)
+    m_e = jnp.ones((lanes,), jnp.int32)
+    l_e = jnp.ones((lanes,), jnp.int32)
+    i_e = jnp.zeros((lanes,), jnp.int32)
     for gb in range(8, 17):
         m, l, ii = _GOL[gb]
         m_e = jnp.where(bn == gb, m, m_e)
@@ -159,9 +159,9 @@ def _coder_step(state, v, c, b, emi, jax, jnp):
 
     val = (k | (cb << nb)) & 31
     nb2 = nb + 1
-    cin = jnp.zeros((LANES,), jnp.int32)
-    ccode = jnp.zeros((LANES,), jnp.int32)
-    cbits = jnp.zeros((LANES,), jnp.int32)
+    cin = jnp.zeros((lanes,), jnp.int32)
+    ccode = jnp.zeros((lanes,), jnp.int32)
+    cbits = jnp.zeros((lanes,), jnp.int32)
     for bb in range(1, 8):
         s = bn == bb
         cin = jnp.where(s, _plookup(_CIN[bb], val, jnp), cin)
@@ -185,22 +185,27 @@ def _coder_step(state, v, c, b, emi, jax, jnp):
     return (zero, total, bk, bnb, bop), out_code, out_nbits, out_open
 
 
-def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
+def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False,
+                             lanes: int = LANES):
     """Kernel factory for padded stream length L (L % chunk == 0).
 
-    Returns fn(valid, ctx, bit) -- (L, LANES) int32 each -- producing
-    (rec_code, rec_nbits, rec_open) of shape (L + 17, LANES): rows < L are
+    Returns fn(valid, ctx, bit) -- (L, lanes) int32 each -- producing
+    (rec_code, rec_nbits, rec_open) of shape (L + 17, lanes): rows < L are
     codewords completed at that emission (nbits == 0 means none); rows
     L + b are bin b's end-of-plane flush word.  Record completion time is
     the row index (BIG for flush rows), so downstream ordering/packing is
     ops/entropy_jax2's record machinery.
+
+    ``lanes`` may exceed the 128 native vector width: wider rows give the
+    VPU multiple independent vregs per step, hiding ALU latency in the
+    otherwise serial dependency chain (measured: see PERF_NOTES.md).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert L % chunk == 0
+    assert L % chunk == 0 and lanes % 128 == 0
     ngrid = L // chunk
 
     def kernel(valid_ref, ctx_ref, bit_ref,
@@ -210,18 +215,19 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
 
         @pl.when(g == 0)
         def _():
-            zero_s[:] = jnp.full((17, LANES), 2, jnp.int32)
-            total_s[:] = jnp.full((17, LANES), 4, jnp.int32)
-            bk_s[:] = jnp.zeros((17, LANES), jnp.int32)
-            bnb_s[:] = jnp.zeros((17, LANES), jnp.int32)
-            bop_s[:] = jnp.full((17, LANES), -1, jnp.int32)
+            zero_s[:] = jnp.full((17, lanes), 2, jnp.int32)
+            total_s[:] = jnp.full((17, lanes), 4, jnp.int32)
+            bk_s[:] = jnp.zeros((17, lanes), jnp.int32)
+            bnb_s[:] = jnp.zeros((17, lanes), jnp.int32)
+            bop_s[:] = jnp.full((17, lanes), -1, jnp.int32)
 
         def body(i, state):
             v = valid_ref[i, :] != 0
             c = ctx_ref[i, :]
             b = bit_ref[i, :]
             emi = g * chunk + i
-            state, oc, onb, oop = _coder_step(state, v, c, b, emi, jax, jnp)
+            state, oc, onb, oop = _coder_step(state, v, c, b, emi, jax, jnp,
+                                              lanes)
             code_ref[i, :] = oc
             nbits_ref[i, :] = onb
             open_ref[i, :] = oop
@@ -245,18 +251,18 @@ def make_encode_lanes_pallas(L: int, chunk: int = 2048, interpret=False):
         code, nbits, opn, fk, fnb, fop = pl.pallas_call(
             kernel,
             grid=(ngrid,),
-            out_shape=[jax.ShapeDtypeStruct((L, LANES), jnp.int32)] * 3
-            + [jax.ShapeDtypeStruct((17, LANES), jnp.int32)] * 3,
-            in_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+            out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((17, lanes), jnp.int32)] * 3,
+            in_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM)] * 3,
-            out_specs=[pl.BlockSpec((chunk, LANES), lambda g: (g, 0),
+            out_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                     memory_space=pltpu.VMEM)] * 3
-            + [pl.BlockSpec((17, LANES), lambda g: (0, 0),
+            + [pl.BlockSpec((17, lanes), lambda g: (0, 0),
                             memory_space=pltpu.VMEM)] * 3,
-            scratch_shapes=[pltpu.VMEM((17, LANES), jnp.int32)] * 5,
+            scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 5,
             interpret=interpret,
         )(valid, ctx, bit)
-        tcode, tbits = _tail_flush(fk, fnb, jnp)
+        tcode, tbits = _tail_flush(fk, fnb, jnp, lanes)
         is_open = fop >= 0
         tail_code = jnp.where(is_open, tcode, 0)
         tail_nbits = jnp.where(is_open, tbits, 0)
@@ -373,10 +379,10 @@ def make_encode_lanes_pallas_tiled(L: int, chunk: int = 2048, tile: int = 8,
     return jax.jit(run_impl)
 
 
-def _tail_flush(fk, fnb, jnp):
-    """End-of-plane flush codes for the (17, LANES) final bin state."""
-    code = jnp.zeros((17, LANES), jnp.int32)
-    bits = jnp.zeros((17, LANES), jnp.int32)
+def _tail_flush(fk, fnb, jnp, lanes=LANES):
+    """End-of-plane flush codes for the (17, lanes) final bin state."""
+    code = jnp.zeros((17, lanes), jnp.int32)
+    bits = jnp.zeros((17, lanes), jnp.int32)
     for b in range(1, 17):
         k = fk[b]
         nb = fnb[b]
@@ -387,7 +393,7 @@ def _tail_flush(fk, fnb, jnp):
             cb = jnp.where(k == m - 1, 1, _bitrev16(adj, gl, jnp))
             bb = jnp.where(k == m - 1, 1, gl)
         else:
-            fv = jnp.zeros((LANES,), jnp.int32)
+            fv = jnp.zeros((lanes,), jnp.int32)
             for (pv, pn), (av, an) in C.CUSTOM_FLUSH_BITS[b].items():
                 fv = jnp.where((k == pv) & (nb == pn), av, fv)
             final = (k | (fv << nb)) & 31

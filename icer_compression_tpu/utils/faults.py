@@ -20,7 +20,11 @@ def truncate(stream: bytes, fraction: float) -> bytes:
 
 
 def flip_bytes(stream: bytes, offsets, xor: int = 0xFF) -> bytes:
-    """XOR the bytes at ``offsets``."""
+    """XOR the bytes at ``offsets`` (offsets wrap modulo the length).
+
+    An empty stream is returned unchanged (nothing to corrupt)."""
+    if not stream:
+        return stream
     out = bytearray(stream)
     for off in offsets:
         out[off % len(out)] ^= xor
@@ -28,7 +32,9 @@ def flip_bytes(stream: bytes, offsets, xor: int = 0xFF) -> bytes:
 
 
 def corrupt_random(stream: bytes, n: int, seed: int = 0) -> bytes:
-    """Flip ``n`` random bytes."""
+    """Flip ``n`` random bytes (no-op on an empty stream)."""
+    if not stream:
+        return stream
     rng = np.random.default_rng(seed)
     offs = rng.integers(0, len(stream), n)
     return flip_bytes(stream, offs.tolist())
