@@ -75,10 +75,16 @@ def cmd_compress(args) -> int:
     backend = _pick_backend(args.backend)
     t0 = time.time()
     if is_color:
-        y, u, v = rgb_to_ycbcr(arr)
-        stream = color_model.compress_yuv(
-            y.astype(np.uint16), u.astype(np.uint16), v.astype(np.uint16),
-            cfg)
+        y, u, v = (c.astype(np.uint16) for c in rgb_to_ycbcr(arr))
+        if backend == "jax":
+            try:
+                stream = color_model.compress_yuv_jax(y, u, v, cfg)
+            except Exception as e:
+                print(f"jax backend unavailable ({type(e).__name__}); "
+                      "using native host runtime", file=sys.stderr)
+                stream = color_model.compress_yuv(y, u, v, cfg)
+        else:
+            stream = color_model.compress_yuv(y, u, v, cfg)
     else:
         img = arr.astype(np.uint16)
         if backend == "jax":
@@ -113,14 +119,31 @@ def cmd_decompress(args) -> int:
         return 1
     cfg = CodecConfig(stages=args.stages, filt=_parse_filter(args.filter),
                       segments=args.segments)
+    backend = "python" if args.backend == "numpy" else args.backend
     t0 = time.time()
     if args.color:
-        y, u, v = color_model.decompress_yuv(data, cfg, dtype=np.uint16)
+        try:
+            y, u, v = color_model.decompress_yuv(data, cfg,
+                                                 dtype=np.uint16,
+                                                 backend=backend)
+        except Exception as e:
+            if backend != "jax":
+                raise
+            print(f"jax backend unavailable ({type(e).__name__}); "
+                  "using native host runtime", file=sys.stderr)
+            y, u, v = color_model.decompress_yuv(data, cfg, dtype=np.uint16)
         arr = ycbcr_to_rgb(np.asarray(y), np.asarray(u), np.asarray(v))
     else:
-        arr = np.clip(np.asarray(
-            gray_model.decompress(data, cfg, dtype=np.uint16)), 0, 255
-        ).astype(np.uint8)
+        try:
+            arr = gray_model.decompress(data, cfg, dtype=np.uint16,
+                                        backend=backend)
+        except Exception as e:
+            if backend != "jax":
+                raise
+            print(f"jax backend unavailable ({type(e).__name__}); "
+                  "using native host runtime", file=sys.stderr)
+            arr = gray_model.decompress(data, cfg, dtype=np.uint16)
+        arr = np.clip(np.asarray(arr), 0, 255).astype(np.uint8)
     dt = time.time() - t0
     save_image(args.output, arr)
     h, w = arr.shape[:2]

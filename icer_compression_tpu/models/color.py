@@ -148,14 +148,23 @@ def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
-                   decode_partition=None, max_pixels: int | None = None):
+                   decode_partition=None, max_pixels: int | None = None,
+                   backend: str = "auto"):
     """Decompress a color stream into (y, u, v) planes.
 
     ``max_pixels`` (default grayscale.DEFAULT_MAX_PIXELS) bounds the
-    allocation implied by the untrusted header dimensions."""
+    allocation implied by the untrusted header dimensions.  backend
+    "jax" routes to the lane-batched TPU decoder
+    (models/decode_jax.decompress_yuv_lanes); otherwise the native /
+    python host path."""
     from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
     if max_pixels is None:
         max_pixels = DEFAULT_MAX_PIXELS
+    if backend == "jax":
+        from .decode_jax import decompress_yuv_lanes
+        return decompress_yuv_lanes(data, config, dtype=dtype,
+                                    backend="pallas",
+                                    max_pixels=max_pixels)
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
 
@@ -179,7 +188,7 @@ def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
     for chan in range(3):
         img = np.zeros((h, w), dtype=np.int32)
         reconstruct_channel(img, table, chan, config, mag_bits, bitplanes,
-                            decode_partition, stream=data)
+                            decode_partition, backend=backend, stream=data)
         img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
         img[:ll_h, :ll_w] = wavelet._wrap(
             img[:ll_h, :ll_w] + ll_means[chan], mag_bits, np)

@@ -364,7 +364,8 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
         t: dict = {}
         lm = 0
         for hdr, _p, off in found:
-            t[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+            # channel nibble ignored (reference grayscale semantics)
+            t[(0, hdr.decomp_level, hdr.subband_type,
                hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
             wi, hi = hdr.image_w, hdr.image_h
             lm = hdr.ll_mean_val
@@ -441,13 +442,17 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
 
 
 def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
-                     backend: str = "model") -> np.ndarray:
+                     backend: str = "model",
+                     max_pixels: int | None = None) -> np.ndarray:
     """Grayscale decompression via the lane-batched decode path.
 
     Bit-identical to models/grayscale.decompress (differentially tested);
     the execution model is the TPU one: lock-step plane rounds across
     segments.
     """
+    from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
+    if max_pixels is None:
+        max_pixels = DEFAULT_MAX_PIXELS
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     found = scan_bytestream(data, with_offsets=True, with_payload=False)
@@ -457,11 +462,14 @@ def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
     w = h = 0
     ll_mean = 0
     for hdr, _p, off in found:
-        table[(hdr.channel, hdr.decomp_level, hdr.subband_type,
+        # channel nibble ignored, like the reference grayscale decoder
+        # (icer_compress.c:449-467): last-in-stream wins on duplicates.
+        table[(0, hdr.decomp_level, hdr.subband_type,
                hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
         w, h = hdr.image_w, hdr.image_h
         ll_mean = hdr.ll_mean_val
 
+    _check_decode_dims(w, h, max_pixels)
     img = np.zeros((h, w), np.int32)
     reconstruct_channel_lanes(img, table, 0, config, mag_bits, bitplanes,
                               data, backend)
@@ -476,13 +484,17 @@ def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
 
 
 def decompress_yuv_lanes(data: bytes, config: CodecConfig,
-                         dtype=np.uint16, backend: str = "model"):
+                         dtype=np.uint16, backend: str = "model",
+                         max_pixels: int | None = None):
     """Color (YUV) decompression via the lane-batched decode path.
 
     Three channel passes of reconstruct_channel_lanes (each fusing its
     buckets into one device program on the pallas backend); bit-identical
     to models/color.decompress_yuv.
     """
+    from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
+    if max_pixels is None:
+        max_pixels = DEFAULT_MAX_PIXELS
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     found = scan_bytestream(data, with_offsets=True, with_payload=False)
@@ -497,6 +509,7 @@ def decompress_yuv_lanes(data: bytes, config: CodecConfig,
         w, h = hdr.image_w, hdr.image_h
         ll_means[hdr.channel] = hdr.ll_mean_val
 
+    _check_decode_dims(w, h, max_pixels)
     ll_w = dim_low(w, config.stages)
     ll_h = dim_low(h, config.stages)
     out = []

@@ -351,7 +351,8 @@ def _check_decode_dims(w: int, h: int, max_pixels: int | None):
 
 def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
                decode_partition=None,
-               max_pixels: int | None = DEFAULT_MAX_PIXELS) -> np.ndarray:
+               max_pixels: int | None = DEFAULT_MAX_PIXELS,
+               backend: str = "auto") -> np.ndarray:
     """Decompress an ICER bytestream into a grayscale image.
 
     Like the reference grayscale decoder, the header's channel nibble is
@@ -359,9 +360,18 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     the channel): every segment lands in the single grayscale table,
     last-in-stream wins on duplicates.  ``max_pixels`` bounds the decode
     allocation implied by the (untrusted) header dimensions.
+
+    backend: "auto"/"native" (multithreaded C++ runtime), "python"
+    (sequential reference), or "jax" (the lane-batched TPU decoder,
+    models/decode_jax -- lock-step plane rounds over all segments in one
+    fused device program).  All are pixel-identical.
     """
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
+    if backend == "jax":
+        from .decode_jax import decompress_lanes
+        return decompress_lanes(data, config, dtype=dtype,
+                                backend="pallas", max_pixels=max_pixels)
 
     segments_found = scan_bytestream(data, with_offsets=True, with_payload=False)
     if not segments_found:
@@ -379,7 +389,7 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     _check_decode_dims(w, h, max_pixels)
     img = np.zeros((h, w), dtype=np.int32)
     reconstruct_channel(img, table, 0, config, mag_bits, bitplanes,
-                        decode_partition, stream=data)
+                        decode_partition, backend=backend, stream=data)
 
     img = np.asarray(wavelet.from_sign_magnitude(img, mag_bits))
     ll_w = dim_low(w, config.stages)

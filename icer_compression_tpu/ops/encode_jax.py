@@ -130,14 +130,16 @@ class JaxGrayscaleEncoder:
         _ensure_cache()
         import jax
         import jax.numpy as jnp
-        # entropy backend: "sorted" (ops/entropy_jax2, the default) or
-        # "pallas" (the batched state-machine kernel, ops/pallas_entropy).
+        # entropy backend: "sorted" (ops/entropy_jax2), "pallas" (the
+        # original batched state-machine kernel) or "slim" (the default:
+        # minimal-sequential-core kernel + XLA codeword reconstruction,
+        # ops/pallas_entropy.make_encode_lanes_slim).
         if entropy is None:
             entropy = os.environ.get("ICER_JAX_ENTROPY", "sorted")
-        if entropy not in ("sorted", "pallas"):
+        if entropy not in ("sorted", "pallas", "slim"):
             raise ValueError(
-                f"unknown entropy backend {entropy!r}: expected 'sorted' "
-                "or 'pallas' (ICER_JAX_ENTROPY)")
+                f"unknown entropy backend {entropy!r}: expected 'sorted', "
+                "'pallas' or 'slim' (ICER_JAX_ENTROPY)")
         self.entropy = entropy
         self.jax, self.jnp = jax, jnp
         self.w, self.h = image_w, image_h
@@ -335,11 +337,82 @@ class JaxGrayscaleEncoder:
 
         return fn
 
+    def _make_bucket_fn_slim(self, b):
+        """Bucket entropy via the slim pallas kernel.
+
+        The kernel runs only the sequential recurrence (counters, bin,
+        completion, state) over a single packed emission word per step;
+        codeword reconstruction (slim_records) and the ordering/packing
+        tail run in XLA.  Lanes are grouped into blocks of
+        ICER_PALLAS_WIDTH (default 512) columns: rows wider than one vreg
+        give the VPU independent work per vector op, hiding ALU latency
+        in the serial chain, and fewer kernel invocations cut the total
+        sequential step count.
+        """
+        jax, jnp = self.jax, self.jnp
+        from . import pallas_entropy as PE
+
+        Lb = b["L"]
+        chunk = 256
+        Lc = min(-(-Lb // chunk) * chunk,
+                 (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        width = int(os.environ.get("ICER_PALLAS_WIDTH", "512"))
+        cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
+
+        def fn(parts):
+            vs, cs, bs = [], [], []
+            for (v, c, bit) in parts:
+                pad = Lb - v.shape[-1]
+                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
+                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
+                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
+            valid = jnp.concatenate(vs, axis=0)
+            ctx = jnp.concatenate(cs, axis=0)
+            bit = jnp.concatenate(bs, axis=0)
+            if Lc < Lb:
+                valid, ctx, bit, over = self._compact_emissions(
+                    valid, ctx, bit, Lb)
+            else:
+                over = jnp.zeros((valid.shape[0],), bool)
+                cpad0 = Lc - Lb
+                valid = jnp.pad(valid, ((0, 0), (0, cpad0)))
+                ctx = jnp.pad(ctx, ((0, 0), (0, cpad0)))
+                bit = jnp.pad(bit, ((0, 0), (0, cpad0)))
+            packed = PE.pack_emissions(valid, ctx, bit, jnp)
+            n = packed.shape[0]
+            lanes = min(width, -(-n // PE.LANES) * PE.LANES)
+            run = PE.make_encode_lanes_slim(Lc, chunk=chunk, lanes=lanes)
+            nblk = -(-n // lanes)
+            rpad = nblk * lanes - n
+            packed = jnp.pad(packed, ((0, rpad), (0, 0)))
+            over = jnp.pad(over, (0, rpad))
+
+            rowidx = jnp.arange(Lc + 17)
+            done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
+            post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
+                c, nn, o, done, jnp, max_bits=cap_bits))
+            pls, tts, fls = [], [], []
+            for blk in range(nblk):
+                sl = slice(blk * lanes, (blk + 1) * lanes)
+                r1, r2, fstate = run(packed[sl].T)
+                code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
+                p, t, f = post(code.T, nbits.T, opn.T)
+                pls.append(p)
+                tts.append(t)
+                fls.append(f)
+            payload = jnp.concatenate(pls)[:n]
+            total = jnp.concatenate(tts)[:n]
+            flush = jnp.concatenate(fls)[:n] | over[:n]
+            return payload, total, flush
+
+        return fn
+
     def _make_fused_fn(self):
         jnp = self.jnp
         emit_fns = [self._make_emit_fn(g) for g in self.groups]
-        mk = (self._make_bucket_fn_pallas if self.entropy == "pallas"
-              else self._make_bucket_fn)
+        mk = {"pallas": self._make_bucket_fn_pallas,
+              "slim": self._make_bucket_fn_slim,
+              "sorted": self._make_bucket_fn}[self.entropy]
         bucket_fns = [mk(b) for b in self.buckets]
         cap = self.blob_cap
 

@@ -482,8 +482,15 @@ def detect_flush_records(open_o, done_o, rec_valid, xp=np):
     return (rec_valid & (old >= open_o)).any()
 
 
-def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None):
-    """Pack codewords (allocation order) LSB-first via the slot-sort."""
+def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
+                 with_overflow=False):
+    """Pack codewords (allocation order) LSB-first via the slot-sort.
+
+    ``max_bits`` caps the assembled payload; the theoretical worst case is
+    10 bits per record (10 * L), but real streams run far below (the
+    counters adapt away from the high-expansion golomb bins), so callers
+    pass a ~1.5x-emissions cap and use the overflow flag (with_overflow)
+    to divert pathological lanes to the host fallback."""
     L = code_o.shape[-1]
     if max_bits is None:
         max_bits = ((10 * L + 7) // 8) * 8
@@ -513,17 +520,24 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None):
     payload = bitstream[0:max_bits:8]
     for j in range(1, 8):
         payload = payload + (bitstream[j:max_bits:8] << j)
+    if with_overflow:
+        return payload.astype(xp.uint8), total, total > max_bits
     return payload.astype(xp.uint8), total
 
 
-def encode_emissions_sorted(valid, ctx, bit, xp=np):
-    """Full sort-centric encode: (payload, total_bits, flush_flag)."""
+def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None):
+    """Full sort-centric encode: (payload, total_bits, flush_flag).
+
+    ``max_bits`` caps the packed payload (see pack_records); cap overflow
+    folds into the flush flag (host fallback either way)."""
     spos, sbin, scoded = counters_and_bins_sorted(valid, ctx, bit, xp)
     open_o, code_o, nbits_o, done_o, rec_valid = build_records(
         spos, sbin, scoded, xp)
     flush = detect_flush_records(open_o, done_o, rec_valid, xp)
-    payload, total = pack_records(code_o, nbits_o, rec_valid, xp)
-    return payload, total, flush
+    payload, total, over = pack_records(code_o, nbits_o, rec_valid, xp,
+                                        max_bits=max_bits,
+                                        with_overflow=True)
+    return payload, total, flush | over
 
 
 def _shift_rows(a, xp):

@@ -404,7 +404,256 @@ def _tail_flush(fk, fnb, jnp, lanes=LANES):
     return code, bits
 
 
-def order_and_pack_lane(code, nbits, opn, done, xp):
+# --------------------------------------------------------------------------
+# Slim kernel: minimal sequential core, codeword construction deferred to XLA
+# --------------------------------------------------------------------------
+#
+# The row-at-a-time kernel above spends most of its per-step vector ops on
+# work that does NOT need to be inside the sequential dependency chain:
+# golomb/custom *output code* construction (SWAR bit reversal + three
+# packed-constant tables) only reads coder state, it never feeds back into
+# it.  The slim variant keeps only what the recurrence needs -- counters,
+# bin selection, codeword *completion* detection, bin-state update -- and
+# emits compact completion records; an elementwise XLA post-pass
+# (slim_records) reconstructs (code, nbits) for all records in parallel.
+#
+# Packing (all int32):
+#   input   word: valid | ctx<<1 | bit<<6
+#   zt     state: total | zero<<16                  (both <= 500)
+#   bs     state: (open_emission+1) | k<<17 | nb<<27   (0 => bin closed;
+#            k <= 511 golomb run / custom prefix, nb <= 4 prefix length,
+#            so stream length L must stay < 2**17)
+#   record out1: complete | bin<<1 | k<<6 | cb<<16 | nb<<17
+#   record out2: opening emission index (BIG when no completion)
+
+# per-(bin, prefix_len) completion masks: bit v of _CMPL[b][n] set iff the
+# length-n prefix with value v completes a codeword of custom bin b.
+_CMPL = {
+    b: [sum((1 << v) for v in range(32)
+            if int(C.CUSTOM_IN_BITS[b, v]) == n) for n in range(6)]
+    for b in range(1, 8)
+}
+
+
+def _slim_step(state, w, emi, jax, jnp, lanes):
+    """One emission step of the slim coder.  state = (zt, bs)."""
+    zt, bs = state
+    iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
+
+    def sel17(st, cc):
+        out = jnp.zeros((lanes,), jnp.int32)
+        for k in range(17):
+            out = jnp.where(cc == k, st[k, :], out)
+        return out
+
+    def wr17(st, cc, vals, mask):
+        m = (iota17 == cc[None, :]) & mask[None, :]
+        return jnp.where(m, vals[None, :], st)
+
+    v = (w & 1) != 0
+    c = (w >> 1) & 31
+    b = (w >> 6) & 1
+
+    # ---- counters & bin -------------------------------------------------
+    ztc = sel17(zt, c)
+    tc = ztc & 0xFFFF
+    zc = ztc >> 16
+    unc = c >= 17
+    zcu = jnp.where(unc, 1, zc)
+    tcu = jnp.where(unc, 2, tc)
+    inv = zcu < (tcu >> 1)
+    zeff = jnp.where(inv, tcu - zcu, zcu)
+    cb = (b ^ inv).astype(jnp.int32)
+
+    comp = zeff << 16
+    bn = jnp.zeros((lanes,), jnp.int32)
+    for q in range(16):
+        bn = bn + (comp >= tcu * _CUT[q])
+
+    tc2 = tc + 1
+    zc2 = zc + (b == 0)
+    resc = tc2 >= C.CONTEXT_RESCALING_CAP
+    tc2 = jnp.where(resc, tc2 >> 1, tc2)
+    zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
+    zt = wr17(zt, c, tc2 | (zc2 << 16), v & (~unc))
+
+    # ---- bin state ------------------------------------------------------
+    bsb = sel17(bs, bn)
+    op1 = bsb & 0x1FFFF
+    k = (bsb >> 17) & 1023
+    nb = bsb >> 27
+    newly = op1 == 0
+    op1 = jnp.where(newly, emi + 1, op1)
+    k = jnp.where(newly, 0, k)
+    nb = jnp.where(newly, 0, nb)
+
+    isg = bn >= 8
+    isc = (bn >= 1) & (bn <= 7)
+
+    m_e = jnp.ones((lanes,), jnp.int32)
+    for gb in range(8, 17):
+        m_e = jnp.where(bn == gb, _GOL[gb][0], m_e)
+    kz = k + (cb == 0)
+    g_complete = (cb == 1) | (kz >= m_e)
+
+    val = (k | (cb << nb)) & 31
+    nb2 = nb + 1
+    cmask = jnp.zeros((lanes,), jnp.int32)
+    for bb in range(1, 8):
+        sb = bn == bb
+        for n in range(1, 6):
+            cmask = jnp.where(sb & (nb2 == n), _CMPL[bb][n], cmask)
+    c_complete = ((cmask >> val) & 1) != 0
+
+    is0 = (~isg) & (~isc)
+    complete = v & ((isg & g_complete) | (isc & c_complete) | is0)
+    newk = jnp.where(isg, kz, val)
+    bs = wr17(bs, bn,
+              jnp.where(complete, 0, op1 | (newk << 17) | (nb2 << 27)), v)
+
+    out1 = jnp.where(
+        complete,
+        1 | (bn << 1) | (k << 6) | (cb << 16) | (nb << 17),
+        0)
+    out2 = jnp.where(complete, op1 - 1, BIG)
+    return (zt, bs), out1, out2
+
+
+def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
+                           lanes: int = LANES):
+    """Slim-kernel factory: fn(packed) -> (rec1, rec2, fstate).
+
+    packed: (L, lanes) int32 emission words (valid | ctx<<1 | bit<<6).
+    rec1/rec2: (L, lanes) completion records (see packing table above);
+    fstate: (17, lanes) final packed bin state for the end-of-plane flush.
+    Feed all three to slim_records() for the (code, nbits, open) streams.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert L % chunk == 0 and lanes % 128 == 0 and L < (1 << 17)
+    ngrid = L // chunk
+
+    def kernel(in_ref, r1_ref, r2_ref, fs_ref, zt_s, bs_s):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            zt_s[:] = jnp.full((17, lanes), 4 | (2 << 16), jnp.int32)
+            bs_s[:] = jnp.zeros((17, lanes), jnp.int32)
+
+        def body(i, state):
+            w = in_ref[i, :]
+            emi = g * chunk + i
+            state, o1, o2 = _slim_step(state, w, emi, jax, jnp, lanes)
+            r1_ref[i, :] = o1
+            r2_ref[i, :] = o2
+            return state
+
+        state = (zt_s[:], bs_s[:])
+        zt, bs = jax.lax.fori_loop(0, chunk, body, state)
+        zt_s[:] = zt
+        bs_s[:] = bs
+
+        @pl.when(g == ngrid - 1)
+        def _():
+            fs_ref[:] = bs
+
+    def run_impl(packed):
+        r1, r2, fs = pl.pallas_call(
+            kernel,
+            grid=(ngrid,),
+            out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * 2
+            + [jax.ShapeDtypeStruct((17, lanes), jnp.int32)],
+            in_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec((17, lanes), lambda g: (0, 0),
+                            memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 2,
+            interpret=interpret,
+        )(packed)
+        return r1, r2, fs
+
+    if interpret:
+        def run(packed):
+            with jax.default_device(jax.devices("cpu")[0]):
+                return run_impl(packed)
+        return run
+    return jax.jit(run_impl)
+
+
+def pack_emissions(valid, ctx, bit, xp):
+    """(…, L) valid/ctx/bit -> packed int32 emission words."""
+    return (valid.astype(xp.int32)
+            | (ctx.astype(xp.int32) << 1)
+            | (bit.astype(xp.int32) << 6))
+
+
+def slim_records(r1, r2, fstate, jnp):
+    """Elementwise post-pass: slim records -> (code, nbits, open) streams.
+
+    Reconstructs each completed codeword's output bits from (bin, k, cb,
+    nb) -- the work hoisted out of the sequential kernel -- and appends
+    the 17 end-of-plane flush rows from the packed final bin state.
+    Output shapes: (L + 17, lanes), downstream-compatible with
+    order_and_pack_lane.
+    """
+    complete = (r1 & 1) != 0
+    bn = (r1 >> 1) & 31
+    k = (r1 >> 6) & 1023
+    cb = (r1 >> 16) & 1
+    nb = (r1 >> 17) & 7
+
+    isg = bn >= 8
+    isc = (bn >= 1) & (bn <= 7)
+
+    m_e = jnp.ones(bn.shape, jnp.int32)
+    l_e = jnp.ones(bn.shape, jnp.int32)
+    i_e = jnp.zeros(bn.shape, jnp.int32)
+    for gb in range(8, 17):
+        m, l, ii = _GOL[gb]
+        m_e = jnp.where(bn == gb, m, m_e)
+        l_e = jnp.where(bn == gb, l, l_e)
+        i_e = jnp.where(bn == gb, ii, i_e)
+    kz = k + (cb == 0)
+    g_run_done = (cb == 0) & (kz >= m_e)
+    adj = jnp.where(k < i_e, k, k + i_e)
+    gl = l_e + (k >= i_e)
+    g_code = jnp.where(g_run_done, 1, _bitrev16(adj, gl, jnp))
+    g_bits = jnp.where(g_run_done, 1, gl)
+
+    val = (k | (cb << nb)) & 31
+    ccode = jnp.zeros(bn.shape, jnp.int32)
+    cbits = jnp.zeros(bn.shape, jnp.int32)
+    for bb in range(1, 8):
+        s = bn == bb
+        ccode = jnp.where(s, _plookup(_COUT[bb], val, jnp), ccode)
+        cbits = jnp.where(s, _plookup(_COBITS[bb], val, jnp), cbits)
+
+    code = jnp.where(isg, g_code, jnp.where(isc, ccode, cb))
+    nbits = jnp.where(isg, g_bits, jnp.where(isc, cbits, 1))
+    code = jnp.where(complete, code, 0)
+    nbits = jnp.where(complete, nbits, 0)
+    opn = jnp.where(complete, r2, BIG)
+
+    fop1 = fstate & 0x1FFFF
+    fk = (fstate >> 17) & 1023
+    fnb = fstate >> 27
+    tcode, tbits = _tail_flush(fk, fnb, jnp, fstate.shape[-1])
+    is_open = fop1 > 0
+    tail_code = jnp.where(is_open, tcode, 0)
+    tail_nbits = jnp.where(is_open, tbits, 0)
+    tail_open = jnp.where(is_open, fop1 - 1, BIG)
+    return (jnp.concatenate([code, tail_code]),
+            jnp.concatenate([nbits, tail_nbits]),
+            jnp.concatenate([opn, tail_open]))
+
+
+def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None):
     """One lane's record stream -> (payload bytes, total bits, flush flag).
 
     The sort-centric ordering/packing stages of ops/entropy_jax2 applied
@@ -412,6 +661,8 @@ def order_and_pack_lane(code, nbits, opn, done, xp):
     codeword allocation order, icer_encoding.c:114-139), detect the
     CIRC_BUF flush condition, pack.  ``done`` is each record row's
     completion index (row index for in-stream rows, BIG for flush rows).
+    ``max_bits`` caps the packed payload; payload-cap overflow folds into
+    the flush flag (both mean "host re-encodes this lane").
     """
     from . import entropy_jax2 as E2
 
@@ -421,8 +672,10 @@ def order_and_pack_lane(code, nbits, opn, done, xp):
         rkey, (code, nbits, done, rec_valid.astype(xp.int32)), xp)
     rv = rv != 0
     flush = E2.detect_flush_records(skey, d2, rv, xp)
-    payload, total = E2.pack_records(c2, n2, rv, xp)
-    return payload, total, flush
+    payload, total, over = E2.pack_records(c2, n2, rv, xp,
+                                           max_bits=max_bits,
+                                           with_overflow=True)
+    return payload, total, flush | over
 
 
 def encode_lanes_pallas_full(valid, ctx, bit, run=None, host_post=False):

@@ -10,12 +10,12 @@ import pytest
 jax = pytest.importorskip("jax")
 import os
 
-# Even interpreter-mode pallas execution round-trips through this
-# environment's remote compile service (several minutes); validated in
-# PERF_NOTES.md, opt in with ICER_RUN_PALLAS_TESTS=1.
-pytestmark = pytest.mark.skipif(
+# Interpreter-mode execution of the original (wide-step) kernels takes
+# minutes; those are opt-in via ICER_RUN_PALLAS_TESTS=1.  The slim-kernel
+# test runs in seconds on the local CPU device and is always on.
+slow_pallas = pytest.mark.skipif(
     os.environ.get("ICER_RUN_PALLAS_TESTS") != "1",
-    reason="slow remote compile; set ICER_RUN_PALLAS_TESTS=1")
+    reason="slow interpret-mode kernel; set ICER_RUN_PALLAS_TESTS=1")
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -23,6 +23,7 @@ from icer_compression_tpu.backend import sequential as S  # noqa: E402
 from icer_compression_tpu.ops import pallas_entropy as PE  # noqa: E402
 
 
+@slow_pallas
 @pytest.mark.parametrize("tiled", [False, True])
 def test_pallas_coder_matches_sequential(rng, tiled):
     L = 160
@@ -55,6 +56,40 @@ def test_pallas_coder_matches_sequential(rng, tiled):
         assert (bytes(payload[lane][: (nb + 7) // 8]), nb) == (pl_s, nb_s)
 
 
+def test_slim_coder_matches_sequential(rng):
+    """Slim kernel (packed IO, deferred codeword construction) +
+    slim_records + order_and_pack vs the sequential reference coder."""
+    L = 256
+    LANES = 128
+    ctx = rng.integers(0, 18, (L, LANES)).astype(np.int32)
+    p = rng.random((18, LANES))
+    bit = (rng.random((L, LANES))
+           < p[ctx, np.arange(LANES)[None, :]]).astype(np.int32)
+    valid = (rng.random((L, LANES)) < 0.9).astype(np.int32)
+    # all-zero golomb-run lanes (flush tails) in the last columns
+    valid[:, -4:] = 1
+    ctx[:, -4:] = 0
+    bit[:, -4:] = 0
+
+    run = PE.make_encode_lanes_slim(L, chunk=64, interpret=True, lanes=LANES)
+    with jax.default_device(jax.devices("cpu")[0]):
+        r1, r2, fs = run(jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
+        code, nbits, opn = map(np.asarray,
+                               PE.slim_records(r1, r2, fs, jnp))
+    done = np.where(np.arange(L + 17) < L, np.arange(L + 17), PE.BIG)
+    for lane in list(range(0, LANES, 17)) + [126, 127]:
+        pl, t, f = PE.order_and_pack_lane(
+            code[:, lane], nbits[:, lane], opn[:, lane], done, np,
+            max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
+        pl_s, nb_s, fl = S.encode_emissions(
+            valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
+        assert bool(f) == (fl > 0)
+        if fl:
+            continue
+        assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s)
+
+
+@slow_pallas
 def test_pallas_coder_golomb_runs(rng):
     # all-zero streams exercise golomb run splitting and flush tails
     L = 128
