@@ -484,7 +484,18 @@ def detect_flush_records(open_o, done_o, rec_valid, xp=np):
 
 def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
                  with_overflow=False):
-    """Pack codewords (allocation order) LSB-first via the slot-sort.
+    """Pack codewords (allocation order) LSB-first, sort-free.
+
+    Bit offsets are one cumsum of the codeword lengths.  A codeword
+    (<= 16 bits) then lands in at most two 32-bit output words:
+    ``code << (off & 31)`` into word ``off >> 5`` plus the spill into the
+    next word.  Because offsets are nondecreasing, both contribution
+    streams (lo and spill) have nondecreasing word ids, so each output
+    word's OR is an exact *sum* of a contiguous contribution range (bit
+    ranges are disjoint): prefix-sum the contributions, locate word
+    boundaries with searchsorted, difference the prefix sums.  Replaces
+    the former 10L slot-expansion sort (the measured pack bottleneck,
+    PERF_NOTES.md) with two cumsums + two searchsorteds + a ~W gather.
 
     ``max_bits`` caps the assembled payload; the theoretical worst case is
     10 bits per record (10 * L), but real streams run far below (the
@@ -494,35 +505,37 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
     L = code_o.shape[-1]
     if max_bits is None:
         max_bits = ((10 * L + 7) // 8) * 8
-    BIG = xp.int32(2 ** 30)
     nb = nbits_o * rec_valid
     off = xp.cumsum(nb) - nb
     total = nb.sum()
 
-    # Pack each slot's bit into the low bit of its sort key: one-operand
-    # sort, bit recovered from the sorted keys.
-    entries = []
-    for j in range(10):
-        ok = rec_valid & (j < nb)
-        key = xp.where(ok, ((off + j) << 1) | ((code_o >> j) & 1), BIG)
-        entries.append(key)
-    keys = xp.concatenate(entries)
-    keys_sorted = xp.sort(keys)
+    W = (max_bits + 31) // 32
+    sh = (off & 31).astype(xp.uint32)
+    code = (code_o.astype(xp.uint32)
+            & ((xp.uint32(1) << nb.astype(xp.uint32)) - 1))
+    code = xp.where(rec_valid, code, xp.uint32(0))
+    lo = code << sh
+    hi = xp.where(sh == 0, xp.uint32(0),
+                  code >> ((xp.uint32(32) - sh) & 31))
+    wlo = off >> 5
+    whi = wlo + 1
 
-    cap = min(max_bits, 10 * L)
-    bitstream = (keys_sorted[:cap] & 1).astype(xp.uint8)
-    if cap < max_bits:
-        bitstream = xp.concatenate(
-            [bitstream, xp.zeros(max_bits - cap, dtype=xp.uint8)])
-    # zero out slots past the real total (sorted garbage beyond)
-    posb = xp.arange(max_bits, dtype=xp.int32)
-    bitstream = xp.where(posb < total, bitstream, 0).astype(xp.uint8)
-    payload = bitstream[0:max_bits:8]
-    for j in range(1, 8):
-        payload = payload + (bitstream[j:max_bits:8] << j)
+    def words_from(contrib, wid):
+        csum = xp.cumsum(contrib, dtype=xp.uint32)
+        csum = xp.concatenate([xp.zeros(1, dtype=xp.uint32), csum])
+        bounds = xp.searchsorted(wid, xp.arange(W + 1, dtype=wid.dtype))
+        s = csum[bounds]
+        return s[1:] - s[:-1]
+
+    words = words_from(lo, wlo) + words_from(hi, whi)
+    b0 = (words & 0xFF).astype(xp.uint8)
+    b1 = ((words >> 8) & 0xFF).astype(xp.uint8)
+    b2 = ((words >> 16) & 0xFF).astype(xp.uint8)
+    b3 = ((words >> 24) & 0xFF).astype(xp.uint8)
+    payload = xp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)[:max_bits // 8]
     if with_overflow:
-        return payload.astype(xp.uint8), total, total > max_bits
-    return payload.astype(xp.uint8), total
+        return payload, total, total > max_bits
+    return payload, total
 
 
 def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None):
