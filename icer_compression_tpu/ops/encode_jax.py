@@ -21,8 +21,10 @@ amortizes across processes.
 Rate allocation, headers/CRC and stream assembly stay on host (kilobytes).
 Lanes hitting the 2048-codeword buffer flush (exactly detected on device)
 or overflowing the compaction margin re-encode on host via the native
-runtime.  encode_batch vmaps the whole fused program over a leading
-image axis (one device round trip per batch).
+runtime.  encode_batch concatenates all images' lanes into shared wide
+entropy kernel blocks (one device round trip per batch; the coder's
+per-step cost is ~flat in lane width, so B images cost ~the sequential
+steps of one).
 """
 
 from __future__ import annotations
@@ -126,7 +128,8 @@ class JaxGrayscaleEncoder:
 
     def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
                  segments: int, mag_bits: int,
-                 blob_cap: int | None = None, entropy: str | None = None):
+                 blob_cap: int | None = None, entropy: str | None = None,
+                 batch: int = 1):
         _ensure_cache()
         import jax
         import jax.numpy as jnp
@@ -145,20 +148,26 @@ class JaxGrayscaleEncoder:
         self.w, self.h = image_w, image_h
         self.stages, self.filt, self.segments = stages, filt, segments
         self.mag_bits = mag_bits
+        self.batch = batch
         self.bitplanes = C.BITPLANES_8 if mag_bits == 7 else C.BITPLANES_16
 
         self.groups = _plan_groups(image_w, image_h, stages, segments)
         self.buckets = _plan_buckets(self.groups)
         # lane order of the fused outputs: buckets in order, then groups,
-        # planes, lanes -- mirrors the bucket fn's concat order.
+        # images, planes, lanes -- mirrors the bucket fn's concat order
+        # (a group's emission block is (batch * planes * lanes, L),
+        # image-major).  Batching shares kernel lane blocks across images:
+        # the slim coder's per-step cost is ~flat in lane width (measured,
+        # PERF_NOTES.md), so B images cost ~the same sequential steps as 1.
         self.lane_keys: list[tuple] = []
         for b in self.buckets:
             for gi in b["groups"]:
                 g = self.groups[gi]
-                for p in range(self.bitplanes):
-                    for l in g["lanes"]:
-                        self.lane_keys.append((l.stage, l.subband, p,
-                                               l.seg, l))
+                for img_i in range(batch):
+                    for p in range(self.bitplanes):
+                        for l in g["lanes"]:
+                            self.lane_keys.append((img_i, l.stage, l.subband,
+                                                   p, l.seg, l))
         self.n_lanes = len(self.lane_keys)
         # Device->host payload budget: generous vs the lossless raw size;
         # overflow is flagged and falls back to per-lane host re-encode.
@@ -167,13 +176,13 @@ class JaxGrayscaleEncoder:
         # attached TPUs (observed: KB-sized fetches taking minutes while
         # MB-sized ones sustain ~25 MB/s).
         if blob_cap is None:
-            raw = image_w * image_h * (1 if mag_bits == 7 else 2)
-            blob_cap = ((raw + raw // 2 + 4096 + 127) // 128) * 128
+            raw = image_w * image_h * (1 if mag_bits == 7 else 2) * batch
+            blob_cap = ((raw + raw // 2 + 4096 * batch + 127) // 128) * 128
             blob_cap = max(blob_cap, 1 << 20)
         self.blob_cap = blob_cap
 
         self._fused = jax.jit(self._make_fused_fn())
-        self._batch_fns: dict[int, object] = {}
+        self._siblings: dict[int, JaxGrayscaleEncoder] = {}
         self._transform = jax.jit(self._transform_fn)
 
     # ---- device functions ----------------------------------------------
@@ -356,7 +365,11 @@ class JaxGrayscaleEncoder:
         chunk = 256
         Lc = min(-(-Lb // chunk) * chunk,
                  (-(-(3 * Lb) // 4) + 255) // 256 * 256)
-        width = int(os.environ.get("ICER_PALLAS_WIDTH", "512"))
+        # Lane-block width: wider rows are ~free per step (ALU-latency-
+        # bound serial chain, measured flat 128..1024 lanes), so batch
+        # mode widens the blocks to absorb all images' lanes.
+        width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) \
+            or min(2048, 512 * self.batch)
         cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
 
         def fn(parts):
@@ -416,9 +429,18 @@ class JaxGrayscaleEncoder:
         bucket_fns = [mk(b) for b in self.buckets]
         cap = self.blob_cap
 
-        def fused(image):
-            img, ll_mean, overflow = self._transform_fn(image)
-            emitted = [fn(img) for fn in emit_fns]
+        def fused(images):
+            # images: (batch, h, w); each group's emission block is
+            # (batch * planes * lanes, L), image-major -- all images'
+            # lanes share the entropy kernel blocks.
+            img, ll_mean, overflow = self.jax.vmap(
+                self._transform_fn)(images)
+            emitted = []
+            for fn in emit_fns:
+                v, c, b = self.jax.vmap(fn)(img)
+                emitted.append((v.reshape(-1, v.shape[-1]),
+                                c.reshape(-1, c.shape[-1]),
+                                b.reshape(-1, b.shape[-1])))
             payloads, totals, flushes = [], [], []
             for b, bfn in zip(self.buckets, bucket_fns):
                 payload, total, flush = bfn([emitted[gi]
@@ -455,9 +477,9 @@ class JaxGrayscaleEncoder:
             total_bytes = lens.sum()
             meta = jnp.concatenate([
                 nbits, flush,
-                jnp.stack([ll_mean.astype(jnp.int32),
-                           overflow.astype(jnp.int32),
-                           total_bytes.astype(jnp.int32),
+                ll_mean.astype(jnp.int32),
+                overflow.astype(jnp.int32),
+                jnp.stack([total_bytes.astype(jnp.int32),
                            (total_bytes > cap).astype(jnp.int32)]),
             ])
             meta_u8 = self.jax.lax.bitcast_convert_type(
@@ -472,71 +494,85 @@ class JaxGrayscaleEncoder:
     def encode_batch(self, images: np.ndarray):
         """Batched encode of (B, h, w) same-geometry images.
 
-        One device round trip for the whole batch (the fused program
-        vmapped over the leading axis); per-image unpack + flush/overflow
-        fallbacks identical to encode().  Returns a list of
+        One device round trip for the whole batch; all images' lanes share
+        the entropy kernel blocks (the amortization: the coder's per-step
+        cost is ~flat in lane width).  Returns a list of
         (payload_table, ll_mean) pairs.
         """
-        jnp = self.jnp
         B = images.shape[0]
-        fn = self._batch_fns.get(B)
-        if fn is None:
-            fn = self.jax.jit(self.jax.vmap(self._make_fused_fn()))
-            self._batch_fns[B] = fn
-        out = np.asarray(fn(jnp.asarray(images)))
-        return [self._unpack(out[i], images[i]) for i in range(B)]
+        if B != self.batch:
+            sib = self._siblings.get(B)
+            if sib is None:
+                sib = JaxGrayscaleEncoder(
+                    self.w, self.h, self.stages, self.filt, self.segments,
+                    self.mag_bits, entropy=self.entropy, batch=B)
+                self._siblings[B] = sib
+            return sib.encode_batch(images)
+        out = np.asarray(self._fused(self.jnp.asarray(images)))
+        return self._unpack_batch(out, images)
 
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},
         ll_mean)."""
-        jnp = self.jnp
-        out = np.asarray(self._fused(jnp.asarray(image)))
-        return self._unpack(out, image)
+        if self.batch != 1:
+            raise ValueError("encode() requires batch == 1")
+        return self.encode_batch(image[None])[0]
 
-    def _unpack(self, out: np.ndarray, image: np.ndarray):
+    def _unpack_batch(self, out: np.ndarray, images: np.ndarray):
         n = self.n_lanes
-        meta_bytes = 4 * (2 * n + 4)
+        B = self.batch
+        meta_bytes = 4 * (2 * n + 2 * B + 2)
         meta = out[:meta_bytes].view(np.int32)
         blob = out[meta_bytes:]
         nbits = meta[:n]
         flush = meta[n:2 * n]
-        ll_mean, overflow, total_bytes, blob_over = meta[2 * n:2 * n + 4]
-        if overflow:
-            raise IcerError(IcerStatus.INTEGER_OVERFLOW, "wavelet transform")
-        ll_mean = int(ll_mean)
-        if ll_mean > (1 << self.mag_bits) - 1:
-            raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
+        ll_means = meta[2 * n:2 * n + B]
+        overflows = meta[2 * n + B:2 * n + 2 * B]
+        total_bytes, blob_over = meta[2 * n + 2 * B:2 * n + 2 * B + 2]
+        for i in range(B):
+            if overflows[i]:
+                raise IcerError(IcerStatus.INTEGER_OVERFLOW,
+                                "wavelet transform")
+            if int(ll_means[i]) > (1 << self.mag_bits) - 1:
+                raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
 
-        table: dict[tuple, tuple[bytes, int]] = {}
-        fallback: list[tuple] = []
+        tables: list[dict[tuple, tuple[bytes, int]]] = [
+            {} for _ in range(B)]
+        fallback: list[tuple] = []    # (img_i, key, lane)
         if blob_over:
             # payload blob exceeded its budget -- re-encode on host
-            fallback = [(k[:4], k[4]) for k in self.lane_keys]
+            fallback = [(k[0], k[1:5], k[5]) for k in self.lane_keys]
         else:
             lens = (nbits + 7) // 8
             offs = np.cumsum(lens) - lens
             for r, key in enumerate(self.lane_keys):
                 if flush[r]:
-                    fallback.append((key[:4], key[4]))
+                    fallback.append((key[0], key[1:5], key[5]))
                     continue
                 nb = int(nbits[r])
                 o = int(offs[r])
-                table[key[:4]] = (blob[o:o + (nb + 7) // 8].tobytes(), nb)
+                tables[key[0]][key[1:5]] = (
+                    blob[o:o + (nb + 7) // 8].tobytes(), nb)
 
         if fallback:
             from ..backend import native_backend, sequential
             from .context_model import plane_emissions
             from ..models.grayscale import transform_for_encode
-            img_np, _ = transform_for_encode(image, self.stages, self.filt,
-                                             self.mag_bits)
-            for (key, l) in fallback:
+            t_cache: dict[int, np.ndarray] = {}
+            for (img_i, key, l) in fallback:
+                img_np = t_cache.get(img_i)
+                if img_np is None:
+                    img_np, _ = transform_for_encode(
+                        images[img_i], self.stages, self.filt,
+                        self.mag_bits)
+                    t_cache[img_i] = img_np
                 stage, subband, lsb, seg = key
                 data = img_np[l.row:l.row + l.h, l.col:l.col + l.w]
                 v, c, b = plane_emissions(data, subband, lsb, self.mag_bits)
                 if native_backend.available():
-                    table[key] = native_backend.encode_emissions_native(
-                        v, c, b)
+                    tables[img_i][key] = (
+                        native_backend.encode_emissions_native(v, c, b))
                 else:
                     pl, nb, _ = sequential.encode_emissions(v, c, b)
-                    table[key] = (pl, nb)
-        return table, ll_mean
+                    tables[img_i][key] = (pl, nb)
+        return [(tables[i], int(ll_means[i])) for i in range(B)]

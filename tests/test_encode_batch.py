@@ -1,0 +1,78 @@
+"""Batched fused-encoder correctness (CPU device, sorted entropy backend).
+
+The batched encoder concatenates all images' lanes into shared entropy
+kernel blocks (ops/encode_jax.encode_batch); these tests pin its
+bit-exactness against the host encoder per image, including the
+single-image wrapper path and fallback bookkeeping.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from conftest import make_test_image  # noqa: E402
+
+from icer_compression_tpu.core.packets import (  # noqa: E402
+    build_packets_grayscale, rearrange_order_grayscale, sort_packets)
+from icer_compression_tpu.models import grayscale as G  # noqa: E402
+from icer_compression_tpu.models.grayscale import CodecConfig  # noqa: E402
+
+
+def _stream_from_table(table, ll, w, h, cfg, bitplanes=9):
+    packets = sort_packets(
+        build_packets_grayscale(w, h, cfg.stages, ll, bitplanes))
+    nsegs = {(p.decomp_level, p.subband_type): cfg.segments for p in packets}
+    t = {(0,) + k: v for k, v in table.items()}
+    enc = G.allocate_from_table(packets, t, cfg.byte_quota, nsegs, w, h)
+    return G.assemble_stream(enc, rearrange_order_grayscale(bitplanes))
+
+
+def test_encode_batch_bit_exact(rng):
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        imgs = np.stack([
+            make_test_image(40, 40, rng, dtype=np.uint16),
+            make_test_image(40, 40, rng, dtype=np.uint16, amplitude=97),
+            make_test_image(40, 40, rng, dtype=np.uint16, noise=200),
+        ])
+        cfg = CodecConfig(stages=2, filt=0, segments=3,
+                          byte_quota=40 * 40 * 2)
+        enc = JaxGrayscaleEncoder(40, 40, 2, 0, 3, 15, entropy="sorted",
+                                  batch=3)
+        res = enc.encode_batch(imgs)
+        for i in range(3):
+            table, ll = res[i]
+            stream = _stream_from_table(table, ll, 40, 40, cfg)
+            assert stream == G.compress(imgs[i], cfg), f"image {i}"
+
+
+def test_encode_batch_sibling_and_single(rng):
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        imgs = np.stack([
+            make_test_image(33, 47, rng, dtype=np.uint16),
+            make_test_image(33, 47, rng, dtype=np.uint16, amplitude=55),
+        ])
+        cfg = CodecConfig(stages=2, filt=2, segments=2,
+                          byte_quota=33 * 47 * 2)
+        enc = JaxGrayscaleEncoder(47, 33, 2, 2, 2, 15, entropy="sorted")
+        # batch B != encoder batch -> sibling delegation
+        res = enc.encode_batch(imgs)
+        for i in range(2):
+            table, ll = res[i]
+            stream = _stream_from_table(table, ll, 47, 33, cfg)
+            assert stream == G.compress(imgs[i], cfg), f"image {i}"
+        # single-image wrapper stays bit-exact
+        table, ll = enc.encode(imgs[0])
+        stream = _stream_from_table(table, ll, 47, 33, cfg)
+        assert stream == G.compress(imgs[0], cfg)
