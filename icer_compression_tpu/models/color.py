@@ -129,10 +129,13 @@ def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                                   config.segments, mag_bits)
         _JAX_ENCODERS[key] = enc
 
+    # One device call for all three channels: the batched fused encoder
+    # folds the channels into shared entropy kernel lane blocks.
+    results = enc.encode_batch(np.stack([y, u, v]))
     table = {}
     ll_means = []
-    for chan, plane in enumerate((y, u, v)):
-        raw, ll_mean = enc.encode(plane)
+    for chan in range(3):
+        raw, ll_mean = results[chan]
         ll_means.append(ll_mean)
         table.update({(chan,) + k: val for k, val in raw.items()})
 

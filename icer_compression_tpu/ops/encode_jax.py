@@ -128,8 +128,7 @@ class JaxGrayscaleEncoder:
 
     def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
                  segments: int, mag_bits: int,
-                 blob_cap: int | None = None, entropy: str | None = None,
-                 batch: int = 1):
+                 entropy: str | None = None, batch: int = 1):
         _ensure_cache()
         import jax
         import jax.numpy as jnp
@@ -169,19 +168,13 @@ class JaxGrayscaleEncoder:
                             self.lane_keys.append((img_i, l.stage, l.subband,
                                                    p, l.seg, l))
         self.n_lanes = len(self.lane_keys)
-        # Device->host payload budget: generous vs the lossless raw size;
-        # overflow is flagged and falls back to per-lane host re-encode.
-        # The combined (meta + blob) output is kept >= 1 MiB: small
-        # device->host transfers are pathologically slow on remotely
-        # attached TPUs (observed: KB-sized fetches taking minutes while
-        # MB-sized ones sustain ~25 MB/s).
-        if blob_cap is None:
-            raw = image_w * image_h * (1 if mag_bits == 7 else 2) * batch
-            blob_cap = ((raw + raw // 2 + 4096 * batch + 127) // 128) * 128
-            blob_cap = max(blob_cap, 1 << 20)
-        self.blob_cap = blob_cap
-
         self._fused = jax.jit(self._make_fused_fn())
+        # building the fused fn records each bucket's static per-lane
+        # payload cap (b["capb"]); the flat output layout follows from it
+        self._payload_layout = [
+            (sum(batch * self.bitplanes * len(self.groups[gi]["lanes"])
+                 for gi in b["groups"]), b["capb"])
+            for b in self.buckets]
         self._siblings: dict[int, JaxGrayscaleEncoder] = {}
         self._transform = jax.jit(self._transform_fn)
 
@@ -259,6 +252,9 @@ class JaxGrayscaleEncoder:
     def _make_bucket_fn(self, b):
         jnp = self.jnp
         Lb = b["L"]
+        Lc = min(Lb, (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
+        b["capb"] = cap_bits // 8
 
         def fn(parts):
             vs, cs, bs = [], [], []
@@ -274,7 +270,7 @@ class JaxGrayscaleEncoder:
                 valid, ctx, bit, Lb)
             enc = self.jax.vmap(
                 lambda v, c, x: entropy_jax2.encode_emissions_sorted(
-                    v, c, x, jnp))
+                    v, c, x, jnp, max_bits=cap_bits))
             payload, total, flush = enc(valid, ctx, bit)
             return payload, total, flush | over
 
@@ -295,6 +291,8 @@ class JaxGrayscaleEncoder:
         chunk = 256
         Lc = min(-(-Lb // chunk) * chunk,
                  (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
+        b["capb"] = cap_bits // 8
         run = PE.make_encode_lanes_pallas(Lc, chunk=chunk)
 
         def fn(parts):
@@ -327,7 +325,7 @@ class JaxGrayscaleEncoder:
             rowidx = jnp.arange(Lc + 17)
             done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
             post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                c, nn, o, done, jnp))
+                c, nn, o, done, jnp, max_bits=cap_bits))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * PE.LANES, (blk + 1) * PE.LANES)
@@ -371,6 +369,7 @@ class JaxGrayscaleEncoder:
         width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) \
             or min(2048, 512 * self.batch)
         cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
+        b["capb"] = cap_bits // 8
 
         def fn(parts):
             vs, cs, bs = [], [], []
@@ -427,7 +426,6 @@ class JaxGrayscaleEncoder:
               "slim": self._make_bucket_fn_slim,
               "sorted": self._make_bucket_fn}[self.entropy]
         bucket_fns = [mk(b) for b in self.buckets]
-        cap = self.blob_cap
 
         def fused(images):
             # images: (batch, h, w); each group's emission block is
@@ -452,41 +450,26 @@ class JaxGrayscaleEncoder:
             flush = jnp.concatenate(
                 [f.astype(jnp.int32) for f in flushes])
 
-            # On-device compaction: lay each lane's payload bytes at its
-            # byte-aligned offset in one contiguous blob.  A scan of
-            # dynamic_update_slices (in offset order, each lane's padding
-            # overwritten by its successors) compiles ~25x faster than the
-            # equivalent giant scatter.
-            lens = (nbits + 7) // 8
-            offs = jnp.cumsum(lens) - lens
-            max_capb = max(p.shape[1] for p in payloads)
-            blob = jnp.zeros((cap + max_capb + 1,), dtype=jnp.uint8)
-            r0 = 0
-            for payload in payloads:
-                n, capb = payload.shape
-
-                def step(b, xs):
-                    row, off = xs
-                    off = jnp.minimum(off, cap)
-                    return self.jax.lax.dynamic_update_slice(
-                        b, row, (off,)), None
-
-                blob, _ = self.jax.lax.scan(
-                    step, blob, (payload, offs[r0:r0 + n]))
-                r0 += n
-            total_bytes = lens.sum()
+            # Output = metadata + the per-bucket padded payload matrices,
+            # flattened.  The static (rows, cap_bytes) layout makes host
+            # slicing trivial and skips any on-device compaction pass (a
+            # scan of dynamic_update_slices measured ~100 ms/image here);
+            # the 1.5x-emissions per-lane caps keep the padded matrices
+            # smaller than a contiguous blob's budget anyway.
             meta = jnp.concatenate([
                 nbits, flush,
                 ll_mean.astype(jnp.int32),
                 overflow.astype(jnp.int32),
-                jnp.stack([total_bytes.astype(jnp.int32),
-                           (total_bytes > cap).astype(jnp.int32)]),
             ])
             meta_u8 = self.jax.lax.bitcast_convert_type(
                 meta, jnp.uint8).reshape(-1)
+            out = jnp.concatenate(
+                [meta_u8] + [p.reshape(-1) for p in payloads])
             # Single >=1MiB output: tiny fetches stall on tunnel-attached
             # TPUs (see __init__).
-            return jnp.concatenate([meta_u8, blob[:cap]])
+            if out.shape[0] < (1 << 20):
+                out = jnp.pad(out, (0, (1 << 20) - out.shape[0]))
+            return out
 
         return fused
 
@@ -521,14 +504,12 @@ class JaxGrayscaleEncoder:
     def _unpack_batch(self, out: np.ndarray, images: np.ndarray):
         n = self.n_lanes
         B = self.batch
-        meta_bytes = 4 * (2 * n + 2 * B + 2)
+        meta_bytes = 4 * (2 * n + 2 * B)
         meta = out[:meta_bytes].view(np.int32)
-        blob = out[meta_bytes:]
         nbits = meta[:n]
         flush = meta[n:2 * n]
         ll_means = meta[2 * n:2 * n + B]
         overflows = meta[2 * n + B:2 * n + 2 * B]
-        total_bytes, blob_over = meta[2 * n + 2 * B:2 * n + 2 * B + 2]
         for i in range(B):
             if overflows[i]:
                 raise IcerError(IcerStatus.INTEGER_OVERFLOW,
@@ -536,23 +517,28 @@ class JaxGrayscaleEncoder:
             if int(ll_means[i]) > (1 << self.mag_bits) - 1:
                 raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
 
+        # per-lane payload rows at their static (bucket-major) offsets
+        row_off = np.empty(n, dtype=np.int64)
+        row_cap = np.empty(n, dtype=np.int64)
+        r0 = 0
+        off = meta_bytes
+        for rows, capb in self._payload_layout:
+            row_off[r0:r0 + rows] = off + capb * np.arange(rows)
+            row_cap[r0:r0 + rows] = capb
+            off += rows * capb
+            r0 += rows
+
         tables: list[dict[tuple, tuple[bytes, int]]] = [
             {} for _ in range(B)]
         fallback: list[tuple] = []    # (img_i, key, lane)
-        if blob_over:
-            # payload blob exceeded its budget -- re-encode on host
-            fallback = [(k[0], k[1:5], k[5]) for k in self.lane_keys]
-        else:
-            lens = (nbits + 7) // 8
-            offs = np.cumsum(lens) - lens
-            for r, key in enumerate(self.lane_keys):
-                if flush[r]:
-                    fallback.append((key[0], key[1:5], key[5]))
-                    continue
-                nb = int(nbits[r])
-                o = int(offs[r])
-                tables[key[0]][key[1:5]] = (
-                    blob[o:o + (nb + 7) // 8].tobytes(), nb)
+        for r, key in enumerate(self.lane_keys):
+            if flush[r]:
+                fallback.append((key[0], key[1:5], key[5]))
+                continue
+            nb = int(nbits[r])
+            o = int(row_off[r])
+            tables[key[0]][key[1:5]] = (
+                out[o:o + (nb + 7) // 8].tobytes(), nb)
 
         if fallback:
             from ..backend import native_backend, sequential

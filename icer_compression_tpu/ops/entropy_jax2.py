@@ -523,7 +523,13 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
     def words_from(contrib, wid):
         csum = xp.cumsum(contrib, dtype=xp.uint32)
         csum = xp.concatenate([xp.zeros(1, dtype=xp.uint32), csum])
-        bounds = xp.searchsorted(wid, xp.arange(W + 1, dtype=wid.dtype))
+        queries = xp.arange(W + 1, dtype=wid.dtype)
+        if _is_jax(xp):
+            # method="sort" lowers to one co-sort (TPU-friendly); the
+            # default scan method is a chain of serializing gathers.
+            bounds = xp.searchsorted(wid, queries, method="sort")
+        else:
+            bounds = xp.searchsorted(wid, queries)
         s = csum[bounds]
         return s[1:] - s[:-1]
 
