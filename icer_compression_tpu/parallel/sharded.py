@@ -80,11 +80,11 @@ class ShardedGrayscaleEncoder:
 
     def __init__(self, mesh, image_w: int, image_h: int, stages: int,
                  filt: int, segments: int, mag_bits: int = 15,
-                 entropy: str = "pa"):
-        # entropy "pa" = position-aligned coder (ops/entropy_jax; compiles
-        # and runs well on the virtual-CPU dryrun mesh); "sorted" = the
-        # sort-centric coder (ops/entropy_jax2; the fast TPU formulation).
-        # Both are bit-exact.
+                 entropy: str = "sorted"):
+        # entropy "sorted" (default) = the production sort-centric coder
+        # (ops/entropy_jax2, the fast TPU formulation); "pa" = the
+        # position-aligned v1 prototype (ops/entropy_jax, retained as a
+        # differential cross-check).  Both are bit-exact.
         from ..ops.encode_jax import _ensure_cache
         _ensure_cache()
         import jax
@@ -226,6 +226,96 @@ class ShardedGrayscaleEncoder:
             else:
                 pl, nb, _ = sequential.encode_emissions(v, c, b)
                 tables[bi][key] = (pl, nb)
+
+
+class ShardedColorEncoder:
+    """Batched YUV encode sharded over a ('data', 'seg') mesh.
+
+    The color pipeline is the grayscale pipeline applied per channel with
+    per-channel LL means (icer_color.c:343-456); channels therefore fold
+    into the data axis (a (B, 3, H, W) batch shards as 3B images), and
+    rate allocation / stream assembly stay host-side per image.
+    (3 * B) % mesh.shape['data'] must be 0.
+    """
+
+    def __init__(self, mesh, image_w: int, image_h: int, stages: int,
+                 filt: int, segments: int, mag_bits: int = 15,
+                 entropy: str = "sorted"):
+        self._g = ShardedGrayscaleEncoder(mesh, image_w, image_h, stages,
+                                          filt, segments, mag_bits, entropy)
+        self.mag_bits = mag_bits
+        self.bitplanes = self._g.bitplanes
+
+    def encode_batch_yuv(self, ys, us, vs):
+        """(B,H,W) x3 -> list of (ll_means [y,u,v], table) per image;
+        table maps (chan, stage, subband, lsb, seg) -> (payload, nbits)."""
+        B = ys.shape[0]
+        stacked = np.concatenate([ys, us, vs])       # channel-major (3B,..)
+        ll, tables = self._g.encode_batch(stacked)
+        out = []
+        for i in range(B):
+            t = {}
+            lm = []
+            for chan in range(3):
+                lm.append(int(ll[chan * B + i]))
+                t.update({(chan,) + k: v
+                          for k, v in tables[chan * B + i].items()})
+            out.append((lm, t))
+        return out
+
+    def compress_batch(self, ys, us, vs, config) -> list[bytes]:
+        """Full sharded color compression: returns one stream per image,
+        bit-identical to models.color.compress_yuv."""
+        from ..core.packets import (build_packets_color,
+                                    rearrange_order_color_uint8,
+                                    rearrange_order_color_uint16,
+                                    sort_packets)
+        from ..models.grayscale import allocate_from_table, assemble_stream
+
+        res = self.encode_batch_yuv(ys, us, vs)
+        h, w = ys.shape[1:]
+        order = (rearrange_order_color_uint8(self.bitplanes)
+                 if self.mag_bits == 7
+                 else rearrange_order_color_uint16(self.bitplanes))
+        streams = []
+        for (lm, table) in res:
+            packets = sort_packets(build_packets_color(
+                w, h, config.stages, lm, self.bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
+            enc = allocate_from_table(packets, table, config.byte_quota,
+                                      nsegs, w, h)
+            streams.append(assemble_stream(enc, order))
+        return streams
+
+
+def decode_batch_sharded(streams, config, dtype=np.uint16, devices=None,
+                         backend: str = "auto", max_workers: int | None = None):
+    """Decode independent streams data-parallel across devices.
+
+    Decode has *zero* cross-device communication: segments are
+    self-contained (own CRCs, own coder state) and each stream
+    reconstructs one image, so multi-chip decode is pure data parallelism
+    -- streams round-robin over the devices, each running the lane-batched
+    decoder (backend "jax") or the threaded host runtime.  With one device
+    this degenerates to a sequential loop over decompress().
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from ..models.grayscale import decompress
+
+    if devices is None or len(devices) <= 1:
+        return [decompress(s, config, dtype=dtype, backend=backend)
+                for s in streams]
+    import jax
+
+    def one(args):
+        i, s = args
+        dev = devices[i % len(devices)]
+        with jax.default_device(dev):
+            return decompress(s, config, dtype=dtype, backend=backend)
+
+    with ThreadPoolExecutor(max_workers=max_workers or len(devices)) as ex:
+        return list(ex.map(one, enumerate(streams)))
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,

@@ -33,6 +33,44 @@ pytestmark = [
 ]
 
 
+def test_sharded_color_and_uint8(rng):
+    from icer_compression_tpu.parallel.sharded import (
+        ShardedColorEncoder, ShardedGrayscaleEncoder, make_mesh)
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.color import compress_yuv
+    from icer_compression_tpu.models.grayscale import (
+        CodecConfig, allocate_from_table, assemble_stream)
+    from icer_compression_tpu.core.packets import (
+        build_packets_grayscale, rearrange_order_grayscale, sort_packets)
+
+    mesh = make_mesh(2, platform="cpu")
+    H = W = 24
+    cfg = CodecConfig(stages=1, filt=0, segments=2, byte_quota=H * W * 2)
+
+    # color: channels fold into the data axis
+    enc = ShardedColorEncoder(mesh, W, H, 1, 0, 2, mag_bits=15)
+    planes = [((np.add.outer(np.arange(H) * k, np.arange(W))[None] % 90)
+               + rng.integers(0, 30, (2, H, W))).astype(np.uint16)
+              for k in (3, 5, 7)]
+    streams = enc.compress_batch(planes[0], planes[1], planes[2], cfg)
+    for bi in range(2):
+        ref = compress_yuv(planes[0][bi], planes[1][bi], planes[2][bi], cfg)
+        assert streams[bi] == ref
+
+    # uint8 path (7 magnitude bits)
+    enc8 = ShardedGrayscaleEncoder(mesh, W, H, 1, 0, 2, mag_bits=7)
+    imgs8 = (rng.integers(0, 200, (2, H, W))).astype(np.uint8)
+    ll_means, tables = enc8.encode_batch(imgs8)
+    for bi in range(2):
+        ref = G.compress(imgs8[bi], cfg)
+        table = {(0,) + k: v for k, v in tables[bi].items()}
+        packets = sort_packets(build_packets_grayscale(
+            W, H, 1, int(ll_means[bi]), 7))
+        nsegs = {(p.decomp_level, p.subband_type): 2 for p in packets}
+        encoded = allocate_from_table(packets, table, H * W * 2, nsegs, W, H)
+        assert assemble_stream(encoded, rearrange_order_grayscale(7)) == ref
+
+
 def test_sharded_encode_matches_reference_path(rng):
     from icer_compression_tpu.parallel.sharded import (
         ShardedGrayscaleEncoder, make_mesh)
@@ -62,3 +100,20 @@ def test_sharded_encode_matches_reference_path(rng):
                  for p in packets}
         encoded = allocate_from_table(packets, table, H * W * 2, nsegs, W, H)
         assert assemble_stream(encoded, rearrange_order_grayscale(9)) == ref
+
+
+def test_decode_batch_sharded_devices(rng):
+    """Data-parallel sharded decode (no collectives): round-robin over
+    devices, pixel-identical to the host decoder."""
+    from icer_compression_tpu.parallel.sharded import decode_batch_sharded
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import CodecConfig
+
+    H = W = 24
+    cfg = CodecConfig(stages=1, filt=0, segments=2, byte_quota=H * W * 2)
+    imgs = [(rng.integers(0, 3000, (H, W))).astype(np.uint16)
+            for _ in range(4)]
+    streams = [G.compress(im, cfg) for im in imgs]
+    out = decode_batch_sharded(streams, cfg, devices=_cpu_devices()[:4])
+    for im, dec in zip(imgs, out):
+        assert np.array_equal(im, dec)
