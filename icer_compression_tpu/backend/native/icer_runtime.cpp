@@ -1031,10 +1031,12 @@ void icer_tpu_encode_batch(const int32_t *valid, const int32_t *ctx,
 }
 
 
-// One encode task: a segment of a subband; all bitplanes are encoded
-// (fresh coder + counters per plane, mirroring icer_compress_partition_*).
+// One encode task: a segment of a subband; bitplanes lsb0 .. lsb0 +
+// nplanes - 1 are encoded (fresh coder + counters per plane, mirroring
+// icer_compress_partition_*).  lsb0 lets the quota-aware scheduler
+// submit single-plane packets in priority order.
 struct EncTask {
-  int32_t seg_off, h, w, rowstride, subband, mag_bits, nplanes, pad_;
+  int32_t seg_off, h, w, rowstride, subband, mag_bits, nplanes, lsb0;
 };
 
 // Encode a batch of segment tasks.  For task t and plane lsb, the payload
@@ -1055,8 +1057,8 @@ void icer_tpu_encode_segments(const int32_t *image, const EncTask *tasks,
       int64_t u = next.fetch_add(1);
       if (u >= nunits) return;
       int64_t t = u / nplanes;
-      int lsb = (int)(u % nplanes);
       const EncTask &task = tasks[t];
+      int lsb = task.lsb0 + (int)(u % nplanes);
       const int32_t *seg = image + task.seg_off;
       uint8_t *o = out + u * stride;
       Encoder enc(o, (size_t)stride);

@@ -155,16 +155,17 @@ class EncTask(ct.Structure):
         ("seg_off", ct.c_int32), ("h", ct.c_int32), ("w", ct.c_int32),
         ("rowstride", ct.c_int32), ("subband", ct.c_int32),
         ("mag_bits", ct.c_int32), ("nplanes", ct.c_int32),
-        ("pad_", ct.c_int32),
+        ("lsb0", ct.c_int32),
     ]
 
 
 def encode_segments_native(image: np.ndarray, tasks: list[dict],
                            nplanes: int, nthreads=0):
-    """Encode a batch of (subband, segment) tasks, all bitplanes each.
+    """Encode a batch of (subband, segment) tasks, ``nplanes`` bitplanes
+    each starting at the task's ``lsb0`` (default 0).
 
     image: the transformed sign-magnitude image, int32 C-contiguous.
-    Each task dict: seg_off, h, w, rowstride, subband, mag_bits.
+    Each task dict: seg_off, h, w, rowstride, subband, mag_bits[, lsb0].
     Returns (payloads uint8 (ntasks*nplanes, stride), bits (ntasks*nplanes,)).
     """
     lib = get_lib()
@@ -186,6 +187,7 @@ def encode_segments_native(image: np.ndarray, tasks: list[dict],
         s.subband = t["subband"]
         s.mag_bits = t["mag_bits"]
         s.nplanes = nplanes
+        s.lsb0 = t.get("lsb0", 0)
         max_px = max(max_px, t["h"] * t["w"])
     stride = 4 * max_px + 64  # worst case ~2.5 bits/pixel-slot, 2 slots
     # The native encoder assigns every output byte it produces (no OR into

@@ -49,18 +49,12 @@ def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             and backend in ("auto", "native")):
         from ..backend import native_backend
         if native_backend.available():
-            from .grayscale import allocate_from_table, encode_channel_native
-            table = {}
-            for chan in range(3):
-                raw = encode_channel_native(chans[chan], config, mag_bits,
-                                            bitplanes)
-                table.update({(chan,) + k: val for k, val in raw.items()})
+            from .grayscale import _encode_allocate_native_tranches
             packets = sort_packets(build_packets_color(
                 w, h, config.stages, ll_means, bitplanes))
-            nsegs = {(p.decomp_level, p.subband_type): config.segments
-                     for p in packets}
-            encoded = allocate_from_table(packets, table, config.byte_quota,
-                                          nsegs, w, h)
+            encoded = _encode_allocate_native_tranches(
+                None, packets, config, mag_bits, bitplanes, w, h,
+                channel_views={c: chans[c] for c in range(3)})
             order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
                      else rearrange_order_color_uint16(bitplanes))
             return assemble_stream(encoded, order)

@@ -170,14 +170,10 @@ def compress(image: np.ndarray, config: CodecConfig,
         if native_backend.available():
             img, ll_mean = transform_for_encode(
                 image, config.stages, config.filt, mag_bits)
-            raw = encode_channel_native(img, config, mag_bits, bitplanes)
-            table = {(0,) + k: v for k, v in raw.items()}
             packets = sort_packets(build_packets_grayscale(
                 w, h, config.stages, ll_mean, bitplanes))
-            nsegs = {(p.decomp_level, p.subband_type): config.segments
-                     for p in packets}
-            encoded = allocate_from_table(packets, table, config.byte_quota,
-                                          nsegs, w, h)
+            encoded = _encode_allocate_native_tranches(
+                img, packets, config, mag_bits, bitplanes, w, h)
             return assemble_stream(encoded,
                                    rearrange_order_grayscale(bitplanes))
         if backend == "native":
@@ -227,6 +223,107 @@ def compress(image: np.ndarray, config: CodecConfig,
             break
 
     return assemble_stream(encoded, rearrange_order_grayscale(bitplanes))
+
+
+def _encode_allocate_native_tranches(img_t: np.ndarray, packets, config,
+                                     mag_bits: int, bitplanes: int,
+                                     w: int, h: int,
+                                     channel_views=None) -> dict:
+    """Quota-aware native encode: packets in priority order, early stop.
+
+    The reference stops coding the moment the quota is hit
+    (icer_compress.c:404, icer_partition.c:323-326); encoding every plane
+    first and truncating afterwards wastes ~3x the work at small quotas.
+    This walks the sorted packet list in tranches of geometrically growing
+    size (each packet = one (stage, subband, lsb) x segments batch of
+    single-plane native tasks), interleaving exact allocation so encoding
+    halts at the same packet the reference does.  Streams are byte-
+    identical to the full-encode + allocate_from_table path at any quota.
+
+    ``channel_views``: optional {channel: transformed image} for the color
+    path (packets then carry the channel); ``img_t`` is ignored if given.
+    """
+    from ..backend import native_backend
+
+    views = channel_views if channel_views is not None else {0: img_t}
+    quota = config.byte_quota
+    npk = len(packets)
+    if quota is None:
+        k0 = npk
+    else:
+        k0 = max(8, min(npk, (npk * quota) // max(1, h * w)))
+
+    rect_cache: dict[tuple, list] = {}
+
+    def rects_of(pkt):
+        key = (pkt.decomp_level, pkt.subband_type)
+        r = rect_cache.get(key)
+        if r is None:
+            view = subband_view(w, h, pkt.decomp_level, pkt.subband_type)
+            r = (view, partition_segments(view.w, view.h, config.segments))
+            rect_cache[key] = r
+        return r
+
+    encoded: dict[tuple, tuple[SegmentHeader, bytes]] = {}
+    size_used = 0
+    i = 0
+    k = k0
+    while i < npk:
+        tranche = packets[i:i + k]
+        i += k
+        k *= 2
+        tasks = []
+        tmeta = []
+        for pkt in tranche:
+            view, rects = rects_of(pkt)
+            for rect in rects:
+                tasks.append({
+                    "seg_off": ((view.row + rect.row) * w
+                                + (view.col + rect.col)),
+                    "h": rect.h, "w": rect.w, "rowstride": w,
+                    "subband": pkt.subband_type, "mag_bits": mag_bits,
+                    "lsb0": pkt.lsb,
+                })
+                tmeta.append((pkt, rect))
+        img_c = views[tranche[0].channel]
+        if channel_views is not None and any(
+                p.channel != tranche[0].channel for p in tranche):
+            # mixed-channel tranche: encode per channel
+            out = np.empty((len(tasks), 0), dtype=np.uint8)
+            outs = [None] * len(tasks)
+            bits = np.zeros(len(tasks), dtype=np.int64)
+            for chan, view_img in views.items():
+                idxs = [j for j, (p, _) in enumerate(tmeta)
+                        if p.channel == chan]
+                if not idxs:
+                    continue
+                o, b = native_backend.encode_segments_native(
+                    view_img, [tasks[j] for j in idxs], 1)
+                for r, j in enumerate(idxs):
+                    outs[j] = o[r]
+                    bits[j] = b[r]
+        else:
+            out, bits = native_backend.encode_segments_native(
+                img_c, tasks, 1)
+            outs = list(out)
+        for j, (pkt, rect) in enumerate(tmeta):
+            if quota is not None and quota - size_used < C.HEADER_SIZE:
+                return encoded
+            nbits = int(bits[j])
+            if quota is not None:
+                max_out = quota - size_used - C.HEADER_SIZE
+                if nbits >= 8 * max_out:
+                    return encoded
+            hdr = SegmentHeader(
+                ll_mean_val=pkt.ll_mean_val, decomp_level=pkt.decomp_level,
+                subband_type=pkt.subband_type, segment_number=rect.index,
+                lsb=pkt.lsb, channel=pkt.channel, image_w=w, image_h=h,
+                data_length=nbits)
+            encoded[(pkt.channel, pkt.decomp_level, pkt.subband_type,
+                     pkt.lsb, rect.index)] = (
+                hdr, outs[j][: (nbits + 7) // 8].tobytes())
+            size_used += C.HEADER_SIZE + hdr.payload_bytes
+    return encoded
 
 
 def allocate_from_table(packets, payload_table: dict, quota,

@@ -202,6 +202,32 @@ def plane_emissions_lanes(seg, subband_code, pix_valid, lsb: int,
             bit.reshape(N, 2 * npx))
 
 
+def plane_emissions_words(seg, subband_code, pix_valid, lsb: int,
+                          mag_bits: int, xp=np):
+    """Packed per-slot emission words, without slot interleaving.
+
+    Returns (w0, w1), each (N, h*w) int32 with the fused encoder's packed
+    emission layout (valid | ctx << 1 | bit << 6): w0 is the magnitude /
+    refinement slot of every pixel in raster order, w1 the sign slot
+    (valid only on sign events).  The coding-order interleave
+    [w0[0], w1[0], w0[1], w1[1], ...] is deferred to the encoder's
+    compaction sort (a (1,L)->(L,) stack/reshape interleave is a costly
+    relayout on TPU; a sort key is free there).
+    """
+    a = plane_analysis_lanes(seg, subband_code, lsb, mag_bits, xp)
+    N = seg.shape[0]
+    npx = seg.shape[-2] * seg.shape[-1]
+
+    def flat(x):
+        return x.reshape(N, npx)
+
+    pv = flat(pix_valid.astype(xp.int32))
+    w0 = pv | (flat(a["ctx"]) << 1) | (flat(a["bit"]) << 6)
+    sv = flat(a["sign_event"]) * pv
+    w1 = sv | (flat(a["sign_ctx"]) << 1) | (flat(a["agreement"]) << 6)
+    return w0, w1
+
+
 def plane_emissions(seg, subband_type: int, lsb: int, mag_bits: int, xp=np):
     """Emission stream for one segment bitplane, in coding order.
 

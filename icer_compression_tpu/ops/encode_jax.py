@@ -39,7 +39,7 @@ from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
 from ..core.status import IcerError, IcerStatus
 from . import entropy_jax2, wavelet
-from .context_model import plane_emissions_lanes
+from .context_model import plane_emissions_words
 
 _CACHE_SET = False
 
@@ -209,45 +209,55 @@ class JaxGrayscaleEncoder:
             batch = jnp.stack(segs)                         # (N, mh, mw)
             sub_codes = jnp.asarray(g["sub_codes"])
             pix_valid = jnp.asarray(g["pix_valid"])
-            vs, cs, bs = [], [], []
+            w0s, w1s = [], []
             for lsb in range(planes):
-                v, c, b = plane_emissions_lanes(
+                w0, w1 = plane_emissions_words(
                     batch, sub_codes, pix_valid, lsb, self.mag_bits, jnp)
-                vs.append(v)
-                cs.append(c)
-                bs.append(b)
-            return (jnp.concatenate(vs, axis=0),            # (P*N, L)
-                    jnp.concatenate(cs, axis=0),
-                    jnp.concatenate(bs, axis=0))
+                w0s.append(w0)
+                w1s.append(w1)
+            return (jnp.concatenate(w0s, axis=0),           # (P*N, mh*mw)
+                    jnp.concatenate(w1s, axis=0))
 
         return fn
 
-    def _compact_emissions(self, valid, ctx, bit, Lb):
-        """Stable valid-first compaction of per-lane emission streams.
+    def _gather_compact_words(self, parts, Lb):
+        """Pad/concat per-group packed slot words, interleave + compact.
 
-        Emission slots are 2 per pixel (magnitude + sign), but sign slots
-        are only valid for newly-significant one-bits -- typically a small
-        fraction.  The coder's output depends only on the *subsequence* of
-        valid emissions, so packing them to the front and truncating to
-        Lc = 3/4 Lb (rounded to the entropy chunk) shortens every
-        downstream O(L) stage by ~25%.  Lanes whose valid count exceeds Lc
-        (sign fraction > 1/2; rare) are flagged for the existing host
-        fallback.  Returns (valid, ctx, bit, over) at length Lc.
+        ``parts`` is a list of (w0, w1) packed emission-word pairs (rows,
+        npx).  The coding order interleaves the two slots per pixel; sign
+        slots are only valid for newly-significant one-bits, so a stable
+        sort by (valid-first, slot position) both materializes the
+        interleave *and* packs valid emissions to the front, letting every
+        downstream O(L) stage run at Lc = 3/4 Lb (rounded to the entropy
+        chunk).  The coder's output depends only on the subsequence of
+        valid emissions, so the reordered invalid tail is immaterial.
+        Lanes whose valid count exceeds Lc (sign fraction > 1/2; rare) are
+        flagged for the existing host fallback.  Returns (words, over)
+        with words (rows, Lc).
         """
         jax, jnp = self.jax, self.jnp
+        half = Lb // 2
         Lc = min(Lb, (-(-(3 * Lb) // 4) + 255) // 256 * 256)
-        if Lc >= Lb:
-            n = valid.shape[0]
-            return valid, ctx, bit, jnp.zeros((n,), bool)
-        iota = jnp.arange(Lb, dtype=jnp.int32)
+        w0s, w1s = [], []
+        for (w0, w1) in parts:
+            pad = half - w0.shape[-1]
+            w0s.append(jnp.pad(w0, ((0, 0), (0, pad))))
+            w1s.append(jnp.pad(w1, ((0, 0), (0, pad))))
+        w0 = jnp.concatenate(w0s, axis=0)
+        w1 = jnp.concatenate(w1s, axis=0)
+        pos = jnp.arange(half, dtype=jnp.int32)
+        k0 = jnp.where((w0 & 1) != 0, 2 * pos, Lb + 2 * pos)
+        k1 = jnp.where((w1 & 1) != 0, 2 * pos + 1, Lb + 2 * pos + 1)
+        key = jnp.concatenate([k0, k1], axis=-1)
+        words = jnp.concatenate([w0, w1], axis=-1)
 
-        def one(v, c, x):
-            key = jnp.where(v != 0, iota, Lb + iota)
-            _, (v2, c2, x2) = entropy_jax2._sort_by(
-                key, (v.astype(jnp.int32), c, x), jnp)
-            return v2[:Lc], c2[:Lc], x2[:Lc], v.sum() > Lc
+        def one(k, w):
+            _, (w2,) = entropy_jax2._sort_by(k, (w,), jnp)
+            return w2[:Lc]
 
-        return jax.vmap(one)(valid, ctx, bit)
+        out = jax.vmap(one)(key, words)
+        over = ((words & 1) != 0).sum(axis=-1) > Lc
+        return out, over
 
     def _make_bucket_fn(self, b):
         jnp = self.jnp
@@ -257,20 +267,13 @@ class JaxGrayscaleEncoder:
         b["capb"] = cap_bits // 8
 
         def fn(parts):
-            vs, cs, bs = [], [], []
-            for (v, c, bit) in parts:
-                pad = Lb - v.shape[-1]
-                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
-                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
-                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
-            valid = jnp.concatenate(vs, axis=0)
-            ctx = jnp.concatenate(cs, axis=0)
-            bit = jnp.concatenate(bs, axis=0)
-            valid, ctx, bit, over = self._compact_emissions(
-                valid, ctx, bit, Lb)
+            words, over = self._gather_compact_words(parts, Lb)
+            valid = words & 1
+            ctx = (words >> 1) & 31
+            bit = (words >> 6) & 1
             enc = self.jax.vmap(
                 lambda v, c, x: entropy_jax2.encode_emissions_sorted(
-                    v, c, x, jnp, max_bits=cap_bits))
+                    v, c, x, jnp, max_bits=cap_bits, return_words=True))
             payload, total, flush = enc(valid, ctx, bit)
             return payload, total, flush | over
 
@@ -296,24 +299,13 @@ class JaxGrayscaleEncoder:
         run = PE.make_encode_lanes_pallas(Lc, chunk=chunk)
 
         def fn(parts):
-            vs, cs, bs = [], [], []
-            for (v, c, bit) in parts:
-                pad = Lb - v.shape[-1]
-                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
-                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
-                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
-            valid = jnp.concatenate(vs, axis=0)
-            ctx = jnp.concatenate(cs, axis=0)
-            bit = jnp.concatenate(bs, axis=0)
-            if Lc < Lb:
-                valid, ctx, bit, over = self._compact_emissions(
-                    valid, ctx, bit, Lb)
-            else:
-                over = jnp.zeros((valid.shape[0],), bool)
-                cpad0 = Lc - Lb
-                valid = jnp.pad(valid, ((0, 0), (0, cpad0)))
-                ctx = jnp.pad(ctx, ((0, 0), (0, cpad0)))
-                bit = jnp.pad(bit, ((0, 0), (0, cpad0)))
+            words, over = self._gather_compact_words(parts, Lb)
+            if Lc > words.shape[-1]:
+                words = jnp.pad(words,
+                                ((0, 0), (0, Lc - words.shape[-1])))
+            valid = words & 1
+            ctx = (words >> 1) & 31
+            bit = (words >> 6) & 1
             n = valid.shape[0]
             nblk = -(-n // PE.LANES)
             rpad = nblk * PE.LANES - n
@@ -325,7 +317,7 @@ class JaxGrayscaleEncoder:
             rowidx = jnp.arange(Lc + 17)
             done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
             post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                c, nn, o, done, jnp, max_bits=cap_bits))
+                c, nn, o, done, jnp, max_bits=cap_bits, return_words=True))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * PE.LANES, (blk + 1) * PE.LANES)
@@ -372,25 +364,11 @@ class JaxGrayscaleEncoder:
         b["capb"] = cap_bits // 8
 
         def fn(parts):
-            vs, cs, bs = [], [], []
-            for (v, c, bit) in parts:
-                pad = Lb - v.shape[-1]
-                vs.append(jnp.pad(v, ((0, 0), (0, pad))))
-                cs.append(jnp.pad(c, ((0, 0), (0, pad))))
-                bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
-            valid = jnp.concatenate(vs, axis=0)
-            ctx = jnp.concatenate(cs, axis=0)
-            bit = jnp.concatenate(bs, axis=0)
-            if Lc < Lb:
-                valid, ctx, bit, over = self._compact_emissions(
-                    valid, ctx, bit, Lb)
-            else:
-                over = jnp.zeros((valid.shape[0],), bool)
-                cpad0 = Lc - Lb
-                valid = jnp.pad(valid, ((0, 0), (0, cpad0)))
-                ctx = jnp.pad(ctx, ((0, 0), (0, cpad0)))
-                bit = jnp.pad(bit, ((0, 0), (0, cpad0)))
-            packed = PE.pack_emissions(valid, ctx, bit, jnp)
+            # the gathered words ARE the kernel's packed emission format
+            packed, over = self._gather_compact_words(parts, Lb)
+            if Lc > packed.shape[-1]:
+                packed = jnp.pad(packed,
+                                 ((0, 0), (0, Lc - packed.shape[-1])))
             n = packed.shape[0]
             lanes = min(width, -(-n // PE.LANES) * PE.LANES)
             run = PE.make_encode_lanes_slim(Lc, chunk=chunk, lanes=lanes)
@@ -402,7 +380,7 @@ class JaxGrayscaleEncoder:
             rowidx = jnp.arange(Lc + 17)
             done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
             post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                c, nn, o, done, jnp, max_bits=cap_bits))
+                c, nn, o, done, jnp, max_bits=cap_bits, return_words=True))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
@@ -435,10 +413,9 @@ class JaxGrayscaleEncoder:
                 self._transform_fn)(images)
             emitted = []
             for fn in emit_fns:
-                v, c, b = self.jax.vmap(fn)(img)
-                emitted.append((v.reshape(-1, v.shape[-1]),
-                                c.reshape(-1, c.shape[-1]),
-                                b.reshape(-1, b.shape[-1])))
+                w0, w1 = self.jax.vmap(fn)(img)
+                emitted.append((w0.reshape(-1, w0.shape[-1]),
+                                w1.reshape(-1, w1.shape[-1])))
             payloads, totals, flushes = [], [], []
             for b, bfn in zip(self.buckets, bucket_fns):
                 payload, total, flush = bfn([emitted[gi]
@@ -450,25 +427,26 @@ class JaxGrayscaleEncoder:
             flush = jnp.concatenate(
                 [f.astype(jnp.int32) for f in flushes])
 
-            # Output = metadata + the per-bucket padded payload matrices,
-            # flattened.  The static (rows, cap_bytes) layout makes host
-            # slicing trivial and skips any on-device compaction pass (a
-            # scan of dynamic_update_slices measured ~100 ms/image here);
-            # the 1.5x-emissions per-lane caps keep the padded matrices
-            # smaller than a contiguous blob's budget anyway.
+            # Output = metadata + the per-bucket padded payload word
+            # matrices, flattened.  The static (rows, cap_words) layout
+            # makes host slicing trivial and skips any on-device
+            # compaction pass (a scan of dynamic_update_slices measured
+            # ~100 ms/image here); everything stays in 32-bit lanes on
+            # device (uint8 stacks/concats force costly relayouts on TPU)
+            # and the host reinterprets the little-endian words as the
+            # byte stream.
             meta = jnp.concatenate([
                 nbits, flush,
                 ll_mean.astype(jnp.int32),
                 overflow.astype(jnp.int32),
             ])
-            meta_u8 = self.jax.lax.bitcast_convert_type(
-                meta, jnp.uint8).reshape(-1)
             out = jnp.concatenate(
-                [meta_u8] + [p.reshape(-1) for p in payloads])
+                [meta] + [p.astype(jnp.int32).reshape(-1)
+                          for p in payloads])
             # Single >=1MiB output: tiny fetches stall on tunnel-attached
             # TPUs (see __init__).
-            if out.shape[0] < (1 << 20):
-                out = jnp.pad(out, (0, (1 << 20) - out.shape[0]))
+            if out.shape[0] < (1 << 18):
+                out = jnp.pad(out, (0, (1 << 18) - out.shape[0]))
             return out
 
         return fused
@@ -492,7 +470,7 @@ class JaxGrayscaleEncoder:
                 self._siblings[B] = sib
             return sib.encode_batch(images)
         out = np.asarray(self._fused(self.jnp.asarray(images)))
-        return self._unpack_batch(out, images)
+        return self._unpack_batch(out.view(np.uint8), images)
 
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},

@@ -483,7 +483,7 @@ def detect_flush_records(open_o, done_o, rec_valid, xp=np):
 
 
 def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
-                 with_overflow=False):
+                 with_overflow=False, return_words=False):
     """Pack codewords (allocation order) LSB-first, sort-free.
 
     Bit offsets are one cumsum of the codeword lengths.  A codeword
@@ -534,6 +534,14 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
         return s[1:] - s[:-1]
 
     words = words_from(lo, wlo) + words_from(hi, whi)
+    if return_words:
+        # uint32 words, little-endian == the byte stream: callers keep
+        # 32-bit lanes on device (uint8 stacks force costly relayouts on
+        # TPU) and reinterpret on host.
+        assert max_bits % 32 == 0
+        if with_overflow:
+            return words, total, total > max_bits
+        return words, total
     b0 = (words & 0xFF).astype(xp.uint8)
     b1 = ((words >> 8) & 0xFF).astype(xp.uint8)
     b2 = ((words >> 16) & 0xFF).astype(xp.uint8)
@@ -544,7 +552,8 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
     return payload, total
 
 
-def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None):
+def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None,
+                            return_words=False):
     """Full sort-centric encode: (payload, total_bits, flush_flag).
 
     ``max_bits`` caps the packed payload (see pack_records); cap overflow
@@ -555,7 +564,8 @@ def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None):
     flush = detect_flush_records(open_o, done_o, rec_valid, xp)
     payload, total, over = pack_records(code_o, nbits_o, rec_valid, xp,
                                         max_bits=max_bits,
-                                        with_overflow=True)
+                                        with_overflow=True,
+                                        return_words=return_words)
     return payload, total, flush | over
 
 

@@ -653,7 +653,8 @@ def slim_records(r1, r2, fstate, jnp):
             jnp.concatenate([opn, tail_open]))
 
 
-def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None):
+def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None,
+                        return_words=False):
     """One lane's record stream -> (payload bytes, total bits, flush flag).
 
     The sort-centric ordering/packing stages of ops/entropy_jax2 applied
@@ -674,7 +675,8 @@ def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None):
     flush = E2.detect_flush_records(skey, d2, rv, xp)
     payload, total, over = E2.pack_records(c2, n2, rv, xp,
                                            max_bits=max_bits,
-                                           with_overflow=True)
+                                           with_overflow=True,
+                                           return_words=return_words)
     return payload, total, flush | over
 
 

@@ -64,35 +64,26 @@ def main():
                 return padded(timg.sum() + ll.sum())
             emitted = []
             for f in emit_fns:
-                v, c, b = jax.vmap(f)(timg)
-                emitted.append((v.reshape(-1, v.shape[-1]),
-                                c.reshape(-1, c.shape[-1]),
-                                b.reshape(-1, b.shape[-1])))
+                w0, w1 = jax.vmap(f)(timg)
+                emitted.append((w0.reshape(-1, w0.shape[-1]),
+                                w1.reshape(-1, w1.shape[-1])))
             if depth == 2:
-                acc = sum((v.sum() + c.sum() + b.sum())
-                          for (v, c, b) in emitted)
+                acc = sum((w0.sum() + w1.sum()) for (w0, w1) in emitted)
                 return padded(acc)
             acc = jnp.int32(0)
             for bk in enc.buckets:
                 parts = [emitted[gi] for gi in bk["groups"]]
                 Lb = bk["L"]
-                vs, cs, bs = [], [], []
-                for (v, c, bit) in parts:
-                    pad = Lb - v.shape[-1]
-                    vs.append(jnp.pad(v, ((0, 0), (0, pad))))
-                    cs.append(jnp.pad(c, ((0, 0), (0, pad))))
-                    bs.append(jnp.pad(bit, ((0, 0), (0, pad))))
-                valid = jnp.concatenate(vs, axis=0)
-                ctx = jnp.concatenate(cs, axis=0)
-                bit = jnp.concatenate(bs, axis=0)
-                valid, ctx, bit, over = enc._compact_emissions(
-                    valid, ctx, bit, Lb)
+                packed, over = enc._gather_compact_words(parts, Lb)
                 if depth == 3:
-                    acc += valid.sum() + ctx.sum() + bit.sum()
+                    acc += packed.sum()
                     continue
                 chunk = 256
-                Lc = valid.shape[-1]
-                packed = PE.pack_emissions(valid, ctx, bit, jnp)
+                Lc = min(-(-Lb // chunk) * chunk,
+                         (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+                if Lc > packed.shape[-1]:
+                    packed = jnp.pad(
+                        packed, ((0, 0), (0, Lc - packed.shape[-1])))
                 n = packed.shape[0]
                 import os
                 width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) \
@@ -106,7 +97,8 @@ def main():
                 rowidx = jnp.arange(Lc + 17)
                 done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
                 post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                    c, nn, o, done, jnp, max_bits=cap_bits))
+                    c, nn, o, done, jnp, max_bits=cap_bits,
+                    return_words=True))
                 for blk in range(nblk):
                     sl = slice(blk * lanes, (blk + 1) * lanes)
                     r1, r2, fstate = run(packed[sl].T)
