@@ -8,16 +8,23 @@ Baseline (BASELINE.md): the reference C build does 0.102 s encode +
 0.119 s decode for the 512x512 boat image at stages=4, filter A,
 6 segments, lossless quota => 512*512 / 0.221 s = 1.186 MP/s combined.
 
-The benchmark verifies bit-exactness while timing: the encoded stream must
-be byte-identical to the reference encoder's output (sha256 pinned from
-the oracle build) and the decode must reproduce the input pixels exactly.
+Three pipelines are measured and reported in ``detail``:
+  native       -- the C++ host runtime (fused modelling+entropy, threaded
+                  over segments), single image;
+  tpu          -- the XLA/pallas TPU pipeline (fused encoder +
+                  lane-batched decoder), single image: latency mode;
+  tpu_batched  -- the same TPU pipeline with B images per device program
+                  (shared entropy kernel lane blocks / decode lanes):
+                  throughput mode.
+The headline ``value`` is the best verified combined MP/s of the three;
+every mode checks bit-exactness while timing (encoded stream sha-pinned
+to the reference encoder's output, decode reproduces the pixels).
 
-Default backend is the native host runtime (C++ fused modelling+entropy,
-threaded over segments).  ICER_BENCH_BACKEND=jax benches the bit-exact
-XLA/TPU encode pipeline instead (steady state after one warmup that pays
-compilation; see PERF_NOTES.md for the TPU analysis).  Decode always runs
-on the native multithreaded runtime; the batched TPU decoder is the
-round-2 milestone (ROADMAP.md).
+Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
+(default 8; 0 skips the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts
+without a usable accelerator; native numbers only),
+ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
+mode is skipped, default 900).
 """
 
 from __future__ import annotations
@@ -46,80 +53,147 @@ def load_image():
     return np.asarray(Image.open(ref).convert("L")).astype(np.uint16)
 
 
+def best(fn, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.min(ts))
+
+
 def main():
     from icer_compression_tpu.models import grayscale as G
     from icer_compression_tpu.models.grayscale import CodecConfig
 
     img = load_image()
     h, w = img.shape
-    cfg = CodecConfig(stages=4, filt=0, segments=6, byte_quota=h * w)
-    # Default: the native host runtime.  The XLA/TPU encode pipeline is
-    # bit-exact too (ICER_BENCH_BACKEND=jax) but on this remotely-attached
-    # single chip its throughput is gated by tunnel transfer/dispatch; see
-    # PERF_NOTES.md.
-    backend = os.environ.get("ICER_BENCH_BACKEND", "native")
+    px = h * w
+    cfg = CodecConfig(stages=4, filt=0, segments=6, byte_quota=px)
+    golden = None
+    gpath = os.path.join(REPO, "tests", "data", "golden_boat512.sha256")
+    if os.path.exists(gpath):
+        golden = open(gpath).read().split()[0]
 
-    def encode_jax(x):
-        return G.compress_jax(x, cfg)
+    def sha_ok(stream):
+        if golden is None:
+            return None
+        return hashlib.sha256(stream).hexdigest() == golden
 
-    def encode_host(x):
-        return G.compress(x, cfg)
+    detail = {}
+    candidates = []   # (mps, mode_name)
 
-    encode = encode_jax if backend == "jax" else encode_host
-    try:
-        stream = encode(img)  # warmup (pays compilation on the jax path)
-    except Exception as e:
-        print(f"{backend} path failed ({e}); falling back to host encode",
-              file=sys.stderr)
-        backend = "native"
-        encode = encode_host
-        stream = encode(img)
-
-    golden = os.path.join(REPO, "tests", "data", "golden_boat512.sha256")
-    exact = None
-    if os.path.exists(golden):
-        want = open(golden).read().split()[0]
-        exact = hashlib.sha256(stream).hexdigest() == want
-
-    dec = np.asarray(G.decompress(stream, cfg, dtype=np.uint16))
-    lossless = bool(np.array_equal(dec, img))
-
-    # Best-of-N: the box shares cores with co-tenant load, so median over a
-    # small N is noisy; the minimum is the repeatable steady-state time.
+    # ---- native host runtime (latency reference) -----------------------
     reps = int(os.environ.get("ICER_BENCH_REPS", "15"))
-    t_enc = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s = encode(img)
-        t_enc.append(time.perf_counter() - t0)
-    t_dec = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        G.decompress(stream, cfg, dtype=np.uint16)
-        t_dec.append(time.perf_counter() - t0)
+    stream = G.compress(img, cfg)
+    dec = np.asarray(G.decompress(stream, cfg, dtype=np.uint16))
+    enc_s = best(lambda: G.compress(img, cfg), reps)
+    dec_s = best(lambda: G.decompress(stream, cfg, dtype=np.uint16), reps)
+    native = {
+        "encode_s": round(enc_s, 4), "decode_s": round(dec_s, 4),
+        "MPs": round(px / (enc_s + dec_s) / 1e6, 3),
+        "stream_matches_reference": sha_ok(stream),
+        "lossless_roundtrip": bool(np.array_equal(dec, img)),
+    }
+    detail["native"] = native
+    if native["stream_matches_reference"] and native["lossless_roundtrip"]:
+        candidates.append((native["MPs"], "native host runtime"))
+    detail["stream_bytes"] = len(stream)
 
-    enc_s = float(np.min(t_enc))
-    dec_s = float(np.min(t_dec))
-    mps = h * w / (enc_s + dec_s) / 1e6
+    # ---- TPU pipeline --------------------------------------------------
+    skip_tpu = os.environ.get("ICER_BENCH_SKIP_TPU") == "1"
+    budget = float(os.environ.get("ICER_BENCH_TPU_BUDGET", "900"))
+    treps = int(os.environ.get("ICER_BENCH_REPS_TPU", "5"))
+    if not skip_tpu:
+        try:
+            t0 = time.time()
+            ts = G.compress_jax(img, cfg)
+            warm_enc = time.time() - t0
+            t0 = time.time()
+            tdec = np.asarray(
+                G.decompress(ts, cfg, dtype=np.uint16, backend="jax"))
+            warm_dec = time.time() - t0
+            enc_s = best(lambda: G.compress_jax(img, cfg), treps)
+            dec_s = best(
+                lambda: G.decompress(ts, cfg, dtype=np.uint16,
+                                     backend="jax"), treps)
+            tpu = {
+                "encode_s": round(enc_s, 4), "decode_s": round(dec_s, 4),
+                "MPs": round(px / (enc_s + dec_s) / 1e6, 3),
+                "stream_matches_reference": sha_ok(ts),
+                "lossless_roundtrip": bool(np.array_equal(tdec, img)),
+                "warmup_s": round(warm_enc + warm_dec, 1),
+                "entropy_backend": os.environ.get("ICER_JAX_ENTROPY",
+                                                  "sorted"),
+            }
+            detail["tpu"] = tpu
+            if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
+                candidates.append((tpu["MPs"], "tpu single-image"))
+
+            B = int(os.environ.get("ICER_BENCH_BATCH", "8"))
+            if B > 1 and warm_enc + warm_dec < budget:
+                from icer_compression_tpu.models.decode_jax import (
+                    decompress_lanes_batch)
+                from icer_compression_tpu.ops.encode_jax import (
+                    JaxGrayscaleEncoder)
+                rng = np.random.default_rng(0)
+                imgs = np.stack([
+                    np.clip(img.astype(np.int32)
+                            + rng.integers(-6, 7, img.shape), 0, 255
+                            ).astype(np.uint16) for _ in range(B)])
+                imgs[0] = img
+                enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt,
+                                          cfg.segments, 15, batch=B)
+                from icer_compression_tpu.core.packets import (
+                    build_packets_grayscale, rearrange_order_grayscale,
+                    sort_packets)
+
+                def encode_all():
+                    res = enc.encode_batch(imgs)
+                    streams = []
+                    for (table, ll) in res:
+                        packets = sort_packets(build_packets_grayscale(
+                            w, h, cfg.stages, ll, 9))
+                        nsegs = {(p.decomp_level, p.subband_type):
+                                 cfg.segments for p in packets}
+                        t = {(0,) + k: v for k, v in table.items()}
+                        e = G.allocate_from_table(packets, t,
+                                                  cfg.byte_quota, nsegs,
+                                                  w, h)
+                        streams.append(G.assemble_stream(
+                            e, rearrange_order_grayscale(9)))
+                    return streams
+
+                streams = encode_all()           # warmup (compile)
+                decs = decompress_lanes_batch(streams, cfg,
+                                              dtype=np.uint16)
+                ok = (streams[0] == stream
+                      and all(np.array_equal(d, i)
+                              for d, i in zip(decs, imgs)))
+                benc = best(encode_all, max(2, treps - 2))
+                bdec = best(lambda: decompress_lanes_batch(
+                    streams, cfg, dtype=np.uint16), max(2, treps - 2))
+                tb = {
+                    "B": B,
+                    "encode_s": round(benc, 4), "decode_s": round(bdec, 4),
+                    "MPs": round(B * px / (benc + bdec) / 1e6, 3),
+                    "per_image_verified": bool(ok),
+                }
+                detail["tpu_batched"] = tb
+                if ok:
+                    candidates.append((tb["MPs"], f"tpu batched B={B}"))
+        except Exception as e:  # noqa: BLE001
+            detail["tpu_error"] = f"{type(e).__name__}: {e}"
+
+    mps, mode = max(candidates) if candidates else (0.0, "none")
     result = {
         "metric": ("MP/s encode+decode, 512x512 grayscale lossless "
-                   "(stages=4, filter A, 6 segments); bit-exact vs "
-                   "lib_icer"),
+                   "(stages=4, filter A, 6 segments), bit-exact vs "
+                   f"lib_icer; best mode: {mode}"),
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 2),
-        "detail": {
-            "encode_s": round(enc_s, 4),
-            "decode_s": round(dec_s, 4),
-            "encode_MPs": round(h * w / enc_s / 1e6, 2),
-            "decode_MPs": round(h * w / dec_s / 1e6, 2),
-            "stream_bytes": len(stream),
-            "stream_matches_reference": exact,
-            "lossless_roundtrip": lossless,
-            "encode_backend": backend,
-            "decode_backend": "native",
-            "encode_MPs_note": "native = C++ host runtime; jax = XLA TPU pipeline",
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 
