@@ -36,6 +36,7 @@ PAD = 1 << 18
 
 
 def main():
+    which = set(sys.argv[1:]) or {"1", "2", "3"}
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -55,19 +56,25 @@ def main():
             x.astype(jnp.int32).reshape(-1)[0])
 
     # ---- probe 1: full graph, summed output ---------------------------
-    inner = enc._make_fused_fn()
+    if "1" in which:
+        inner = enc._make_fused_fn()
 
-    def full_sum(images):
-        return padded(inner(images).sum())
+        def full_sum(images):
+            return padded(inner(images).sum())
 
-    comp, t = bench(jax.jit(full_sum), imgs)
-    print(f"full graph, sum output : {t*1e3:7.1f} ms [compile {comp:.0f} s]",
-          flush=True)
-    comp, t = bench(enc._fused, imgs)
-    print(f"full graph, real output: {t*1e3:7.1f} ms [compile {comp:.0f} s]",
-          flush=True)
+        comp, t = bench(jax.jit(full_sum), imgs)
+        print(f"full graph, sum output : {t*1e3:7.1f} ms "
+              f"[compile {comp:.0f} s]", flush=True)
+        comp, t = bench(enc._fused, imgs)
+        print(f"full graph, real output: {t*1e3:7.1f} ms "
+              f"[compile {comp:.0f} s]", flush=True)
 
     # ---- probe 2: emissions gather vs packed-constant -----------------
+    if "2" not in which:
+        if "3" not in which:
+            return
+        _probe3(jax, jnp, enc, E2, PE, padded)
+        return
     from icer_compression_tpu.ops import context_model as CM
 
     emit_fns = [enc._make_emit_fn(g) for g in enc.groups]
@@ -151,6 +158,11 @@ def main():
     finally:
         CM.plane_analysis_lanes = orig
 
+    if "3" in which:
+        _probe3(jax, jnp, enc, E2, PE, padded)
+
+
+def _probe3(jax, jnp, enc, E2, PE, padded):
     # ---- probe 3: record-tail sub-stages on real shapes ----------------
     # big bucket: n lanes x (Lc + 17) records
     bk = enc.buckets[0]
