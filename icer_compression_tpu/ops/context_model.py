@@ -37,6 +37,58 @@ _SIGN_CTX_FLAT = C.SIGN_CONTEXT_TABLE.reshape(-1).astype(np.int32)
 _SIGN_PRED_FLAT = C.SIGN_PREDICTION_TABLE.reshape(-1).astype(np.int32)
 
 
+# ---- closed forms of the context tables ---------------------------------
+# The reference's tables (icer_config.c:26-67) are tiny, but on TPU a LUT
+# gather over a whole plane serializes (~10 ns/elem); each table has an
+# exact arithmetic form that fuses into the surrounding elementwise pass.
+# All four are verified against the tables exhaustively at import (below)
+# and in tests/test_core.py.
+
+def _ctx_ll_formula(h, v, d, xp):
+    """CONTEXT_TABLE_LL_LH_HL[h][v][d] (h,v in 0..2, d in 0..4)."""
+    d2 = xp.minimum(d, 2)
+    return xp.where(h == 2, 8,
+                    xp.where(h == 1,
+                             xp.where(v == 0, 5 + d2, 7),
+                             xp.where(v == 0, d2, 2 + v)))
+
+
+def _ctx_hh_formula(s, d, xp):
+    """CONTEXT_TABLE_HH[s][d] with s = h + v in 0..4, d in 0..4."""
+    t = xp.minimum(s, 2)
+    return xp.where(d == 0, t,
+                    xp.where(d == 1, 3 + t,
+                             xp.where(d == 2, 6 + xp.minimum(t, 1), 8)))
+
+
+def _sign_formula(sh, sv, xp):
+    """(SIGN_CONTEXT_TABLE, SIGN_PREDICTION_TABLE)[sh][sv], args 0..4."""
+    a = sh - 2
+    b = sv - 2
+    cb = xp.clip(b, -1, 1)
+    sctx = xp.where(a == 0, 12 + (b != 0),
+                    15 - xp.sign(a) * cb).astype(xp.int32)
+    pred = xp.where(a < 0, 1,
+                    xp.where(a > 0, 0, (b > 0))).astype(xp.int32)
+    return sctx, pred
+
+
+def _verify_formulas():
+    h, v, d = np.meshgrid(np.arange(3), np.arange(3), np.arange(5),
+                          indexing="ij")
+    assert np.array_equal(_ctx_ll_formula(h, v, d, np),
+                          _CTX_LL_FLAT[h * 15 + v * 5 + d])
+    s, d = np.meshgrid(np.arange(5), np.arange(5), indexing="ij")
+    assert np.array_equal(_ctx_hh_formula(s, d, np), _CTX_HH_FLAT[s * 5 + d])
+    sh, sv = np.meshgrid(np.arange(5), np.arange(5), indexing="ij")
+    sctx, pred = _sign_formula(sh, sv, np)
+    assert np.array_equal(sctx, _SIGN_CTX_FLAT[sh * 5 + sv])
+    assert np.array_equal(pred, _SIGN_PRED_FLAT[sh * 5 + sv])
+
+
+_verify_formulas()
+
+
 def _shift(a, dr: int, dc: int, fill, xp):
     """Array shifted so out[r, c] = a[r + dr, c + dc], zero-filled."""
     h, w = a.shape[-2], a.shape[-1]
@@ -89,9 +141,9 @@ def plane_analysis(seg, subband_type: int, lsb: int, mag_bits: int, xp=np):
         h_cnt, v_cnt = v_cnt, h_cnt
 
     if subband_type != C.SUBBAND_HH:
-        ctx_cat0 = xp.asarray(_CTX_LL_FLAT)[h_cnt * 15 + v_cnt * 5 + d_cnt]
+        ctx_cat0 = _ctx_ll_formula(h_cnt, v_cnt, d_cnt, xp)
     else:
-        ctx_cat0 = xp.asarray(_CTX_HH_FLAT)[(h_cnt + v_cnt) * 5 + d_cnt]
+        ctx_cat0 = _ctx_hh_formula(h_cnt + v_cnt, d_cnt, xp)
     ctx_cat1 = xp.where(h_cnt + v_cnt == 0, 9, 10)
 
     ctx = xp.where(
@@ -107,8 +159,7 @@ def plane_analysis(seg, subband_type: int, lsb: int, mag_bits: int, xp=np):
     sv = _shift(neg_sig, -1, 0, 0, xp) + _shift(neg_sig_prev, 1, 0, 0, xp) + 2
     if subband_type == C.SUBBAND_HL:
         sh, sv = sv, sh
-    sign_ctx = xp.asarray(_SIGN_CTX_FLAT)[sh * 5 + sv]
-    pred_sign = xp.asarray(_SIGN_PRED_FLAT)[sh * 5 + sv]
+    sign_ctx, pred_sign = _sign_formula(sh, sv, xp)
     agreement = (pred_sign ^ neg) & 1
     sign_event = ((category == 0) & (bit == 1)).astype(xp.int32)
 
@@ -156,8 +207,8 @@ def plane_analysis_lanes(seg, subband_code, lsb: int, mag_bits: int, xp=np):
     v_cnt = xp.where(is_hl, h_raw, v_raw)
     d_cnt = d_sig
 
-    ctx_ll = xp.asarray(_CTX_LL_FLAT)[h_cnt * 15 + v_cnt * 5 + d_cnt]
-    ctx_hh = xp.asarray(_CTX_HH_FLAT)[(h_cnt + v_cnt) * 5 + d_cnt]
+    ctx_ll = _ctx_ll_formula(h_cnt, v_cnt, d_cnt, xp)
+    ctx_hh = _ctx_hh_formula(h_cnt + v_cnt, d_cnt, xp)
     ctx_cat0 = xp.where(sb == C.SUBBAND_HH, ctx_hh, ctx_ll)
     ctx_cat1 = xp.where(h_cnt + v_cnt == 0, 9, 10)
     ctx = xp.where(
@@ -171,8 +222,7 @@ def plane_analysis_lanes(seg, subband_code, lsb: int, mag_bits: int, xp=np):
     sv_raw = _shift(neg_sig, -1, 0, 0, xp) + _shift(neg_sig_prev, 1, 0, 0, xp) + 2
     sh = xp.where(is_hl, sv_raw, sh_raw)
     sv = xp.where(is_hl, sh_raw, sv_raw)
-    sign_ctx = xp.asarray(_SIGN_CTX_FLAT)[sh * 5 + sv].astype(xp.int32)
-    pred_sign = xp.asarray(_SIGN_PRED_FLAT)[sh * 5 + sv]
+    sign_ctx, pred_sign = _sign_formula(sh, sv, xp)
     agreement = (pred_sign ^ neg) & 1
     sign_event = ((category == 0) & (bit == 1)).astype(xp.int32)
 

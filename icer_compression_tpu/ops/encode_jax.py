@@ -519,24 +519,50 @@ class JaxGrayscaleEncoder:
                 out[o:o + (nb + 7) // 8].tobytes(), nb)
 
         if fallback:
-            from ..backend import native_backend, sequential
-            from .context_model import plane_emissions
+            from ..backend import native_backend
             from ..models.grayscale import transform_for_encode
             t_cache: dict[int, np.ndarray] = {}
-            for (img_i, key, l) in fallback:
+
+            def transformed(img_i):
                 img_np = t_cache.get(img_i)
                 if img_np is None:
                     img_np, _ = transform_for_encode(
                         images[img_i], self.stages, self.filt,
                         self.mag_bits)
-                    t_cache[img_i] = img_np
-                stage, subband, lsb, seg = key
-                data = img_np[l.row:l.row + l.h, l.col:l.col + l.w]
-                v, c, b = plane_emissions(data, subband, lsb, self.mag_bits)
-                if native_backend.available():
-                    tables[img_i][key] = (
-                        native_backend.encode_emissions_native(v, c, b))
-                else:
+                    t_cache[img_i] = np.ascontiguousarray(
+                        img_np, dtype=np.int32)
+                return t_cache[img_i]
+
+            if native_backend.available():
+                # One threaded native call per image: the C++ runtime's
+                # fused modelling+entropy per single-plane task is ~10x
+                # the python plane_emissions path per lane.
+                by_img: dict[int, list[tuple]] = {}
+                for (img_i, key, l) in fallback:
+                    by_img.setdefault(img_i, []).append((key, l))
+                for img_i, items in by_img.items():
+                    img_np = transformed(img_i)
+                    tasks = [{
+                        "seg_off": l.row * self.w + l.col,
+                        "h": l.h, "w": l.w, "rowstride": self.w,
+                        "subband": key[1], "mag_bits": self.mag_bits,
+                        "lsb0": key[2],
+                    } for (key, l) in items]
+                    out_pl, out_bits = native_backend.encode_segments_native(
+                        img_np, tasks, nplanes=1)
+                    for i, (key, l) in enumerate(items):
+                        nb = int(out_bits[i])
+                        tables[img_i][key] = (
+                            out_pl[i, : (nb + 7) // 8].tobytes(), nb)
+            else:
+                from ..backend import sequential
+                from .context_model import plane_emissions
+                for (img_i, key, l) in fallback:
+                    img_np = transformed(img_i)
+                    stage, subband, lsb, seg = key
+                    data = img_np[l.row:l.row + l.h, l.col:l.col + l.w]
+                    v, c, b = plane_emissions(data, subband, lsb,
+                                              self.mag_bits)
                     pl, nb, _ = sequential.encode_emissions(v, c, b)
                     tables[img_i][key] = (pl, nb)
         return [(tables[i], int(ll_means[i])) for i in range(B)]

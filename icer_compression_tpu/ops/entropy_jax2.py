@@ -332,8 +332,9 @@ def build_records(spos, sbin, scoded, xp=np):
     L = spos.shape[-1]
     BIG = xp.int32(2 ** 30)
     key = sbin * L + spos
-    _, (p, cb) = _sort_by(key, (spos, scoded), xp)
-    b = _sort_by(key, (sbin,), xp)[1][0]
+    skey, (cb,) = _sort_by(key, (scoded,), xp)
+    b = skey // L                 # = sbin, recovered from the sorted key
+    p = skey % L                  # = spos
 
     idx = xp.arange(L, dtype=xp.int32)
     seg_start = xp.concatenate([xp.ones(1, dtype=bool), b[1:] != b[:-1]])
@@ -518,22 +519,47 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
     hi = xp.where(sh == 0, xp.uint32(0),
                   code >> ((xp.uint32(32) - sh) & 31))
     wlo = off >> 5
-    whi = wlo + 1
 
-    def words_from(contrib, wid):
-        csum = xp.cumsum(contrib, dtype=xp.uint32)
-        csum = xp.concatenate([xp.zeros(1, dtype=xp.uint32), csum])
-        queries = xp.arange(W + 1, dtype=wid.dtype)
-        if _is_jax(xp):
-            # method="sort" lowers to one co-sort (TPU-friendly); the
-            # default scan method is a chain of serializing gathers.
-            bounds = xp.searchsorted(wid, queries, method="sort")
-        else:
+    if _is_jax(xp):
+        # One merged-sort "searchsorted" serves BOTH contribution streams
+        # (the spill stream's word id is wlo + 1, so keying the spill by
+        # wlo and shifting its per-word sums right by one word is exact).
+        # jnp.searchsorted(method="sort") lowers to a co-sort PLUS a
+        # full-length serializing scatter (~6 ns/elem, the measured top
+        # cost of the whole encode program); this formulation is two
+        # plain sorts + cumsums:
+        #   sort [records keyed 2*wid+1 | queries keyed 2*q] -> running
+        #   sums of (lo, hi) at each query = prefix totals below word q;
+        #   a second sort by (is_query, key) compacts the W+1 query rows
+        #   to the front in word order.
+        L_ = wlo.shape[-1]
+        BIG = xp.int32(2 ** 30)
+        qkey = 2 * xp.arange(W + 1, dtype=xp.int32)
+        key = xp.concatenate([2 * wlo.astype(xp.int32) + 1, qkey])
+        isq = xp.concatenate([xp.zeros(L_, xp.int32),
+                              xp.ones(W + 1, xp.int32)])
+        zl = xp.concatenate([lo, xp.zeros(W + 1, xp.uint32)])
+        zh = xp.concatenate([hi, xp.zeros(W + 1, xp.uint32)])
+        k2, (isq2, l2, h2) = _sort_by(key, (isq, zl, zh), xp)
+        cl = xp.cumsum(l2, dtype=xp.uint32)
+        ch = xp.cumsum(h2, dtype=xp.uint32)
+        _, (slo, shi) = _sort_by(xp.where(isq2 != 0, k2, BIG), (cl, ch), xp)
+        slo, shi = slo[:W + 1], shi[:W + 1]
+        dlo = slo[1:] - slo[:-1]
+        dhi = shi[1:] - shi[:-1]
+        words = dlo + xp.concatenate([xp.zeros(1, xp.uint32), dhi[:-1]])
+    else:
+        whi = wlo + 1
+
+        def words_from(contrib, wid):
+            csum = xp.cumsum(contrib, dtype=xp.uint32)
+            csum = xp.concatenate([xp.zeros(1, dtype=xp.uint32), csum])
+            queries = xp.arange(W + 1, dtype=wid.dtype)
             bounds = xp.searchsorted(wid, queries)
-        s = csum[bounds]
-        return s[1:] - s[:-1]
+            s = csum[bounds]
+            return s[1:] - s[:-1]
 
-    words = words_from(lo, wlo) + words_from(hi, whi)
+        words = words_from(lo, wlo) + words_from(hi, whi)
     if return_words:
         # uint32 words, little-endian == the byte stream: callers keep
         # 32-bit lanes on device (uint8 stacks force costly relayouts on
