@@ -104,6 +104,11 @@ def main():
     skip_tpu = os.environ.get("ICER_BENCH_SKIP_TPU") == "1"
     budget = float(os.environ.get("ICER_BENCH_TPU_BUDGET", "900"))
     treps = int(os.environ.get("ICER_BENCH_REPS_TPU", "5"))
+    # slim (sequential-core pallas kernel + XLA tail) is the fastest
+    # measured backend on a real chip for both single-image and batched
+    # encode; the library default stays "sorted" (XLA-only: runs on any
+    # backend and hits the persistent compile cache).
+    os.environ.setdefault("ICER_JAX_ENTROPY", "slim")
     if not skip_tpu:
         try:
             t0 = time.time()
@@ -142,8 +147,13 @@ def main():
                             + rng.integers(-6, 7, img.shape), 0, 255
                             ).astype(np.uint16) for _ in range(B)])
                 imgs[0] = img
+                # slim: the sequential-core pallas coder whose kernel
+                # blocks are shared across the batch (the amortizing
+                # backend; measured ~3.4x the sorted backend's batched
+                # throughput at B=8)
                 enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt,
-                                          cfg.segments, 15, batch=B)
+                                          cfg.segments, 15, batch=B,
+                                          entropy="slim")
                 from icer_compression_tpu.core.packets import (
                     build_packets_grayscale, rearrange_order_grayscale,
                     sort_packets)

@@ -127,7 +127,8 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 
     if pending:
         # ONE device round trip for every bucket of the channel
-        _run_fused([u for (_, _, units) in pending for u in units])
+        _run_fused([u for (_, _, units) in pending for u in units],
+                   sdata)
         for (seg, lanes, units) in pending:
             for u in units:
                 out = u["out"].reshape(u["Hmax"], u["Wpad"], u["m"])
@@ -160,20 +161,15 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     stream_len = len(sdata)
     if lane_end is None:
         lane_end = np.full(n, stream_len, np.int64)
-    words_r = np.zeros((R, NW, n), np.int32)
+    offs_r = np.zeros((R, n), np.int32)
     geom_r = np.zeros((R, 8, n), np.int32)
     present = np.ones(n, bool)
-    span = np.arange(NW * 4, dtype=np.int64)
     for r, (lsb, offs, ebits) in enumerate(per_round):
         present = present & (offs >= 0)
         offs_ok = np.where(present, offs, 0)
-        idx = offs_ok[:, None] + span[None, :]
-        db = np.where(idx < lane_end[:, None],
-                      sdata[np.minimum(idx, stream_len - 1)], 0)
-        db = np.where(present[:, None], db, 0).astype(np.uint8)
         readable = np.where(present,
                             np.minimum(lane_end - offs_ok, NW * 4), 0)
-        words_r[r] = _words_from_bytes(db).T
+        offs_r[r] = offs_ok
         geom_r[r, 0] = hh
         geom_r[r, 1] = ww
         geom_r[r, 2] = sb
@@ -191,8 +187,7 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         segp[:, :Wmax, :] = seg[:, :, idx]
         units.append({
             "key": (PX, Wpad, NW, R, m),
-            "words": np.ascontiguousarray(
-                words_r[:, :, idx].reshape(R * NW, m)),
+            "offs": np.ascontiguousarray(offs_r[:, idx]),
             "geom": np.ascontiguousarray(
                 geom_r[:, :, idx].reshape(R * 8, m)),
             "seg": segp.reshape(PX, m),
@@ -201,14 +196,33 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     return units
 
 
-def _run_fused(units):
+_STREAM_PAD = 262144   # stream-word buffer padding granularity (bytes):
+#                        bounds the number of distinct compiled programs
+#                        while keeping upload waste under one granule
+
+
+def _run_fused(units, sdata):
     """Run every unit's multi-round kernel inside ONE jit program (one
-    dispatch, one concatenated fetch); fills unit["out"]."""
+    dispatch, one concatenated fetch); fills unit["out"].
+
+    The byte stream is uploaded ONCE as padded int32 words; each unit's
+    per-(round, lane) payload windows are assembled on device from two
+    clamped word gathers + a byte shift (window bytes need not be
+    word-aligned) and a readable-bytes mask.  This replaces the former
+    host-side window materialization, which uploaded NW*4 bytes per lane
+    per round (~18x the stream size for a 512x512 decode, and B times
+    that for batched decode)."""
     import jax
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
 
-    fkey = ("fused",) + tuple(u["key"] for u in units)
+    nb = len(sdata)
+    padb = -(-(nb + 8) // _STREAM_PAD) * _STREAM_PAD
+    sw = np.zeros(padb // 4, np.int32)
+    raw = sdata.tobytes() + b"\0" * ((-nb) % 4)
+    sw[: len(raw) // 4] = np.frombuffer(raw, np.int32)
+
+    fkey = ("fused", padb) + tuple(u["key"] for u in units)
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
@@ -217,12 +231,28 @@ def _run_fused(units):
                 PX, Wpad, NW, R = kkey
                 _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
                     PX, Wpad, NW, nrounds=R)
-        runs = [(_PALLAS_RUNS[u["key"][:4]], u["key"][4]) for u in units]
+        runs = [(_PALLAS_RUNS[u["key"][:4]],) + u["key"][2:]
+                for u in units]
 
-        def fused(*arrays):
+        def fused(swords, *arrays):
+            limit = swords.shape[0] - 1
             outs = []
-            for i, (run, m) in enumerate(runs):
-                wds, ge, sg = arrays[3 * i:3 * i + 3]
+            for i, (run, NW, R, m) in enumerate(runs):
+                offs, ge, sg = arrays[3 * i:3 * i + 3]
+                j = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
+                woff = (offs >> 2)[:, None, :]          # (R, 1, m)
+                sh = ((offs & 3) * 8)[:, None, :].astype(jnp.uint32)
+                idx = woff + j                          # (R, NW, m)
+                w0 = swords[jnp.clip(idx, 0, limit)].astype(jnp.uint32)
+                w1 = swords[jnp.clip(idx + 1, 0, limit)].astype(jnp.uint32)
+                w = jnp.where(sh == 0, w0,
+                              (w0 >> sh) | (w1 << ((32 - sh) & 31)))
+                readable = ge.reshape(R, 8, m)[:, 7:8, :] // 8  # bytes
+                nval = jnp.clip(readable - 4 * j, 0, 4).astype(jnp.uint32)
+                mask = jnp.where(
+                    nval >= 4, jnp.uint32(0xFFFFFFFF),
+                    (jnp.uint32(1) << (8 * nval)) - jnp.uint32(1))
+                wds = (w & mask).astype(jnp.int32).reshape(R * NW, m)
                 pad = ((0, 0), (0, PD.LANES - m))
                 out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
                                      jnp.pad(sg, pad))
@@ -234,9 +264,9 @@ def _run_fused(units):
 
     flat = []
     for u in units:
-        flat += [jnp.asarray(u["words"]), jnp.asarray(u["geom"]),
+        flat += [jnp.asarray(u["offs"]), jnp.asarray(u["geom"]),
                  jnp.asarray(u["seg"])]
-    blob = np.asarray(fn(*flat))
+    blob = np.asarray(fn(jnp.asarray(sw), *flat))
     off = 0
     for u in units:
         size = u["key"][0] * u["m"]
@@ -414,7 +444,7 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
                              bucket_maxb, lane_end=lane_end)
         pending.append((seg, lanes, units))
 
-    _run_fused([u for (_, _, units) in pending for u in units])
+    _run_fused([u for (_, _, units) in pending for u in units], blob)
 
     imgs = [np.zeros((h, w), np.int32) for _ in range(B)]
     for (seg, lanes, units) in pending:

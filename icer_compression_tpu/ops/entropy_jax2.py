@@ -431,19 +431,25 @@ def build_records(spos, sbin, scoded, xp=np):
     starts = (isG | isC | is0) & (seg_start | _shift1(ends, True, xp))
     # (for bin0 every element is an end, so consecutive elements all start)
 
+    # Sorts carry ONE packed operand each (compare-exchange cost scales
+    # with operand count); validity flags are recovered from the sorted
+    # key (!= BIG) and code/nbits pack into 21 bits.
     skey = xp.where(starts, idx, BIG)
-    _, (open_pos, s_ok) = _sort_by(skey, (p, starts.astype(xp.int32)), xp)
+    skey_s, (open_pos,) = _sort_by(skey, (p,), xp)
+    s_ok = skey_s != BIG
     ekey = xp.where(ends, idx, BIG)
-    _, (code_r, nbits_r, done_r, e_ok) = _sort_by(
-        ekey, (code_e, nbits_e, done_e, ends.astype(xp.int32)), xp)
-    rec_valid = (s_ok != 0) & (e_ok != 0)
+    packed_e = (code_e & 0xFFFF) | (nbits_e << 16)
+    ekey_s, (packed_r, done_r) = _sort_by(ekey, (packed_e, done_e), xp)
+    rec_valid = s_ok & (ekey_s != BIG)
 
     # ---- allocation order ----------------------------------------------
     rkey = xp.where(rec_valid, open_pos, BIG)
-    _, (open_o, code_o, nbits_o, done_o, valid_o) = _sort_by(
-        rkey, (open_pos, code_r, nbits_r, done_r,
-               rec_valid.astype(xp.int32)), xp)
-    return open_o, code_o, nbits_o, done_o, valid_o != 0
+    rkey_s, (packed_o, done_o) = _sort_by(rkey, (packed_r, done_r), xp)
+    valid_o = rkey_s != BIG
+    open_o = xp.where(valid_o, rkey_s, BIG)
+    code_o = packed_o & 0xFFFF
+    nbits_o = (packed_o >> 16) & 31
+    return open_o, code_o, nbits_o, done_o, valid_o
 
 
 def _prefix_compose5(trans, xp):
@@ -536,14 +542,13 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
         BIG = xp.int32(2 ** 30)
         qkey = 2 * xp.arange(W + 1, dtype=xp.int32)
         key = xp.concatenate([2 * wlo.astype(xp.int32) + 1, qkey])
-        isq = xp.concatenate([xp.zeros(L_, xp.int32),
-                              xp.ones(W + 1, xp.int32)])
         zl = xp.concatenate([lo, xp.zeros(W + 1, xp.uint32)])
         zh = xp.concatenate([hi, xp.zeros(W + 1, xp.uint32)])
-        k2, (isq2, l2, h2) = _sort_by(key, (isq, zl, zh), xp)
+        k2, (l2, h2) = _sort_by(key, (zl, zh), xp)
         cl = xp.cumsum(l2, dtype=xp.uint32)
         ch = xp.cumsum(h2, dtype=xp.uint32)
-        _, (slo, shi) = _sort_by(xp.where(isq2 != 0, k2, BIG), (cl, ch), xp)
+        isq2 = (k2 & 1) == 0          # queries carry even keys
+        _, (slo, shi) = _sort_by(xp.where(isq2, k2, BIG), (cl, ch), xp)
         slo, shi = slo[:W + 1], shi[:W + 1]
         dlo = slo[1:] - slo[:-1]
         dhi = shi[1:] - shi[:-1]

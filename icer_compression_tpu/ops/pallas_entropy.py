@@ -669,9 +669,12 @@ def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None,
 
     rec_valid = nbits > 0
     rkey = xp.where(rec_valid, opn, BIG)
-    skey, (c2, n2, d2, rv) = E2._sort_by(
-        rkey, (code, nbits, done, rec_valid.astype(xp.int32)), xp)
-    rv = rv != 0
+    # one packed operand (code 16b | nbits 5b); validity from the key
+    packed = (code & 0xFFFF) | (nbits << 16)
+    skey, (p2, d2) = E2._sort_by(rkey, (packed, done), xp)
+    rv = skey != BIG
+    c2 = p2 & 0xFFFF
+    n2 = (p2 >> 16) & 31
     flush = E2.detect_flush_records(skey, d2, rv, xp)
     payload, total, over = E2.pack_records(c2, n2, rv, xp,
                                            max_bits=max_bits,
