@@ -156,7 +156,11 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
-    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
+    # power-of-two window sizes: NW is part of the kernel's compile key
+    # and payload sizes vary per stream -- exact-fit windows would
+    # recompile for nearly every input; the device-side window gather
+    # makes the padding cheap (~10 ns/word)
+    NW = max(16, 1 << (-(-nbytes // 4) - 1).bit_length())
     R = len(per_round)
     stream_len = len(sdata)
     if lane_end is None:
@@ -256,7 +260,14 @@ def _run_fused(units, sdata):
                 pad = ((0, 0), (0, PD.LANES - m))
                 out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
                                      jnp.pad(sg, pad))
-                outs.append(out[:, :m].reshape(-1))
+                o = out[:, :m]
+                # coefficients are sign-magnitude in <=16 bits: pack two
+                # pixels per fetched word (the output blob is the decode
+                # path's largest transfer -- image-sized per image)
+                if o.shape[0] % 2:
+                    o = jnp.pad(o, ((0, 1), (0, 0)))
+                o = (o[0::2] & 0xFFFF) | (o[1::2] << 16)
+                outs.append(o.reshape(-1))
             return jnp.concatenate(outs)
 
         fn = jax.jit(fused)
@@ -269,9 +280,14 @@ def _run_fused(units, sdata):
     blob = np.asarray(fn(jnp.asarray(sw), *flat))
     off = 0
     for u in units:
-        size = u["key"][0] * u["m"]
-        u["out"] = blob[off:off + size].reshape(u["key"][0], u["m"])
-        off += size
+        PX, m = u["key"][0], u["m"]
+        PXh = (PX + 1) // 2
+        packed = blob[off:off + PXh * m].reshape(PXh, m)
+        px = np.empty((2 * PXh, m), np.int32)
+        px[0::2] = packed & 0xFFFF
+        px[1::2] = (packed >> 16) & 0xFFFF
+        u["out"] = px[:PX]
+        off += PXh * m
 
 
 def _words_from_bytes(db: np.ndarray) -> np.ndarray:
@@ -294,7 +310,11 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
-    NW = max(16, -(-(-(-nbytes // 4)) // 8) * 8)
+    # power-of-two window sizes: NW is part of the kernel's compile key
+    # and payload sizes vary per stream -- exact-fit windows would
+    # recompile for nearly every input; the device-side window gather
+    # makes the padding cheap (~10 ns/word)
+    NW = max(16, 1 << (-(-nbytes // 4) - 1).bit_length())
     R = len(per_round)
     key = (PX, Wpad, NW, R, interpret)
     run = _PALLAS_RUNS.get(key)

@@ -185,7 +185,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             def body(t, acc):
                 rows = words_ref[pl.ds(t * 8, 8), :]
                 return jnp.where(tidx8 == t, rows, acc)
-            acc = jax.lax.fori_loop(0, NW // 8,  body,
+            # scan only the reachable prefix: lanes consume monotonically,
+            # so tiles past max(tidx) can't be needed this sweep (NW is a
+            # power of two sized for the WORST lane; a full scan would pay
+            # O(NW) selects per 8-pixel tile)
+            bound = jnp.minimum(jnp.max(tidx) + 1, NW // 8)
+            acc = jax.lax.fori_loop(0, bound, body,
                                     jnp.zeros((8, LANES), jnp.int32))
             return mask_readable_tile(acc, tidx)
 
@@ -200,7 +205,10 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             wi = (pos >> 5) - rbase
             shift = wi >= 8
             shift8 = shift[None, :]
-            fetched = scan_tiles((rbase >> 3) + 2)
+            # only lanes that shift need a fetch; zeroing the others'
+            # tile index keeps the scan bound at the true demand (a
+            # sweep where nothing shifts scans one tile)
+            fetched = scan_tiles(jnp.where(shift, (rbase >> 3) + 2, 0))
             ring_ref[0:8, :] = jnp.where(shift8, r1, r0)
             ring_ref[8:16, :] = jnp.where(shift8, fetched, r1)
             ring_ref[16, :] = jnp.where(shift, rbase + 8, rbase)
