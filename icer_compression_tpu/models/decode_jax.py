@@ -56,8 +56,13 @@ def _plan_lanes(w, h, config):
 def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                               config: CodecConfig, mag_bits: int,
                               bitplanes: int, stream: bytes,
-                              backend: str = "model") -> None:
-    """Decode all subbands of one channel via lane rounds, in place."""
+                              backend: str = "model",
+                              collect: list | None = None) -> None:
+    """Decode all subbands of one channel via lane rounds, in place.
+
+    With ``collect`` (pallas backend only) the prepared (seg, lanes,
+    units) bucket entries are appended to it instead of being executed --
+    the caller fuses several channels into one device program."""
     h, w = img.shape
     sdata = np.frombuffer(stream, np.uint8)
     pending = []  # (seg, lanes, prepared) for the fused pallas path
@@ -126,6 +131,9 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
 
     if pending:
+        if collect is not None:
+            collect.extend(pending)
+            return
         # ONE device round trip for every bucket of the channel
         _run_fused([u for (_, _, units) in pending for u in units],
                    sdata)
@@ -205,7 +213,7 @@ _STREAM_PAD = 262144   # stream-word buffer padding granularity (bytes):
 #                        while keeping upload waste under one granule
 
 
-def _run_fused(units, sdata):
+def _run_fused(units, sdata, final=None):
     """Run every unit's multi-round kernel inside ONE jit program (one
     dispatch, one concatenated fetch); fills unit["out"].
 
@@ -215,10 +223,20 @@ def _run_fused(units, sdata):
     word-aligned) and a readable-bytes mask.  This replaces the former
     host-side window materialization, which uploaded NW*4 bytes per lane
     per round (~18x the stream size for a 512x512 decode, and B times
-    that for batched decode)."""
+    that for batched decode).
+
+    With ``final`` the whole decode FINISHES on device: lanes assemble
+    into the (B, h, w) coefficient canvas (static slice updates),
+    sign-magnitude conversion, ll_mean restoration, the inverse DWT and
+    the negative clamp all run in the same program, and the fetch is the
+    final packed pixel blob (the smallest possible transfer).  final =
+    {B, h, w, stages, filt, mag_bits, ll_means, placements:[(unit_idx,
+    lane_in_unit, img_idx, row, col, hgt, wid)]}; returns (B, h, w)
+    int32 pixel arrays instead of filling unit["out"]."""
     import jax
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
+    from ..ops import wavelet as W
 
     nb = len(sdata)
     padb = -(-(nb + 8) // _STREAM_PAD) * _STREAM_PAD
@@ -227,6 +245,9 @@ def _run_fused(units, sdata):
     sw[: len(raw) // 4] = np.frombuffer(raw, np.int32)
 
     fkey = ("fused", padb) + tuple(u["key"] for u in units)
+    if final is not None:
+        fkey += ("final", final["B"], final["h"], final["w"],
+                 final["stages"], final["filt"], final["mag_bits"])
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
@@ -237,8 +258,9 @@ def _run_fused(units, sdata):
                     PX, Wpad, NW, nrounds=R)
         runs = [(_PALLAS_RUNS[u["key"][:4]],) + u["key"][2:]
                 for u in units]
+        shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
-        def fused(swords, *arrays):
+        def fused(swords, llv, *arrays):
             limit = swords.shape[0] - 1
             outs = []
             for i, (run, NW, R, m) in enumerate(runs):
@@ -260,15 +282,44 @@ def _run_fused(units, sdata):
                 pad = ((0, 0), (0, PD.LANES - m))
                 out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
                                      jnp.pad(sg, pad))
-                o = out[:, :m]
-                # coefficients are sign-magnitude in <=16 bits: pack two
-                # pixels per fetched word (the output blob is the decode
-                # path's largest transfer -- image-sized per image)
-                if o.shape[0] % 2:
-                    o = jnp.pad(o, ((0, 1), (0, 0)))
-                o = (o[0::2] & 0xFFFF) | (o[1::2] << 16)
-                outs.append(o.reshape(-1))
-            return jnp.concatenate(outs)
+                outs.append(out[:, :m])
+
+            if final is None:
+                packed = []
+                for o in outs:
+                    # coefficients are sign-magnitude in <=16 bits: pack
+                    # two pixels per fetched word (the output blob is the
+                    # decode path's largest transfer)
+                    if o.shape[0] % 2:
+                        o = jnp.pad(o, ((0, 1), (0, 0)))
+                    packed.append(((o[0::2] & 0xFFFF)
+                                   | (o[1::2] << 16)).reshape(-1))
+                return jnp.concatenate(packed)
+
+            B, h, w = final["B"], final["h"], final["w"]
+            stages, filt = final["stages"], final["filt"]
+            mag_bits = final["mag_bits"]
+            canvas = jnp.zeros((B, h, w), jnp.int32)
+            for (ui, lane, b, row, col, hgt, wid) in final["placements"]:
+                Hm, Wp = shapes[ui]
+                simg = outs[ui][:, lane].reshape(Hm, Wp)[:hgt, :wid]
+                canvas = canvas.at[b, row:row + hgt,
+                                   col:col + wid].set(simg)
+            img = W.from_sign_magnitude(canvas, mag_bits, jnp)
+            ll_w = dim_low(w, stages)
+            ll_h = dim_low(h, stages)
+            img = img.at[:, :ll_h, :ll_w].set(
+                W._wrap(img[:, :ll_h, :ll_w] + llv[:, None, None],
+                        mag_bits, jnp))
+            img = jax.vmap(
+                lambda x: W.inverse_stages(x, stages, filt, mag_bits,
+                                           jnp)[0])(img)
+            img = jnp.maximum(img, 0)
+            flat = img.reshape(B, -1)
+            if flat.shape[1] % 2:
+                flat = jnp.pad(flat, ((0, 0), (0, 1)))
+            return ((flat[:, 0::2] & 0xFFFF)
+                    | (flat[:, 1::2] << 16)).reshape(-1)
 
         fn = jax.jit(fused)
         _PALLAS_RUNS[fkey] = fn
@@ -277,7 +328,20 @@ def _run_fused(units, sdata):
     for u in units:
         flat += [jnp.asarray(u["offs"]), jnp.asarray(u["geom"]),
                  jnp.asarray(u["seg"])]
-    blob = np.asarray(fn(jnp.asarray(sw), *flat))
+    llv = np.asarray(final["ll_means"] if final is not None else [0],
+                     np.int32)
+    blob = np.asarray(fn(jnp.asarray(sw), jnp.asarray(llv), *flat))
+
+    if final is not None:
+        B, h, w = final["B"], final["h"], final["w"]
+        npx = h * w
+        npxh = (npx + 1) // 2
+        packed = blob.reshape(B, npxh)
+        px = np.empty((B, 2 * npxh), np.int32)
+        px[:, 0::2] = packed & 0xFFFF
+        px[:, 1::2] = (packed >> 16) & 0xFFFF
+        return px[:, :npx].reshape(B, h, w)
+
     off = 0
     for u in units:
         PX, m = u["key"][0], u["m"]
@@ -288,6 +352,7 @@ def _run_fused(units, sdata):
         px[1::2] = (packed >> 16) & 0xFFFF
         u["out"] = px[:PX]
         off += PXh * m
+    return None
 
 
 def _words_from_bytes(db: np.ndarray) -> np.ndarray:
@@ -426,6 +491,8 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
                             "batched streams must share geometry")
         tables.append(t)
         ll_means.append(lm)
+    from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
+    _check_decode_dims(w, h, DEFAULT_MAX_PIXELS)
 
     blob = np.frombuffer(b"".join(streams), np.uint8)
     bases = np.cumsum([0] + [len(s) for s in streams])
@@ -464,31 +531,25 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
                              bucket_maxb, lane_end=lane_end)
         pending.append((seg, lanes, units))
 
-    _run_fused([u for (_, _, units) in pending for u in units], blob)
-
-    imgs = [np.zeros((h, w), np.int32) for _ in range(B)]
+    # device-side finalization: lane placements into the (B, h, w)
+    # canvas; assembly + inverse DWT + clamp run inside the fused program
+    all_units = []
+    placements = []
     for (seg, lanes, units) in pending:
         n1 = len(lanes)
         for u in units:
-            out = u["out"].reshape(u["Hmax"], u["Wpad"], u["m"])
-            seg[:, :u["Wmax"], u["idx"]] = out[:, :u["Wmax"], :]
-        for b in range(B):
-            for i, t in enumerate(lanes):
-                imgs[b][t["row"]:t["row"] + t["h"],
-                        t["col"]:t["col"] + t["w"]] = \
-                    seg[:t["h"], :t["w"], b * n1 + i]
-
-    ll_w = dim_low(w, config.stages)
-    ll_h = dim_low(h, config.stages)
-    out = []
-    for b in range(B):
-        img = np.asarray(wavelet.from_sign_magnitude(imgs[b], mag_bits))
-        img[:ll_h, :ll_w] = wavelet._wrap(img[:ll_h, :ll_w] + ll_means[b],
-                                          mag_bits, np)
-        img = inverse_transform(img, config.stages, config.filt, mag_bits)
-        img[img < 0] = 0
-        out.append(img.astype(dtype))
-    return out
+            ui = len(all_units)
+            all_units.append(u)
+            for k, bucket_lane in enumerate(u["idx"]):
+                b, i = divmod(int(bucket_lane), n1)
+                t = lanes[i]
+                placements.append((ui, k, b, t["row"], t["col"],
+                                   t["h"], t["w"]))
+    final = {"B": B, "h": h, "w": w, "stages": config.stages,
+             "filt": config.filt, "mag_bits": mag_bits,
+             "ll_means": ll_means, "placements": placements}
+    pix = _run_fused(all_units, blob, final=final)
+    return [pix[b].astype(dtype) for b in range(B)]
 
 
 def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
@@ -503,6 +564,10 @@ def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
     from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
     if max_pixels is None:
         max_pixels = DEFAULT_MAX_PIXELS
+    if backend == "pallas":
+        # the batch path finalizes fully on device (assembly + inverse
+        # DWT + clamp inside the fused program); B=1 is a special case
+        return decompress_lanes_batch([data], config, dtype=dtype)[0]
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     found = scan_bytestream(data, with_offsets=True, with_payload=False)
@@ -560,6 +625,31 @@ def decompress_yuv_lanes(data: bytes, config: CodecConfig,
         ll_means[hdr.channel] = hdr.ll_mean_val
 
     _check_decode_dims(w, h, max_pixels)
+    if backend == "pallas":
+        # fuse all three channels into ONE device program: channels are
+        # the batch axis of the finalized decode (assembly + inverse DWT
+        # on device), turning 3 round trips into 1
+        sdata = np.frombuffer(data, np.uint8)
+        all_units, placements = [], []
+        for chan in range(3):
+            collected: list = []
+            reconstruct_channel_lanes(
+                np.zeros((h, w), np.int32), table, chan, config, mag_bits,
+                bitplanes, data, backend, collect=collected)
+            for (seg, lanes, units) in collected:
+                for u in units:
+                    ui = len(all_units)
+                    all_units.append(u)
+                    for k, lane_i in enumerate(u["idx"]):
+                        t = lanes[int(lane_i)]
+                        placements.append((ui, k, chan, t["row"],
+                                           t["col"], t["h"], t["w"]))
+        final = {"B": 3, "h": h, "w": w, "stages": config.stages,
+                 "filt": config.filt, "mag_bits": mag_bits,
+                 "ll_means": ll_means, "placements": placements}
+        pix = _run_fused(all_units, sdata, final=final)
+        return tuple(pix[c].astype(dtype) for c in range(3))
+
     ll_w = dim_low(w, config.stages)
     ll_h = dim_low(h, config.stages)
     out = []

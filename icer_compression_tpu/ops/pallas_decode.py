@@ -40,6 +40,8 @@ import numpy as np
 
 from ..core import constants as C
 from . import decode_lanes as DL
+from .context_model import (_ctx_hh_formula, _ctx_ll_formula,
+                            _sign_formula)
 
 LANES = 128
 
@@ -64,15 +66,8 @@ _RHIT = {b: _pack(list(DL._CHIT[b]), 4) for b in range(1, 8)}
 _RVAL = {b: _pack(list(DL._CVAL[b]), 8) for b in range(1, 8)}
 _RBITS = {b: _pack(list(DL._CBITS[b]), 4) for b in range(1, 8)}
 
-# context tables flattened for packed lookup
-_LLPK = _pack([int(C.CONTEXT_TABLE_LL_LH_HL[hh][vv][dc])
-               for hh in range(3) for vv in range(3) for dc in range(5)], 8)
-_HHPK = _pack([int(C.CONTEXT_TABLE_HH[s][dc])
-               for s in range(5) for dc in range(5)], 8)
-_SCPK = _pack([int(C.SIGN_CONTEXT_TABLE[sh][sv])
-               for sh in range(5) for sv in range(5)], 8)
-_SPPK = _pack([int(C.SIGN_PREDICTION_TABLE[sh][sv])
-               for sh in range(5) for sv in range(5)], 8)
+# golomb (m, l, i) packed per bin: m 10b | l 4b | i 10b (default bin: 1,1,0)
+_GOLPK = [(m & 1023) | (l << 10) | (i << 14) for (m, l, i) in _GOL]
 
 
 def _plookup(packed, idx, jnp):
@@ -235,12 +230,16 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             return ((lo | hi) & 0x7FF).astype(jnp.int32)
 
         # ---- one decode_bit over all lanes --------------------------
+        # Per-lane coder state is packed to halve the 17-way
+        # select/broadcast chains: zt = zero | total << 9 (counters cap
+        # at 500), nl = n | low << 11 (bin-FIFO depth 11b, low bits 8b).
         def decode_bit(st, ctx, act, cat3):
-            (zero, total, bn_n, bn_low, bn_idx, dwords, pos, erri) = st
+            (zt, nl, bn_idx, dwords, pos, erri) = st
             err = erri != 0
             m = act & ~err
-            zc0 = sel17(zero, ctx)
-            tc0 = sel17(total, ctx)
+            ztc = sel17(zt, ctx)
+            zc0 = ztc & 511
+            tc0 = jax.lax.shift_right_logical(ztc, 9)
             zc = jnp.where(cat3, 1, zc0)
             tc = jnp.where(cat3, 2, tc0)
             inv = zc < (tc >> 1)
@@ -250,7 +249,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             for q in range(16):
                 bn = bn + (comp >= tc * _CUT[q])
 
-            sn = sel17(bn_n, bn)
+            nlb = sel17(nl, bn)
+            sn = nlb & 2047
+            low_old = jax.lax.shift_right_logical(nlb, 11)
             sidx = sel17(bn_idx, bn)
             need = m & ((sn <= 0) | (dwords - sidx >= C.CIRC_BUF_SIZE))
 
@@ -259,14 +260,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             # Golomb refill
             isg = bn >= 8
             g = need & isg
-            m_e = jnp.ones((LANES,), jnp.int32)
-            l_e = jnp.ones((LANES,), jnp.int32)
-            i_e = jnp.zeros((LANES,), jnp.int32)
+            pe = jnp.full((LANES,), 1 | (1 << 10), jnp.int32)  # m=1,l=1,i=0
             for gb in range(8, 17):
-                mm, ll, ii = _GOL[gb]
-                m_e = jnp.where(bn == gb, mm, m_e)
-                l_e = jnp.where(bn == gb, ll, l_e)
-                i_e = jnp.where(bn == gb, ii, i_e)
+                pe = jnp.where(bn == gb, _GOLPK[gb], pe)
+            m_e = pe & 1023
+            l_e = jax.lax.shift_right_logical(pe, 10) & 15
+            i_e = jax.lax.shift_right_logical(pe, 14)
             first = (look & 1) != 0
             kl = jnp.zeros((LANES,), jnp.int32)
             for i in range(1, 11):
@@ -317,25 +316,24 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             new_low = jnp.where(gok, ones_g,
                                 jnp.where(cok, ival, look & 1))
             pos = jnp.where(okany, pos + adv, pos)
-            bn_n = wr17(bn_n, bn, new_n, okany)
-            bn_low = wr17(bn_low, bn, new_low, okany)
             dwords = jnp.where(okany, dwords + 1, dwords)
             bn_idx = wr17(bn_idx, bn, dwords, okany)
 
-            # consume top of stack
+            # consume top of stack; refilled lanes (okany, a subset of
+            # m2) consume from the just-computed (new_n, new_low), so no
+            # re-select of the written state is needed
             m2 = m & ~err
-            n_now = sel17(bn_n, bn)
-            low_now = sel17(bn_low, bn)
+            n_now = jnp.where(okany, new_n, sn)
+            low_now = jnp.where(okany, new_low, low_old)
             n1 = n_now - 1
             n1c = jnp.clip(n1, 0, 31)
             bitv = jnp.where(n1 < 5,
                              jax.lax.shift_right_logical(low_now, n1c) & 1,
                              0)
-            bn_n = wr17(bn_n, bn, n1, m2)
             cleared = low_now & ~jnp.where(n1 < 5,
                                            jax.lax.shift_left(
                                                jnp.int32(1), n1c), 0)
-            bn_low = wr17(bn_low, bn, cleared, m2)
+            nl = wr17(nl, bn, n1 | jax.lax.shift_left(cleared, 11), m2)
             bit = jnp.where(m2, bitv ^ inv.astype(jnp.int32), 0)
 
             # counter update (skipped for the fixed cat-3 pseudo-context)
@@ -345,10 +343,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             resc = tc2 >= C.CONTEXT_RESCALING_CAP
             tc2 = jnp.where(resc, tc2 >> 1, tc2)
             zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
-            zero = wr17(zero, ctx, zc2, mu)
-            total = wr17(total, ctx, tc2, mu)
-            return (zero, total, bn_n, bn_low, bn_idx, dwords, pos,
-                    erri), bit
+            zt = wr17(zt, ctx, zc2 | jax.lax.shift_left(tc2, 9), mu)
+            return (zt, nl, bn_idx, dwords, pos, erri), bit
 
         # ---- row buffer fills ---------------------------------------
         ONEB = NBUF // 8
@@ -400,21 +396,19 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         ring_ref[8:16, :] = mask_readable_tile(words_ref[pl.ds(8, 8), :],
                                                tz + 1)
         ring_ref[16, :] = tz
-        st0 = (jnp.full((17, LANES), 2, jnp.int32),
-               jnp.full((17, LANES), 4, jnp.int32),
-               jnp.zeros((17, LANES), jnp.int32),
-               jnp.zeros((17, LANES), jnp.int32),
-               jnp.zeros((17, LANES), jnp.int32),
-               jnp.zeros((LANES,), jnp.int32),
-               jnp.zeros((LANES,), jnp.int32),
+        st0 = (jnp.full((17, LANES), 2 | (4 << 9), jnp.int32),  # zt
+               jnp.zeros((17, LANES), jnp.int32),               # nl
+               jnp.zeros((17, LANES), jnp.int32),               # bn_idx
+               jnp.zeros((LANES,), jnp.int32),                  # dwords
+               jnp.zeros((LANES,), jnp.int32),                  # pos
                jnp.where(active0 & (prev_err == 0), 0,
-                         1).astype(jnp.int32))
+                         1).astype(jnp.int32))                  # erri
 
         # ---- main sweep ---------------------------------------------
         def row_body(r, st):
             def tile_body(t, st):
                 # ring top-up once per 8-pixel tile (see ring_sweep)
-                ring_sweep(st[6])
+                ring_sweep(st[4])
                 base = r * Wpad + t * 8
                 seg_tile = out_ref[pl.ds(base, 8), :]
                 as_t = buf_ref[0, pl.ds(8 + t * 8 - 1, 10), :]
@@ -426,41 +420,38 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 pg_t = buf_ref[6, pl.ds(8 + t * 8 - 1, 10), :]
                 bg_t = buf_ref[7, pl.ds(8 + t * 8 - 1, 10), :]
 
-                def px_body(j, carry):
-                    st, seg_tile, cs_t, cg_t = carry
+                # The pixel loop is UNROLLED (static j): every strip
+                # access becomes a fixed vreg row read/write instead of an
+                # 8/10-way select chain -- the single largest per-bit op
+                # count in this kernel (~130 vector ops/pixel).
+                iota10 = jax.lax.broadcasted_iota(jnp.int32, (10, LANES), 0)
+                iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+                for j in range(8):
                     c = t * 8 + j
                     act = (r < h_l) & (c < w_l)
 
-                    def rowsel(tile, k, n):
-                        out = jnp.zeros((LANES,), jnp.int32)
-                        for q in range(n):
-                            out = jnp.where(k == q, tile[q, :], out)
-                        return out
-
-                    def row10(tile, k):
-                        return rowsel(tile, k, 10)
-
-                    v = rowsel(seg_tile, j, 8)
+                    v = seg_tile[j, :]
                     mag = v & magmask
-                    msb = jnp.zeros((LANES,), jnp.int32)
-                    for kk in range(1, 17):
-                        msb = msb + (mag >= (1 << kk))
-                    cat = jnp.clip(msb - lsb, 0, 3)
+                    # cat = clip(msb - lsb, 0, 3) via the shifted
+                    # magnitude: three compares instead of a 16-step
+                    # msb count
+                    mq = jax.lax.shift_right_logical(mag, lsb)
+                    cat = ((mq >= 2).astype(jnp.int32)
+                           + (mq >= 4) + (mq >= 8))
 
-                    # neighbor counts from buffers (index j+1 == column c
-                    # relative to the loaded 10-wide strips)
-                    hc = row10(cs_t, j) + row10(cp_t, j + 2)
-                    vc = row10(as_t, j + 1) + row10(bp_t, j + 1)
-                    dc = (row10(as_t, j) + row10(bp_t, j)
-                          + row10(as_t, j + 2) + row10(bp_t, j + 2))
+                    # neighbor counts from buffers (index j+1 == column
+                    # c relative to the loaded 10-wide strips)
+                    hc = cs_t[j, :] + cp_t[j + 2, :]
+                    vc = as_t[j + 1, :] + bp_t[j + 1, :]
+                    dc = (as_t[j, :] + bp_t[j, :]
+                          + as_t[j + 2, :] + bp_t[j + 2, :])
                     hh = jnp.where(is_hl, vc, hc)
                     vv = jnp.where(is_hl, hc, vc)
-                    ctx_ll = _plookup(
-                        _LLPK,
-                        (jnp.clip(hh, 0, 2) * 3 + jnp.clip(vv, 0, 2)) * 5
-                        + dc, jnp)
-                    ctx_hh = _plookup(
-                        _HHPK, jnp.clip(hh + vv, 0, 4) * 5 + dc, jnp)
+                    # closed-form context tables (context_model.py
+                    # formulas, verified exhaustively vs the constants)
+                    ctx_ll = _ctx_ll_formula(jnp.minimum(hh, 2),
+                                             jnp.minimum(vv, 2), dc, jnp)
+                    ctx_hh = _ctx_hh_formula(hh + vv, dc, jnp)
                     ctx0 = jnp.where(is_hh, ctx_hh, ctx_ll)
                     ctx = jnp.where(
                         cat == 0, ctx0,
@@ -470,27 +461,23 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     ctx = jnp.where(cat3, 0, ctx)
 
                     st, bit = decode_bit(st, ctx, act, cat3)
-                    err = st[7] != 0
+                    err = st[5] != 0
                     ok = act & ~err
                     newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
                                      v)
                     # significance update for newly-significant pixels
-                    new_sig = jnp.where(cat == 0, bit,
-                                        jnp.ones((LANES,), jnp.int32))
-                    cs_new = jnp.where(ok & (cat == 0), new_sig,
-                                       row10(cs_t, j + 1))
+                    cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 1, :])
 
                     # sign pass
                     sgn_act = ok & (cat == 0) & (bit == 1)
-                    sh = (2 + row10(cg_t, j) + row10(pg_t, j + 2))
-                    sv = (2 + row10(ag_t, j + 1) + row10(bg_t, j + 1))
+                    sh = (2 + cg_t[j, :] + pg_t[j + 2, :])
+                    sv = (2 + ag_t[j + 1, :] + bg_t[j + 1, :])
                     sh2 = jnp.where(is_hl, sv, sh)
                     sv2 = jnp.where(is_hl, sh, sv)
-                    sctx = _plookup(_SCPK, sh2 * 5 + sv2, jnp)
-                    pred = _plookup(_SPPK, sh2 * 5 + sv2, jnp)
+                    sctx, pred = _sign_formula(sh2, sv2, jnp)
                     st, agree = decode_bit(st, sctx, sgn_act,
                                            sgn_act & ~sgn_act)
-                    err = st[7] != 0
+                    err = st[5] != 0
                     ok2 = sgn_act & ~err
                     actual = (agree ^ pred) & 1
                     newv = jnp.where(
@@ -498,25 +485,20 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         newv)
                     # sign buffer update: newly significant -> -actual;
                     # already-significant keep their prev-plane sign
-                    cg_new = jnp.where(ok2, -actual, row10(cg_t, j + 1))
+                    cg_row = jnp.where(ok2, -actual, cg_t[j + 1, :])
 
                     # write back pixel + buffer columns (10-wide strips,
-                    # column c is index j+1)
-                    iota10 = jax.lax.broadcasted_iota(
-                        jnp.int32, (10, LANES), 0)
-                    sel_j1 = iota10 == (j + 1)
-                    cs_t = jnp.where(sel_j1 & ok[None, :],
-                                     cs_new[None, :], cs_t)
-                    cg_t = jnp.where(sel_j1 & ok2[None, :],
-                                     cg_new[None, :], cg_t)
-                    iota8 = jax.lax.broadcasted_iota(
-                        jnp.int32, (8, LANES), 0)
-                    seg_tile = jnp.where((iota8 == j) & ok[None, :],
-                                         newv[None, :], seg_tile)
-                    return (st, seg_tile, cs_t, cg_t)
+                    # column c is index j+1).  One-hot row masks: value
+                    # scatter/dynamic_update_slice do not lower to Mosaic,
+                    # and iota==const stays a vector op in the jaxpr
+                    cs_t = jnp.where(iota10 == (j + 1), cs_row[None, :],
+                                     cs_t)
+                    cg_t = jnp.where(iota10 == (j + 1), cg_row[None, :],
+                                     cg_t)
+                    seg_tile = jnp.where(iota8 == j,
+                                         jnp.where(ok, newv, v)[None, :],
+                                         seg_tile)
 
-                st, seg_tile, cs_t, cg_t = jax.lax.fori_loop(
-                    0, 8, px_body, (st, seg_tile, cs_t, cg_t))
                 out_ref[pl.ds(base, 8), :] = seg_tile
                 buf_ref[1, pl.ds(8 + t * 8 - 1, 10), :] = cs_t
                 buf_ref[5, pl.ds(8 + t * 8 - 1, 10), :] = cg_t
@@ -544,8 +526,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             return st
 
         st = jax.lax.fori_loop(0, Hmax, row_body, st0)
-        err_ref[0, :] = st[7]
-        pos_ref[0, :] = st[6]
+        err_ref[0, :] = st[5]
+        pos_ref[0, :] = st[4]
 
     def run_impl(words, geom, seg):
         if multi:
