@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "native", "jax", "numpy"],
                    default="auto")
     p.add_argument("--time", action="store_true", help="print phase timings")
+    p.add_argument("--prefix", type=int, default=0, metavar="BYTES",
+                   help="decompress only the first BYTES of the stream "
+                        "(progressive preview: the ICER stream is "
+                        "priority-ordered, so any prefix decodes to a "
+                        "coarser image; 0 = whole stream)")
     return p
 
 
@@ -113,6 +118,11 @@ def cmd_decompress(args) -> int:
               file=sys.stderr)
         return 1
     data = open(args.input, "rb").read()
+    if args.prefix > 0:
+        # progressive preview: the rearranged stream is quality-ordered,
+        # so truncation degrades exactly like the reference's quota drop
+        # (a partial trailing segment is skipped by the CRC scan)
+        data = data[:args.prefix]
     dims = get_image_dimensions(data)
     if dims is None:
         print("error: no valid segments in stream", file=sys.stderr)

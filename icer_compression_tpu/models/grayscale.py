@@ -365,34 +365,129 @@ def allocate_from_table(packets, payload_table: dict, quota,
 _JAX_ENCODERS: dict[tuple, object] = {}
 
 
+# Byte-mass share of bitplane lsb (0 = LSB) for natural imagery,
+# measured on the boat.512 lossless stream (uint16 path; byte mass
+# roughly doubles per plane toward the LSB then saturates).  Only the
+# SHAPE matters -- it steers which priority prefix a quota is likely to
+# admit; a bad guess costs one cheap delta-escalation encode.
+_PLANE_MASS = (0.225, 0.238, 0.214, 0.157, 0.080, 0.034, 0.020, 0.016,
+               0.016)
+
+
+def _jax_quota_classes(w: int, h: int, stages: int, bitplanes: int):
+    """Priority-prefix classes for quota-aware TPU encoding.
+
+    The packet priority order is a pure function of (stage, subband,
+    lsb), so the prefix of packets a byte quota can admit is static up
+    to the (data-dependent) payload sizes.  Prefix boundaries are placed
+    where the _PLANE_MASS byte model crosses geometric fractions (byte
+    mass is tail-heavy: half the packets carry <10% of the bytes, so
+    count-based prefixes would make every mid-range quota escalate).
+    Returns [(model_fraction, cuts)]; cuts[gi] is the lowest lsb any
+    prefix packet needs from stage-group gi -- the encoder then skips
+    all lower planes (the reference stops coding at the quota,
+    icer_compress.c:404; this is the lane-masked equivalent).
+    """
+    packets = sort_packets(build_packets_grayscale(w, h, stages, 0,
+                                                   bitplanes))
+    npk = len(packets)
+    mass = _PLANE_MASS[:bitplanes]
+    mass = [m / sum(mass) for m in mass]
+    per_lsb_packets = max(1, npk // bitplanes)
+    classes, seen = [], set()
+    cum = 0.0
+    bounds = [1 / 16, 1 / 8, 1 / 4, 1 / 2, 1.0]
+    bi = 0
+    cuts = [bitplanes] * stages
+    for i, p in enumerate(packets):
+        cum += mass[p.lsb] / per_lsb_packets
+        gi = p.decomp_level - 1
+        cuts[gi] = min(cuts[gi], p.lsb)
+        last = i + 1 == npk
+        if bi < len(bounds) and (cum >= bounds[bi] or last):
+            while bi < len(bounds) and cum >= bounds[bi]:
+                bi += 1
+            t = tuple(cuts)
+            if t not in seen:
+                seen.add(t)
+                classes.append((min(cum, 1.0), t))
+    if classes[-1][1] != (0,) * stages:
+        classes.append((1.0, (0,) * stages))
+    return classes
+
+
 def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
     """Grayscale compression with the TPU (XLA) encode pipeline.
 
     Bit-identical to compress(); the DWT, context modelling and the
     interleaved entropy coder run as compiled XLA programs on the
     accelerator, with host-side rate allocation and stream assembly.
+    At constraining quotas only the priority-prefix planes are encoded
+    (per-lane payloads are state-independent, so the stream is
+    byte-identical to the full-encode + allocate path at any quota);
+    an undershot prefix escalates to the next class and re-encodes.
     """
     from ..ops.encode_jax import JaxGrayscaleEncoder
 
     mag_bits = _mag_bits(image.dtype)
     bitplanes = _bitplanes(mag_bits)
     h, w = image.shape
-    key = (w, h, config.stages, config.filt, config.segments, mag_bits)
-    enc = _JAX_ENCODERS.get(key)
-    if enc is None:
-        enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
-                                  config.segments, mag_bits)
-        _JAX_ENCODERS[key] = enc
 
-    raw_table, ll_mean = enc.encode(image)
-    table = {(0,) + k: v for k, v in raw_table.items()}
-    packets = sort_packets(build_packets_grayscale(
-        w, h, config.stages, ll_mean, bitplanes))
-    nsegs = {}
-    for pkt in packets:
-        nsegs[(pkt.decomp_level, pkt.subband_type)] = config.segments
-    encoded = allocate_from_table(packets, table, config.byte_quota, nsegs,
-                                  w, h)
+    quota = config.byte_quota
+    classes = _jax_quota_classes(w, h, config.stages, bitplanes)
+    if quota is None:
+        ci = len(classes) - 1
+    else:
+        # model byte coverage needed: quota as a fraction of a lossless
+        # stream (~0.65 x raw for natural images), with 1.7x headroom --
+        # an overshoot wastes a little device work, an undershoot costs a
+        # delta-escalation encode
+        want = min(1.0, 1.7 * quota / max(1, 0.65 * h * w))
+        ci = next((i for i, (frac, _) in enumerate(classes)
+                   if frac >= want), len(classes) - 1)
+
+    def get_encoder(windows):
+        if all(lo == 0 and hi == bitplanes for lo, hi in windows):
+            key = (w, h, config.stages, config.filt, config.segments,
+                   mag_bits)      # the full encoder; shared cache entry
+        else:
+            key = (w, h, config.stages, config.filt, config.segments,
+                   mag_bits, windows)
+        enc = _JAX_ENCODERS.get(key)
+        if enc is None:
+            enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
+                                      config.segments, mag_bits,
+                                      plane_cuts=windows)
+            _JAX_ENCODERS[key] = enc
+        return enc
+
+    # Delta escalation: each step encodes only the planes the previous
+    # classes did not (payloads are per-lane independent, so the union of
+    # the step tables equals the bigger class's table byte for byte).
+    table: dict = {}
+    prev = (bitplanes,) * config.stages
+    ll_mean = 0
+    while True:
+        cuts = classes[ci][1]
+        windows = tuple((lo, hi) for lo, hi in zip(cuts, prev))
+        if any(lo < hi for lo, hi in windows):
+            raw_table, ll_mean = get_encoder(windows).encode(image)
+            table.update({(0,) + k: v for k, v in raw_table.items()})
+            prev = tuple(min(a, b) for a, b in zip(cuts, prev))
+        packets = sort_packets(build_packets_grayscale(
+            w, h, config.stages, ll_mean, bitplanes))
+        nsegs = {}
+        for pkt in packets:
+            nsegs[(pkt.decomp_level, pkt.subband_type)] = config.segments
+        try:
+            encoded = allocate_from_table(packets, table, quota, nsegs,
+                                          w, h)
+            break
+        except KeyError:
+            # quota admits more than the encoded prefix: widen
+            if ci + 1 >= len(classes):
+                raise
+            ci += 1
     return assemble_stream(encoded, rearrange_order_grayscale(bitplanes))
 
 

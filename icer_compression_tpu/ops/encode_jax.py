@@ -128,7 +128,8 @@ class JaxGrayscaleEncoder:
 
     def __init__(self, image_w: int, image_h: int, stages: int, filt: int,
                  segments: int, mag_bits: int,
-                 entropy: str | None = None, batch: int = 1):
+                 entropy: str | None = None, batch: int = 1,
+                 plane_cuts: tuple | None = None):
         _ensure_cache()
         import jax
         import jax.numpy as jnp
@@ -152,6 +153,22 @@ class JaxGrayscaleEncoder:
 
         self.groups = _plan_groups(image_w, image_h, stages, segments)
         self.buckets = _plan_buckets(self.groups)
+        # Quota-aware lane subsetting: plane_cuts[gi] bounds the lsb range
+        # encoded for stage-group gi -- an int (lowest lsb, upper bound =
+        # all planes) or an explicit (lo, hi) window.  The reference stops
+        # coding at the quota (icer_compress.c:404); a cut encoder runs the
+        # same program shape family over only the priority-prefix planes --
+        # payloads are per-lane independent, so the encoded bytes are
+        # identical to the full encoder's for every included packet, and a
+        # window encoder produces exactly the DELTA planes an escalation
+        # step needs (tables union across steps).
+        if plane_cuts is None:
+            plane_cuts = (0,) * len(self.groups)
+        if len(plane_cuts) != len(self.groups):
+            raise ValueError("plane_cuts must have one entry per stage")
+        self.plane_cuts = tuple(
+            (int(c[0]), int(c[1])) if isinstance(c, tuple)
+            else (int(c), self.bitplanes) for c in plane_cuts)
         # lane order of the fused outputs: buckets in order, then groups,
         # images, planes, lanes -- mirrors the bucket fn's concat order
         # (a group's emission block is (batch * planes * lanes, L),
@@ -162,8 +179,9 @@ class JaxGrayscaleEncoder:
         for b in self.buckets:
             for gi in b["groups"]:
                 g = self.groups[gi]
+                lo, hi = self.plane_cuts[gi]
                 for img_i in range(batch):
-                    for p in range(self.bitplanes):
+                    for p in range(lo, hi):
                         for l in g["lanes"]:
                             self.lane_keys.append((img_i, l.stage, l.subband,
                                                    p, l.seg, l))
@@ -172,8 +190,9 @@ class JaxGrayscaleEncoder:
         # building the fused fn records each bucket's static per-lane
         # payload cap (b["capb"]); the flat output layout follows from it
         self._payload_layout = [
-            (sum(batch * self.bitplanes * len(self.groups[gi]["lanes"])
-                 for gi in b["groups"]), b["capb"])
+            (sum(batch * (self.plane_cuts[gi][1] - self.plane_cuts[gi][0])
+                 * len(self.groups[gi]["lanes"]) for gi in b["groups"]),
+             b["capb"])
             for b in self.buckets]
         self._siblings: dict[int, JaxGrayscaleEncoder] = {}
         self._transform = jax.jit(self._transform_fn)
@@ -195,10 +214,11 @@ class JaxGrayscaleEncoder:
         img = wavelet.to_sign_magnitude(img, self.mag_bits, jnp)
         return img, ll_mean, overflow
 
-    def _make_emit_fn(self, g):
+    def _make_emit_fn(self, g, cut=(0, None)):
         jnp = self.jnp
         lanes, mh, mw = g["lanes"], g["mh"], g["mw"]
-        planes = self.bitplanes
+        lo, hi = cut
+        planes = self.bitplanes if hi is None else hi
 
         def fn(img):
             segs = []
@@ -210,12 +230,12 @@ class JaxGrayscaleEncoder:
             sub_codes = jnp.asarray(g["sub_codes"])
             pix_valid = jnp.asarray(g["pix_valid"])
             w0s, w1s = [], []
-            for lsb in range(planes):
+            for lsb in range(lo, planes):
                 w0, w1 = plane_emissions_words(
                     batch, sub_codes, pix_valid, lsb, self.mag_bits, jnp)
                 w0s.append(w0)
                 w1s.append(w1)
-            return (jnp.concatenate(w0s, axis=0),           # (P*N, mh*mw)
+            return (jnp.concatenate(w0s, axis=0),           # ((P-cut)*N, .)
                     jnp.concatenate(w1s, axis=0))
 
         return fn
@@ -374,6 +394,12 @@ class JaxGrayscaleEncoder:
         # per-lane host fallback like a coder-buffer flush would
         cap_bits = ((Lc + 17 * 10 + 255) // 256) * 256
         b["capb"] = cap_bits // 8
+        # Kernel lane width follows the FULL (uncut) row count so a
+        # plane-cut (quota) variant reuses the exact Mosaic kernel shapes
+        # of the full encoder (per-step cost is flat in width, so narrower
+        # kernels would not run faster anyway -- only block count matters).
+        full_n = sum(self.batch * self.bitplanes
+                     * len(self.groups[gi]["lanes"]) for gi in b["groups"])
 
         def fn(parts):
             # the gathered words ARE the kernel's packed emission format
@@ -382,12 +408,11 @@ class JaxGrayscaleEncoder:
                 packed = jnp.pad(packed,
                                  ((0, 0), (0, Lc - packed.shape[-1])))
             n = packed.shape[0]
-            lanes = min(width, -(-n // PE.LANES) * PE.LANES)
+            lanes = min(width, -(-full_n // PE.LANES) * PE.LANES)
             run = PE.make_encode_lanes_slim(Lc, chunk=chunk, lanes=lanes)
             nblk = -(-n // lanes)
             rpad = nblk * lanes - n
             packed = jnp.pad(packed, ((0, rpad), (0, 0)))
-            over = jnp.pad(over, (0, rpad))
 
             rowidx = jnp.arange(Lc + 17)
             done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
@@ -396,22 +421,27 @@ class JaxGrayscaleEncoder:
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
+                # the XLA reconstruction tail runs only over the block's
+                # real rows (m < lanes on cut or final blocks)
+                m = min(lanes, n - blk * lanes)
                 r1, r2, fstate = run(packed[sl].T)
                 code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
-                p, t, f = post(code.T, nbits.T, opn.T)
+                p, t, f = post(code.T[:m], nbits.T[:m], opn.T[:m])
                 pls.append(p)
                 tts.append(t)
                 fls.append(f)
-            payload = jnp.concatenate(pls)[:n]
-            total = jnp.concatenate(tts)[:n]
-            flush = jnp.concatenate(fls)[:n] | over[:n]
+            payload = jnp.concatenate(pls)
+            total = jnp.concatenate(tts)
+            flush = jnp.concatenate(fls) | over
             return payload, total, flush
 
         return fn
 
     def _make_fused_fn(self):
         jnp = self.jnp
-        emit_fns = [self._make_emit_fn(g) for g in self.groups]
+        emit_fns = [
+            self._make_emit_fn(g, cut) if cut[0] < cut[1] else None
+            for g, cut in zip(self.groups, self.plane_cuts)]
         mk = {"pallas": self._make_bucket_fn_pallas,
               "slim": self._make_bucket_fn_slim,
               "sorted": self._make_bucket_fn}[self.entropy]
@@ -425,13 +455,19 @@ class JaxGrayscaleEncoder:
                 self._transform_fn)(images)
             emitted = []
             for fn in emit_fns:
+                if fn is None:       # plane cut excludes the whole group
+                    emitted.append(None)
+                    continue
                 w0, w1 = self.jax.vmap(fn)(img)
                 emitted.append((w0.reshape(-1, w0.shape[-1]),
                                 w1.reshape(-1, w1.shape[-1])))
             payloads, totals, flushes = [], [], []
             for b, bfn in zip(self.buckets, bucket_fns):
-                payload, total, flush = bfn([emitted[gi]
-                                             for gi in b["groups"]])
+                parts = [emitted[gi] for gi in b["groups"]
+                         if emitted[gi] is not None]
+                if not parts:
+                    continue
+                payload, total, flush = bfn(parts)
                 payloads.append(payload)
                 totals.append(total)
                 flushes.append(flush)
@@ -478,7 +514,8 @@ class JaxGrayscaleEncoder:
             if sib is None:
                 sib = JaxGrayscaleEncoder(
                     self.w, self.h, self.stages, self.filt, self.segments,
-                    self.mag_bits, entropy=self.entropy, batch=B)
+                    self.mag_bits, entropy=self.entropy, batch=B,
+                    plane_cuts=self.plane_cuts)
                 self._siblings[B] = sib
             return sib.encode_batch(images)
         out = np.asarray(self._fused(self.jnp.asarray(images)))

@@ -76,3 +76,33 @@ def test_encode_batch_sibling_and_single(rng):
         table, ll = enc.encode(imgs[0])
         stream = _stream_from_table(table, ll, 47, 33, cfg)
         assert stream == G.compress(imgs[0], cfg)
+
+
+def test_compress_jax_quota_classes(rng):
+    """Quota-aware plane-cut encoding: byte-exact at every quota class.
+
+    Small quotas route compress_jax through priority-prefix (plane-cut)
+    encoder variants (icer_compress.c:404 stop-at-quota semantics); the
+    stream must equal the host encoder's at every quota, including ones
+    that force prefix-escalation re-encodes.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        img = make_test_image(48, 48, rng, dtype=np.uint16)
+        for quota in (200, 600, 1200, 2500, 48 * 48):
+            cfg = CodecConfig(stages=2, filt=0, segments=3,
+                              byte_quota=quota)
+            assert G.compress_jax(img, cfg) == G.compress(img, cfg), quota
+
+
+def test_compress_jax_quota_uses_cut_encoder(rng):
+    """A constraining quota must actually select a plane-cut variant."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        img = make_test_image(64, 64, rng, dtype=np.uint16)
+        cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=500)
+        before = set(G._JAX_ENCODERS)
+        assert G.compress_jax(img, cfg) == G.compress(img, cfg)
+        added = set(G._JAX_ENCODERS) - before
+        assert any(len(k) == 7 for k in added), \
+            "expected a plane-cut encoder variant to be instantiated"
