@@ -213,7 +213,7 @@ _STREAM_PAD = 262144   # stream-word buffer padding granularity (bytes):
 #                        while keeping upload waste under one granule
 
 
-def _run_fused(units, sdata, final=None):
+def _run_fused(units, sdata, final=None, defer=False):
     """Run every unit's multi-round kernel inside ONE jit program (one
     dispatch, one concatenated fetch); fills unit["out"].
 
@@ -232,7 +232,10 @@ def _run_fused(units, sdata, final=None):
     final packed pixel blob (the smallest possible transfer).  final =
     {B, h, w, stages, filt, mag_bits, ll_means, placements:[(unit_idx,
     lane_in_unit, img_idx, row, col, hgt, wid)]}; returns (B, h, w)
-    int32 pixel arrays instead of filling unit["out"]."""
+    int32 pixel arrays instead of filling unit["out"].  With ``defer``
+    the call returns immediately after the async dispatch with a
+    zero-arg collector (pipelined serving: overlap the next batch's
+    prep + dispatch with this batch's device time + fetch)."""
     import jax
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
@@ -264,7 +267,12 @@ def _run_fused(units, sdata, final=None):
             limit = swords.shape[0] - 1
             outs = []
             for i, (run, NW, R, m) in enumerate(runs):
-                offs, ge, sg = arrays[3 * i:3 * i + 3]
+                offs, ge = arrays[2 * i:2 * i + 2]
+                # the coefficient canvas starts all-zero in every decode
+                # path; materializing it on device avoids re-uploading
+                # megabytes of zeros per call (PX x LANES int32 per unit)
+                sg = jnp.zeros((shapes[i][0] * shapes[i][1], m),
+                               jnp.int32)
                 j = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
                 woff = (offs >> 2)[:, None, :]          # (R, 1, m)
                 sh = ((offs & 3) * 8)[:, None, :].astype(jnp.uint32)
@@ -326,12 +334,19 @@ def _run_fused(units, sdata, final=None):
 
     flat = []
     for u in units:
-        flat += [jnp.asarray(u["offs"]), jnp.asarray(u["geom"]),
-                 jnp.asarray(u["seg"])]
+        flat += [jnp.asarray(u["offs"]), jnp.asarray(u["geom"])]
     llv = np.asarray(final["ll_means"] if final is not None else [0],
                      np.int32)
-    blob = np.asarray(fn(jnp.asarray(sw), jnp.asarray(llv), *flat))
+    dev = fn(jnp.asarray(sw), jnp.asarray(llv), *flat)
+    if defer:
+        # dispatch is async on remotely-attached devices: return a
+        # collector so callers can pipeline the next batch's upload +
+        # compute against this batch's fetch
+        return lambda: _unpack_fused(np.asarray(dev), units, final)
+    return _unpack_fused(np.asarray(dev), units, final)
 
+
+def _unpack_fused(blob, units, final):
     if final is not None:
         B, h, w = final["B"], final["h"], final["w"]
         npx = h * w
@@ -455,7 +470,8 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         seg[:, :, idx] = out[:, :Wmax, :]
 
 
-def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
+def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
+                           defer: bool = False):
     """Batched TPU decode of same-geometry streams (the serving mode).
 
     Lanes from all images share the 128-lane kernel blocks -- a bucket
@@ -548,6 +564,9 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16):
     final = {"B": B, "h": h, "w": w, "stages": config.stages,
              "filt": config.filt, "mag_bits": mag_bits,
              "ll_means": ll_means, "placements": placements}
+    if defer:
+        collect = _run_fused(all_units, blob, final=final, defer=True)
+        return lambda: [img.astype(dtype) for img in collect()]
     pix = _run_fused(all_units, blob, final=final)
     return [pix[b].astype(dtype) for b in range(B)]
 

@@ -422,17 +422,19 @@ class JaxGrayscaleEncoder:
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
                 # the XLA reconstruction tail runs only over the block's
-                # real rows (m < lanes on cut or final blocks)
-                m = min(lanes, n - blk * lanes)
+                # real rows, rounded up to the 128-lane register tile
+                # (unaligned row slices force relayout copies)
+                m = min(lanes,
+                        -(-(n - blk * lanes) // PE.LANES) * PE.LANES)
                 r1, r2, fstate = run(packed[sl].T)
                 code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
                 p, t, f = post(code.T[:m], nbits.T[:m], opn.T[:m])
                 pls.append(p)
                 tts.append(t)
                 fls.append(f)
-            payload = jnp.concatenate(pls)
-            total = jnp.concatenate(tts)
-            flush = jnp.concatenate(fls) | over
+            payload = jnp.concatenate(pls)[:n]
+            total = jnp.concatenate(tts)[:n]
+            flush = jnp.concatenate(fls)[:n] | over
             return payload, total, flush
 
         return fn
@@ -500,13 +502,16 @@ class JaxGrayscaleEncoder:
         return fused
 
     # ---- host orchestration --------------------------------------------
-    def encode_batch(self, images: np.ndarray):
+    def encode_batch(self, images: np.ndarray, defer: bool = False):
         """Batched encode of (B, h, w) same-geometry images.
 
         One device round trip for the whole batch; all images' lanes share
         the entropy kernel blocks (the amortization: the coder's per-step
         cost is ~flat in lane width).  Returns a list of
-        (payload_table, ll_mean) pairs.
+        (payload_table, ll_mean) pairs.  With ``defer`` the call returns a
+        zero-arg collector right after the async dispatch, so a pipelined
+        caller can overlap the next batch's upload + compute with this
+        batch's fetch + host unpack.
         """
         B = images.shape[0]
         if B != self.batch:
@@ -517,9 +522,12 @@ class JaxGrayscaleEncoder:
                     self.mag_bits, entropy=self.entropy, batch=B,
                     plane_cuts=self.plane_cuts)
                 self._siblings[B] = sib
-            return sib.encode_batch(images)
-        out = np.asarray(self._fused(self.jnp.asarray(images)))
-        return self._unpack_batch(out.view(np.uint8), images)
+            return sib.encode_batch(images, defer=defer)
+        dev = self._fused(self.jnp.asarray(images))
+        if defer:
+            return lambda: self._unpack_batch(
+                np.asarray(dev).view(np.uint8), images)
+        return self._unpack_batch(np.asarray(dev).view(np.uint8), images)
 
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--backends", default="slim,sorted")
     ap.add_argument("--decode", action="store_true", default=True)
     ap.add_argument("--no-decode", dest="decode", action="store_false")
+    ap.add_argument("--quotas", default="",
+                    help="comma-separated byte quotas to warm the "
+                         "quota-class encoder variants for (e.g. "
+                         "30000,65536)")
     args = ap.parse_args()
 
     from icer_compression_tpu.models import grayscale as G
@@ -76,6 +80,15 @@ def main():
                                       backend="jax"))
         assert np.array_equal(dec, img), "prewarm decode mismatch"
         print(f"decode warm in {time.time()-t0:.0f} s", flush=True)
+
+    if args.quotas:
+        for q in (int(x) for x in args.quotas.split(",")):
+            qcfg = CodecConfig(stages=args.stages, filt=args.filter,
+                               segments=args.segments, byte_quota=q)
+            t0 = time.time()
+            s = G.compress_jax(img, qcfg)
+            assert s == G.compress(img, qcfg), f"quota {q} mismatch"
+            print(f"quota {q} warm in {time.time()-t0:.0f} s", flush=True)
     print("prewarm done")
     return 0
 
