@@ -308,9 +308,13 @@ def _run_fused(units, sdata, final=None, defer=False):
             stages, filt = final["stages"], final["filt"]
             mag_bits = final["mag_bits"]
             canvas = jnp.zeros((B, h, w), jnp.int32)
+            # one transpose per unit: per-lane extraction then slices
+            # contiguous rows (column slices of (PX, m) serialized at
+            # ~10 ns/elem -- they were the top op of the decode program)
+            outsT = [o.T for o in outs]
             for (ui, lane, b, row, col, hgt, wid) in final["placements"]:
                 Hm, Wp = shapes[ui]
-                simg = outs[ui][:, lane].reshape(Hm, Wp)[:hgt, :wid]
+                simg = outsT[ui][lane].reshape(Hm, Wp)[:hgt, :wid]
                 canvas = canvas.at[b, row:row + hgt,
                                    col:col + wid].set(simg)
             img = W.from_sign_magnitude(canvas, mag_bits, jnp)

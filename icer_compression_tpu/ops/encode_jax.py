@@ -42,6 +42,7 @@ from . import entropy_jax2, wavelet
 from .context_model import plane_emissions_words
 
 _CACHE_SET = False
+_SPEC_POOL = None
 
 
 def _ensure_cache():
@@ -98,14 +99,21 @@ def _plan_groups(image_w, image_h, stages, segments):
 
 
 def _plan_buckets(groups):
-    """Partition stage groups into emission-length buckets (ratio <= 4)."""
+    """Partition stage groups into emission-length buckets (ratio <= 2).
+
+    Sorts over the bucket's padded emission length are ~75% of the slim
+    backend's device program (trace, PERF_NOTES.md): letting a stage ride
+    a bucket 4x its length quadrupled its rows' sort cost, which outweighs
+    the extra program's (cached) compile.  Ratio 2 bounds padding waste
+    at 2x while stages 3+/4 still share one tiny program.
+    """
     order = sorted(range(len(groups)), key=lambda i: -groups[i]["L"])
     buckets = []
     cur = []
     cur_max = None
     for gi in order:
         L = groups[gi]["L"]
-        if cur_max is None or L * 4 >= cur_max:
+        if cur_max is None or L * 2 >= cur_max:
             cur.append(gi)
             cur_max = cur_max or L
         else:
@@ -270,14 +278,25 @@ class JaxGrayscaleEncoder:
         k1 = jnp.where((w1 & 1) != 0, 2 * pos + 1, Lb + 2 * pos + 1)
         key = jnp.concatenate([k0, k1], axis=-1)
         words = jnp.concatenate([w0, w1], axis=-1)
+        over = ((words & 1) != 0).sum(axis=-1) > Lc
+
+        pos_bits = (2 * Lb).bit_length()
+        if pos_bits + 7 <= 31:
+            # single-operand sort: the 7-bit emission word rides the
+            # low bits of the (unique) interleave/compaction key, so the
+            # sort carries one int32 instead of a (key, value) pair
+            kw = (key << 7) | words
+
+            def one(kw):
+                return (jnp.sort(kw) & 127)[:Lc]
+
+            return jax.vmap(one)(kw), over
 
         def one(k, w):
             _, (w2,) = entropy_jax2._sort_by(k, (w,), jnp)
             return w2[:Lc]
 
-        out = jax.vmap(one)(key, words)
-        over = ((words & 1) != 0).sum(axis=-1) > Lc
-        return out, over
+        return jax.vmap(one)(key, words), over
 
     def _make_bucket_fn(self, b):
         jnp = self.jnp
@@ -524,10 +543,35 @@ class JaxGrayscaleEncoder:
                 self._siblings[B] = sib
             return sib.encode_batch(images, defer=defer)
         dev = self._fused(self.jnp.asarray(images))
+        # Speculative host transforms: flush-lane fallback (the 2048-word
+        # coder-buffer eviction path) needs the transformed image on
+        # host, and the host DWT was the single largest serialized tail
+        # in the encode trace (~50 ms/image AFTER the fetch).  Start it
+        # in threads now so it overlaps the device time + fetch.
+        spec = self._speculative_transforms(images)
         if defer:
             return lambda: self._unpack_batch(
-                np.asarray(dev).view(np.uint8), images)
-        return self._unpack_batch(np.asarray(dev).view(np.uint8), images)
+                np.asarray(dev).view(np.uint8), images, spec)
+        return self._unpack_batch(np.asarray(dev).view(np.uint8), images,
+                                  spec)
+
+    def _speculative_transforms(self, images):
+        from ..backend import native_backend
+        if not native_backend.available():
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+        from ..models.grayscale import transform_for_encode
+        global _SPEC_POOL
+        if _SPEC_POOL is None:
+            _SPEC_POOL = ThreadPoolExecutor(max_workers=4)
+
+        def one(img):
+            t, _ = transform_for_encode(img, self.stages, self.filt,
+                                        self.mag_bits)
+            return np.ascontiguousarray(t, dtype=np.int32)
+
+        return [_SPEC_POOL.submit(one, images[i])
+                for i in range(images.shape[0])]
 
     def encode(self, image: np.ndarray):
         """-> (payload_table {(stage,subband,lsb,seg): (bytes, nbits)},
@@ -536,7 +580,8 @@ class JaxGrayscaleEncoder:
             raise ValueError("encode() requires batch == 1")
         return self.encode_batch(image[None])[0]
 
-    def _unpack_batch(self, out: np.ndarray, images: np.ndarray):
+    def _unpack_batch(self, out: np.ndarray, images: np.ndarray,
+                      spec=None):
         n = self.n_lanes
         B = self.batch
         meta_bytes = 4 * (2 * n + 2 * B)
@@ -583,11 +628,14 @@ class JaxGrayscaleEncoder:
             def transformed(img_i):
                 img_np = t_cache.get(img_i)
                 if img_np is None:
-                    img_np, _ = transform_for_encode(
-                        images[img_i], self.stages, self.filt,
-                        self.mag_bits)
-                    t_cache[img_i] = np.ascontiguousarray(
-                        img_np, dtype=np.int32)
+                    if spec is not None:
+                        t_cache[img_i] = spec[img_i].result()
+                    else:
+                        img_np, _ = transform_for_encode(
+                            images[img_i], self.stages, self.filt,
+                            self.mag_bits)
+                        t_cache[img_i] = np.ascontiguousarray(
+                            img_np, dtype=np.int32)
                 return t_cache[img_i]
 
             if native_backend.available():
