@@ -474,43 +474,43 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         seg[:, :, idx] = out[:, :Wmax, :]
 
 
-def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
-                           defer: bool = False):
-    """Batched TPU decode of same-geometry streams (the serving mode).
+def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
+                  defer: bool):
+    """Shared batched TPU decode over B streams x nchan channels.
 
-    Lanes from all images share the 128-lane kernel blocks -- a bucket
-    with 18 segments per image fills ~126 lanes at B=7 -- and the whole
-    batch decodes in ONE fused device program.  Per-image zero-copy
-    over-read semantics are preserved by per-lane readable limits into
-    the concatenated blob.  Returns a list of decoded images, each
-    pixel-identical to decompress() of its stream.
-    """
+    Canvas c = b * nchan + chan; lanes from every (image, channel) share
+    the 128-lane kernel blocks and the whole batch decodes (and
+    finalizes: assembly + inverse DWT + clamp) in ONE fused device
+    program.  Per-image zero-copy over-read semantics are preserved by
+    per-lane readable limits into the concatenated blob."""
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     B = len(streams)
+    NC = B * nchan
     tables = []
-    ll_means = []
+    ll_means = [0] * NC
     w = h = 0
-    for data in streams:
+    for b, data in enumerate(streams):
         found = scan_bytestream(data, with_offsets=True, with_payload=False)
         if not found:
             raise IcerError(IcerStatus.DECODER_OUT_OF_DATA,
                             "no valid segments")
         t: dict = {}
-        lm = 0
         for hdr, _p, off in found:
-            # channel nibble ignored (reference grayscale semantics)
-            t[(0, hdr.decomp_level, hdr.subband_type,
+            # grayscale ignores the channel nibble (reference last-wins
+            # semantics); color keys by it
+            chan = hdr.channel if nchan > 1 else 0
+            t[(chan, hdr.decomp_level, hdr.subband_type,
                hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
             wi, hi = hdr.image_w, hdr.image_h
-            lm = hdr.ll_mean_val
+            if chan < nchan:
+                ll_means[b * nchan + chan] = hdr.ll_mean_val
         if w == 0:
             w, h = wi, hi
         elif (w, h) != (wi, hi):
             raise IcerError(IcerStatus.INVALID_INPUT,
                             "batched streams must share geometry")
         tables.append(t)
-        ll_means.append(lm)
     from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
     _check_decode_dims(w, h, DEFAULT_MAX_PIXELS)
 
@@ -520,14 +520,15 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
     pending = []
     for lanes in _plan_lanes(w, h, config):
         n1 = len(lanes)
-        n = n1 * B
+        n = n1 * NC
         Hmax = max(t["h"] for t in lanes)
         Wmax = max(t["w"] for t in lanes)
         seg = np.zeros((Hmax, Wmax, n), np.int32)
-        hh = np.tile([t["h"] for t in lanes], B).astype(np.int32)
-        ww = np.tile([t["w"] for t in lanes], B).astype(np.int32)
-        sb = np.tile([t["subband"] for t in lanes], B).astype(np.int32)
-        lane_end = np.repeat(bases[1:], n1).astype(np.int64)
+        hh = np.tile([t["h"] for t in lanes], NC).astype(np.int32)
+        ww = np.tile([t["w"] for t in lanes], NC).astype(np.int32)
+        sb = np.tile([t["subband"] for t in lanes], NC).astype(np.int32)
+        lane_end = np.repeat(np.repeat(bases[1:], nchan), n1).astype(
+            np.int64)
         per_round = []
         bucket_maxb = 8
         for rnd in range(bitplanes):
@@ -535,12 +536,14 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
             offs = np.full(n, -1, np.int64)
             ebits = np.zeros(n, np.int64)
             for b in range(B):
-                for i, t in enumerate(lanes):
-                    ent = tables[b].get((0, t["stage"], t["subband"],
-                                         t["seg"], lsb))
-                    if ent is not None:
-                        offs[b * n1 + i] = bases[b] + ent[0]
-                        ebits[b * n1 + i] = ent[1]
+                for chan in range(nchan):
+                    c0 = (b * nchan + chan) * n1
+                    for i, t in enumerate(lanes):
+                        ent = tables[b].get((chan, t["stage"],
+                                             t["subband"], t["seg"], lsb))
+                        if ent is not None:
+                            offs[c0 + i] = bases[b] + ent[0]
+                            ebits[c0 + i] = ent[1]
             per_round.append((lsb, offs, ebits))
             have = offs >= 0
             if have.any():
@@ -551,7 +554,7 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
                              bucket_maxb, lane_end=lane_end)
         pending.append((seg, lanes, units))
 
-    # device-side finalization: lane placements into the (B, h, w)
+    # device-side finalization: lane placements into the (NC, h, w)
     # canvas; assembly + inverse DWT + clamp run inside the fused program
     all_units = []
     placements = []
@@ -561,18 +564,42 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
             ui = len(all_units)
             all_units.append(u)
             for k, bucket_lane in enumerate(u["idx"]):
-                b, i = divmod(int(bucket_lane), n1)
+                c, i = divmod(int(bucket_lane), n1)
                 t = lanes[i]
-                placements.append((ui, k, b, t["row"], t["col"],
+                placements.append((ui, k, c, t["row"], t["col"],
                                    t["h"], t["w"]))
-    final = {"B": B, "h": h, "w": w, "stages": config.stages,
+    final = {"B": NC, "h": h, "w": w, "stages": config.stages,
              "filt": config.filt, "mag_bits": mag_bits,
              "ll_means": ll_means, "placements": placements}
     if defer:
         collect = _run_fused(all_units, blob, final=final, defer=True)
         return lambda: [img.astype(dtype) for img in collect()]
     pix = _run_fused(all_units, blob, final=final)
-    return [pix[b].astype(dtype) for b in range(B)]
+    return [pix[c].astype(dtype) for c in range(NC)]
+
+
+def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
+                           defer: bool = False):
+    """Batched TPU decode of same-geometry grayscale streams (serving
+    mode); returns a list of decoded images, each pixel-identical to
+    decompress() of its stream.  ``defer`` returns a zero-arg collector
+    right after the async dispatch (pipelining)."""
+    return _decode_batch(streams, config, dtype, 1, defer)
+
+
+def decompress_yuv_lanes_batch(streams, config: CodecConfig,
+                               dtype=np.uint16, defer: bool = False):
+    """Batched TPU decode of same-geometry color (YUV) streams.
+
+    All B x 3 channel canvases decode and finalize in one fused device
+    program; returns a list of (y, u, v) tuples, each pixel-identical
+    to decompress_yuv() of its stream."""
+    if defer:
+        collect = _decode_batch(streams, config, dtype, 3, True)
+        return lambda: [tuple(c[i:i + 3]) for c in [collect()]
+                        for i in range(0, len(c), 3)]
+    flat = _decode_batch(streams, config, dtype, 3, False)
+    return [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
 
 
 def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,

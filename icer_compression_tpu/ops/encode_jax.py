@@ -441,10 +441,9 @@ class JaxGrayscaleEncoder:
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
                 # the XLA reconstruction tail runs only over the block's
-                # real rows, rounded up to the 128-lane register tile
+                # real rows, rounded up to the 8-row sublane tile
                 # (unaligned row slices force relayout copies)
-                m = min(lanes,
-                        -(-(n - blk * lanes) // PE.LANES) * PE.LANES)
+                m = min(lanes, -(-(n - blk * lanes) // 8) * 8)
                 r1, r2, fstate = run(packed[sl].T)
                 code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
                 p, t, f = post(code.T[:m], nbits.T[:m], opn.T[:m])

@@ -56,6 +56,26 @@ def main():
         ts.append(time.time() - t0)
     print(f"decode[host]: best {min(ts)*1e3:.0f} ms", flush=True)
 
+    # batched color decode (B x 3 channels in one fused program)
+    from icer_compression_tpu.models.decode_jax import (
+        decompress_yuv_lanes_batch)
+    B = 4
+    streams = [stream] * B
+    t0 = time.time()
+    outs = decompress_yuv_lanes_batch(streams, cfg, dtype=np.uint16)
+    ok = all(np.array_equal(np.asarray(a), np.asarray(b))
+             for trip in outs for a, b in zip(trip, host))
+    print(f"decode[batch B={B}]: first call {time.time()-t0:.1f} s, "
+          f"{'PIXEL-OK' if ok else 'MISMATCH'}", flush=True)
+    ts = []
+    for _ in range(4):
+        t0 = time.time()
+        decompress_yuv_lanes_batch(streams, cfg, dtype=np.uint16)
+        ts.append(time.time() - t0)
+    print(f"decode[batch B={B}]: steady best {min(ts)*1e3:.0f} ms "
+          f"({min(ts)/B*1e3:.0f} ms/img, "
+          f"{B*3*h*w/min(ts)/1e6:.2f} MP/s over planes)", flush=True)
+
     # jax color encode (sha parity with host encoder)
     t0 = time.time()
     sj = CM.compress_yuv_jax(y, u, v, cfg)
