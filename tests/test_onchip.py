@@ -100,3 +100,55 @@ def test_batched_decode_matches_single(rng):
     outs = decompress_lanes_batch(streams, cfg, dtype=np.uint16)
     for o, r in zip(outs, refs):
         assert np.array_equal(o, r)
+
+
+def test_quota_aware_jax_encode(rng):
+    """Plane-cut class encoders (delta escalation) on chip, byte-exact."""
+    img = make_test_image(128, 128, rng, dtype=np.uint16)
+    for quota in (1500, 4000, 128 * 128):
+        cfg = CodecConfig(stages=3, filt=0, segments=4, byte_quota=quota)
+        assert G.compress_jax(img, cfg) == G.compress(img, cfg), quota
+
+
+def test_decode_backend_jax_api(rng):
+    """decompress(backend='jax'): on-device finalization end to end."""
+    img = make_test_image(96, 96, rng, dtype=np.uint16)
+    cfg = CodecConfig(stages=2, filt=0, segments=3, byte_quota=96 * 96 * 4)
+    s = G.compress(img, cfg)
+    out = np.asarray(G.decompress(s, cfg, dtype=np.uint16, backend="jax"))
+    assert np.array_equal(out, img)
+
+
+def test_batched_color_decode(rng):
+    from icer_compression_tpu.models.color import compress_yuv, decompress_yuv
+    from icer_compression_tpu.models.decode_jax import (
+        decompress_yuv_lanes_batch)
+    chans = [make_test_image(64, 64, rng, dtype=np.uint16)
+             for _ in range(3)]
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=64 * 64 * 8)
+    streams = [compress_yuv(*[np.roll(c, i * 3, axis=0) for c in chans],
+                            cfg) for i in range(2)]
+    refs = [decompress_yuv(s, cfg, dtype=np.uint16) for s in streams]
+    outs = decompress_yuv_lanes_batch(streams, cfg, dtype=np.uint16)
+    for o3, r3 in zip(outs, refs):
+        for o, r in zip(o3, r3):
+            assert np.array_equal(np.asarray(o), np.asarray(r))
+
+
+def test_pipelined_defer_collect(rng):
+    from icer_compression_tpu.models.decode_jax import decompress_lanes_batch
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+    imgs = np.stack([make_test_image(96, 96, rng, dtype=np.uint16)
+                     for _ in range(2)])
+    cfg = CodecConfig(stages=2, filt=0, segments=3, byte_quota=96 * 96 * 4)
+    enc = JaxGrayscaleEncoder(96, 96, 2, 0, 3, 15, batch=2)
+    h1 = enc.encode_batch(imgs, defer=True)
+    h2 = enc.encode_batch(imgs, defer=True)   # second batch in flight
+    r1, r2 = h1(), h2()
+    streams = [G.compress(imgs[i], cfg) for i in range(2)]
+    d1 = decompress_lanes_batch(streams, cfg, dtype=np.uint16, defer=True)
+    d2 = decompress_lanes_batch(streams, cfg, dtype=np.uint16, defer=True)
+    for outs in (d1(), d2()):
+        for o, im in zip(outs, imgs):
+            assert np.array_equal(o, im)
+    assert r1[0][1] == r2[0][1] and r1[0][0] == r2[0][0]
