@@ -158,8 +158,7 @@ def main():
                     build_packets_grayscale, rearrange_order_grayscale,
                     sort_packets)
 
-                def encode_all():
-                    res = enc.encode_batch(imgs)
+                def finish(res):
                     streams = []
                     for (table, ll) in res:
                         packets = sort_packets(build_packets_grayscale(
@@ -173,6 +172,9 @@ def main():
                         streams.append(G.assemble_stream(
                             e, rearrange_order_grayscale(9)))
                     return streams
+
+                def encode_all():
+                    return finish(enc.encode_batch(imgs))
 
                 streams = encode_all()           # warmup (compile)
                 decs = decompress_lanes_batch(streams, cfg,
@@ -203,9 +205,9 @@ def main():
                         for _ in range(K):
                             nxt = enc.encode_batch(imgs, defer=True)
                             if hold is not None:
-                                out.append(hold())
+                                out.extend(finish(hold()))
                             hold = nxt
-                        out.append(hold())
+                        out.extend(finish(hold()))
                         return out
 
                     def decode_pipe():
@@ -219,12 +221,13 @@ def main():
                         out.extend(hold())
                         return out
 
-                    encode_pipe()          # warm any sibling programs
-                    penc = best(encode_pipe, 2) / K
+                    pstreams = encode_pipe()   # warm + verify
                     decs_p = decode_pipe()
-                    pok = ok and all(
-                        np.array_equal(d, i) for d, i in
-                        zip(decs_p, list(imgs) * K))
+                    pok = (ok
+                           and pstreams == streams * K
+                           and all(np.array_equal(d, i) for d, i in
+                                   zip(decs_p, list(imgs) * K)))
+                    penc = best(encode_pipe, 2) / K
                     pdec = best(decode_pipe, 2) / K
                     tp = {
                         "B": B, "batches_in_flight": K,

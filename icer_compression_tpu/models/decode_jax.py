@@ -56,13 +56,8 @@ def _plan_lanes(w, h, config):
 def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                               config: CodecConfig, mag_bits: int,
                               bitplanes: int, stream: bytes,
-                              backend: str = "model",
-                              collect: list | None = None) -> None:
-    """Decode all subbands of one channel via lane rounds, in place.
-
-    With ``collect`` (pallas backend only) the prepared (seg, lanes,
-    units) bucket entries are appended to it instead of being executed --
-    the caller fuses several channels into one device program."""
+                              backend: str = "model") -> None:
+    """Decode all subbands of one channel via lane rounds, in place."""
     h, w = img.shape
     sdata = np.frombuffer(stream, np.uint8)
     pending = []  # (seg, lanes, prepared) for the fused pallas path
@@ -103,7 +98,8 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
             continue
         if backend == "pallas":
             pending.append((seg, lanes, _prep_bucket(
-                seg, hh, ww, sb, per_round, mag_bits, sdata, bucket_maxb)))
+                seg.shape, hh, ww, sb, per_round, mag_bits, sdata,
+                bucket_maxb)))
             continue
         for (lsb, offs, ebits) in per_round:
             alive &= offs >= 0
@@ -131,9 +127,6 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
 
     if pending:
-        if collect is not None:
-            collect.extend(pending)
-            return
         # ONE device round trip for every bucket of the channel
         _run_fused([u for (_, _, units) in pending for u in units],
                    sdata)
@@ -149,7 +142,7 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 _PALLAS_RUNS: dict = {}
 
 
-def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
+def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                  lane_end=None):
     """Host-side assembly of one bucket's kernel inputs (see
     _pallas_bucket); returns unit dicts for the fused runner.
@@ -160,7 +153,7 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     image's end, exactly where the per-image decode reads zeros."""
     from ..ops import pallas_decode as PD
 
-    Hmax, Wmax, n = seg.shape
+    Hmax, Wmax, n = shape
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
@@ -195,14 +188,14 @@ def _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     for blk in range(0, n, PD.LANES):
         idx = np.arange(blk, min(blk + PD.LANES, n))
         m = len(idx)
-        segp = np.zeros((Hmax, Wpad, m), np.int32)
-        segp[:, :Wmax, :] = seg[:, :, idx]
+        # no coefficient canvas here: every decode starts from zeros and
+        # _run_fused materializes them on device (uploading a (PX, m)
+        # zero canvas per unit was a measured multi-MB/call tax)
         units.append({
             "key": (PX, Wpad, NW, R, m),
             "offs": np.ascontiguousarray(offs_r[:, idx]),
             "geom": np.ascontiguousarray(
                 geom_r[:, :, idx].reshape(R * 8, m)),
-            "seg": segp.reshape(PX, m),
             "Hmax": Hmax, "Wpad": Wpad, "Wmax": Wmax, "m": m, "idx": idx,
         })
     return units
@@ -390,7 +383,7 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
 
-    Hmax, Wmax, n = seg.shape
+    Hmax, Wmax, n = shape
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
@@ -475,7 +468,7 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
 
 
 def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
-                  defer: bool):
+                  defer: bool, max_pixels: int | None = None):
     """Shared batched TPU decode over B streams x nchan channels.
 
     Canvas c = b * nchan + chan; lanes from every (image, channel) share
@@ -512,7 +505,8 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                             "batched streams must share geometry")
         tables.append(t)
     from .grayscale import DEFAULT_MAX_PIXELS, _check_decode_dims
-    _check_decode_dims(w, h, DEFAULT_MAX_PIXELS)
+    _check_decode_dims(w, h, DEFAULT_MAX_PIXELS
+                       if max_pixels is None else max_pixels)
 
     blob = np.frombuffer(b"".join(streams), np.uint8)
     bases = np.cumsum([0] + [len(s) for s in streams])
@@ -523,7 +517,6 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
         n = n1 * NC
         Hmax = max(t["h"] for t in lanes)
         Wmax = max(t["w"] for t in lanes)
-        seg = np.zeros((Hmax, Wmax, n), np.int32)
         hh = np.tile([t["h"] for t in lanes], NC).astype(np.int32)
         ww = np.tile([t["w"] for t in lanes], NC).astype(np.int32)
         sb = np.tile([t["subband"] for t in lanes], NC).astype(np.int32)
@@ -550,15 +543,16 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                 mb = min(int((lane_end - offs)[have].max()),
                          int(ebits.max() // 8 + 4096))
                 bucket_maxb = max(bucket_maxb, mb)
-        units = _prep_bucket(seg, hh, ww, sb, per_round, mag_bits, blob,
-                             bucket_maxb, lane_end=lane_end)
-        pending.append((seg, lanes, units))
+        units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round,
+                             mag_bits, blob, bucket_maxb,
+                             lane_end=lane_end)
+        pending.append((lanes, units))
 
     # device-side finalization: lane placements into the (NC, h, w)
     # canvas; assembly + inverse DWT + clamp run inside the fused program
     all_units = []
     placements = []
-    for (seg, lanes, units) in pending:
+    for (lanes, units) in pending:
         n1 = len(lanes)
         for u in units:
             ui = len(all_units)
@@ -579,26 +573,29 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
 
 
 def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
-                           defer: bool = False):
+                           defer: bool = False,
+                           max_pixels: int | None = None):
     """Batched TPU decode of same-geometry grayscale streams (serving
     mode); returns a list of decoded images, each pixel-identical to
     decompress() of its stream.  ``defer`` returns a zero-arg collector
     right after the async dispatch (pipelining)."""
-    return _decode_batch(streams, config, dtype, 1, defer)
+    return _decode_batch(streams, config, dtype, 1, defer, max_pixels)
 
 
 def decompress_yuv_lanes_batch(streams, config: CodecConfig,
-                               dtype=np.uint16, defer: bool = False):
+                               dtype=np.uint16, defer: bool = False,
+                               max_pixels: int | None = None):
     """Batched TPU decode of same-geometry color (YUV) streams.
 
     All B x 3 channel canvases decode and finalize in one fused device
     program; returns a list of (y, u, v) tuples, each pixel-identical
     to decompress_yuv() of its stream."""
     if defer:
-        collect = _decode_batch(streams, config, dtype, 3, True)
+        collect = _decode_batch(streams, config, dtype, 3, True,
+                                max_pixels)
         return lambda: [tuple(c[i:i + 3]) for c in [collect()]
                         for i in range(0, len(c), 3)]
-    flat = _decode_batch(streams, config, dtype, 3, False)
+    flat = _decode_batch(streams, config, dtype, 3, False, max_pixels)
     return [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
 
 
@@ -617,7 +614,8 @@ def decompress_lanes(data: bytes, config: CodecConfig, dtype=np.uint16,
     if backend == "pallas":
         # the batch path finalizes fully on device (assembly + inverse
         # DWT + clamp inside the fused program); B=1 is a special case
-        return decompress_lanes_batch([data], config, dtype=dtype)[0]
+        return decompress_lanes_batch([data], config, dtype=dtype,
+                                      max_pixels=max_pixels)[0]
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     found = scan_bytestream(data, with_offsets=True, with_payload=False)
@@ -676,29 +674,11 @@ def decompress_yuv_lanes(data: bytes, config: CodecConfig,
 
     _check_decode_dims(w, h, max_pixels)
     if backend == "pallas":
-        # fuse all three channels into ONE device program: channels are
-        # the batch axis of the finalized decode (assembly + inverse DWT
-        # on device), turning 3 round trips into 1
-        sdata = np.frombuffer(data, np.uint8)
-        all_units, placements = [], []
-        for chan in range(3):
-            collected: list = []
-            reconstruct_channel_lanes(
-                np.zeros((h, w), np.int32), table, chan, config, mag_bits,
-                bitplanes, data, backend, collect=collected)
-            for (seg, lanes, units) in collected:
-                for u in units:
-                    ui = len(all_units)
-                    all_units.append(u)
-                    for k, lane_i in enumerate(u["idx"]):
-                        t = lanes[int(lane_i)]
-                        placements.append((ui, k, chan, t["row"],
-                                           t["col"], t["h"], t["w"]))
-        final = {"B": 3, "h": h, "w": w, "stages": config.stages,
-                 "filt": config.filt, "mag_bits": mag_bits,
-                 "ll_means": ll_means, "placements": placements}
-        pix = _run_fused(all_units, sdata, final=final)
-        return tuple(pix[c].astype(dtype) for c in range(3))
+        # one fused device program for all three channels: the channels
+        # ARE the batch axis of the finalized batched decode (shared
+        # 128-lane kernel blocks, on-device assembly + inverse DWT)
+        return decompress_yuv_lanes_batch([data], config, dtype=dtype,
+                                          max_pixels=max_pixels)[0]
 
     ll_w = dim_low(w, config.stages)
     ll_h = dim_low(h, config.stages)

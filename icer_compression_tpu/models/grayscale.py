@@ -374,6 +374,9 @@ _PLANE_MASS = (0.225, 0.238, 0.214, 0.157, 0.080, 0.034, 0.020, 0.016,
                0.016)
 
 
+_QUOTA_CLASSES: dict[tuple, list] = {}
+
+
 def _jax_quota_classes(w: int, h: int, stages: int, bitplanes: int):
     """Priority-prefix classes for quota-aware TPU encoding.
 
@@ -388,6 +391,9 @@ def _jax_quota_classes(w: int, h: int, stages: int, bitplanes: int):
     all lower planes (the reference stops coding at the quota,
     icer_compress.c:404; this is the lane-masked equivalent).
     """
+    cached = _QUOTA_CLASSES.get((w, h, stages, bitplanes))
+    if cached is not None:
+        return cached
     packets = sort_packets(build_packets_grayscale(w, h, stages, 0,
                                                    bitplanes))
     npk = len(packets)
@@ -413,6 +419,7 @@ def _jax_quota_classes(w: int, h: int, stages: int, bitplanes: int):
                 classes.append((min(cum, 1.0), t))
     if classes[-1][1] != (0,) * stages:
         classes.append((1.0, (0,) * stages))
+    _QUOTA_CLASSES[(w, h, stages, bitplanes)] = classes
     return classes
 
 
@@ -467,6 +474,7 @@ def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
     table: dict = {}
     prev = (bitplanes,) * config.stages
     ll_mean = 0
+    packets = nsegs = None
     while True:
         cuts = classes[ci][1]
         windows = tuple((lo, hi) for lo, hi in zip(cuts, prev))
@@ -474,11 +482,11 @@ def compress_jax(image: np.ndarray, config: CodecConfig) -> bytes:
             raw_table, ll_mean = get_encoder(windows).encode(image)
             table.update({(0,) + k: v for k, v in raw_table.items()})
             prev = tuple(min(a, b) for a, b in zip(cuts, prev))
-        packets = sort_packets(build_packets_grayscale(
-            w, h, config.stages, ll_mean, bitplanes))
-        nsegs = {}
-        for pkt in packets:
-            nsegs[(pkt.decomp_level, pkt.subband_type)] = config.segments
+        if packets is None:   # ll_mean is fixed by the image transform
+            packets = sort_packets(build_packets_grayscale(
+                w, h, config.stages, ll_mean, bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
         try:
             encoded = allocate_from_table(packets, table, quota, nsegs,
                                           w, h)
