@@ -21,7 +21,7 @@ every mode checks bit-exactness while timing (encoded stream sha-pinned
 to the reference encoder's output, decode reproduces the pixels).
 
 Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
-(default 8; 0 skips the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts
+(default 12; 0 skips the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts
 without a usable accelerator; native numbers only),
 ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
 mode is skipped, default 900).
@@ -135,7 +135,7 @@ def main():
             if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
                 candidates.append((tpu["MPs"], "tpu single-image"))
 
-            B = int(os.environ.get("ICER_BENCH_BATCH", "8"))
+            B = int(os.environ.get("ICER_BENCH_BATCH", "12"))
             if B > 1 and warm_enc + warm_dec < budget:
                 from icer_compression_tpu.models.decode_jax import (
                     decompress_lanes_batch)
@@ -198,7 +198,7 @@ def main():
                 # pipelined serving mode: K batches in flight, each
                 # batch's fetch/host tail overlapped with the next
                 # batch's upload + device time (async dispatch)
-                K = int(os.environ.get("ICER_BENCH_PIPE", "3"))
+                K = int(os.environ.get("ICER_BENCH_PIPE", "4"))
                 if K > 1:
                     def encode_pipe():
                         out, hold = [], None
