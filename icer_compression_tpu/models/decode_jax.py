@@ -483,8 +483,18 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
     tables = []
     ll_means = [0] * NC
     w = h = 0
-    for b, data in enumerate(streams):
-        found = scan_bytestream(data, with_offsets=True, with_payload=False)
+    # scans are independent per stream (~3 ms each at 512 KB): thread
+    # them so a B=12 batch pays ~1/4 of the serial scan wall
+    if B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            founds = list(pool.map(
+                lambda d: scan_bytestream(d, with_offsets=True,
+                                          with_payload=False), streams))
+    else:
+        founds = [scan_bytestream(streams[0], with_offsets=True,
+                                  with_payload=False)]
+    for b, found in enumerate(founds):
         if not found:
             raise IcerError(IcerStatus.DECODER_OUT_OF_DATA,
                             "no valid segments")

@@ -44,6 +44,31 @@ from .context_model import plane_emissions_words
 _CACHE_SET = False
 _SPEC_POOL = None
 
+# Byte-mass share of bitplane lsb (0 = LSB) for natural imagery, measured
+# on the boat.512 lossless stream; also used by the quota prefix classes
+# (models/grayscale).  Here it sizes per-plane payload caps: MSB planes
+# code ~1/16 the bits of LSB planes, so a uniform ~1 bit/slot cap wastes
+# most of the payload fetch on them.
+PLANE_MASS = (0.225, 0.238, 0.214, 0.157, 0.080, 0.034, 0.020, 0.016,
+              0.016)
+
+
+def _plane_cap_bits(cap_bits: int, bitplanes: int):
+    """Per-lsb payload caps: 3x the plane's boat-measured mean bit share
+    (256-bit aligned, floor 1024); lanes that exceed their plane cap are
+    flagged for the exact host fallback like a coder-buffer flush."""
+    mass = PLANE_MASS[:bitplanes]
+    mmax = max(mass)
+    out = []
+    for lsb in range(bitplanes):
+        f = min(1.0, 3.0 * mass[lsb] / mmax)
+        # the floor must not exceed the bucket's physical cap: a plane
+        # cap beyond it would silently clamp in the device column slice
+        # while the host layout stepped by the larger value
+        out.append(min(cap_bits,
+                       max(1024, ((int(cap_bits * f) + 255) // 256) * 256)))
+    return out
+
 
 def _ensure_cache():
     global _CACHE_SET
@@ -195,13 +220,47 @@ class JaxGrayscaleEncoder:
                                                    p, l.seg, l))
         self.n_lanes = len(self.lane_keys)
         self._fused = jax.jit(self._make_fused_fn())
-        # building the fused fn records each bucket's static per-lane
-        # payload cap (b["capb"]); the flat output layout follows from it
-        self._payload_layout = [
-            (sum(batch * (self.plane_cuts[gi][1] - self.plane_cuts[gi][0])
-                 * len(self.groups[gi]["lanes"]) for gi in b["groups"]),
-             b["capb"])
-            for b in self.buckets]
+        # Building the fused fn records each bucket's payload caps; the
+        # static per-row (offset, cap) layout follows.  The slim backend
+        # emits plane-major bands trimmed to per-plane caps (device
+        # order: group, plane, img, lane); other backends emit uniform
+        # rows in lane_keys order.
+        n = self.n_lanes
+        self._row_off = np.empty(n, np.int64)
+        self._row_cap = np.empty(n, np.int64)
+        r = 0
+        off = 0
+        for b in self.buckets:
+            if self.entropy == "slim":
+                for gi in b["groups"]:
+                    lo, hi = self.plane_cuts[gi]
+                    N = len(self.groups[gi]["lanes"])
+                    P = hi - lo
+                    caps = [b["plane_capb"][p] for p in range(lo, hi)]
+                    band = [0]
+                    for c in caps:
+                        band.append(band[-1] + batch * N * c)
+                    for img_i in range(batch):
+                        for pi in range(P):
+                            cb = caps[pi]
+                            base = off + band[pi] + img_i * N * cb
+                            for li in range(N):
+                                self._row_off[r] = base + li * cb
+                                self._row_cap[r] = cb
+                                r += 1
+                    off += band[-1]
+            else:
+                capb = b["capb"]
+                rows_b = sum(
+                    batch * (self.plane_cuts[gi][1]
+                             - self.plane_cuts[gi][0])
+                    * len(self.groups[gi]["lanes"]) for gi in b["groups"])
+                for k in range(rows_b):
+                    self._row_off[r] = off + k * capb
+                    self._row_cap[r] = capb
+                    r += 1
+                off += rows_b * capb
+        assert r == n
         self._siblings: dict[int, JaxGrayscaleEncoder] = {}
         self._transform = jax.jit(self._transform_fn)
 
@@ -413,6 +472,20 @@ class JaxGrayscaleEncoder:
         # per-lane host fallback like a coder-buffer flush would
         cap_bits = ((Lc + 17 * 10 + 255) // 256) * 256
         b["capb"] = cap_bits // 8
+        # per-plane caps: the flat output carries plane-major bands
+        # trimmed to each plane's cap (MSB planes code ~1/16 of an LSB
+        # plane's bits; trimming cuts the payload fetch ~30%+)
+        plane_bits = _plane_cap_bits(cap_bits, self.bitplanes)
+        b["plane_capb"] = [pb // 8 for pb in plane_bits]
+        # static per-row plane caps (bucket row order: group, img, p, lane)
+        row_caps = []
+        for gi in b["groups"]:
+            lo, hi = self.plane_cuts[gi]
+            N = len(self.groups[gi]["lanes"])
+            for _img in range(self.batch):
+                for p in range(lo, hi):
+                    row_caps.extend([plane_bits[p]] * N)
+        row_caps = np.asarray(row_caps, np.int32)
         # Kernel lane width follows the FULL (uncut) row count so a
         # plane-cut (quota) variant reuses the exact Mosaic kernel shapes
         # of the full encoder (per-step cost is flat in width, so narrower
@@ -452,8 +525,26 @@ class JaxGrayscaleEncoder:
                 fls.append(f)
             payload = jnp.concatenate(pls)[:n]
             total = jnp.concatenate(tts)[:n]
-            flush = jnp.concatenate(fls)[:n] | over
-            return payload, total, flush
+            # a lane over its PLANE cap re-encodes on host (exact), like
+            # a coder-buffer flush
+            flush = (jnp.concatenate(fls)[:n] | over
+                     | (total > jnp.asarray(row_caps)))
+
+            # flatten with plane-major bands trimmed to each plane's cap
+            pieces = []
+            row0 = 0
+            for gi in b["groups"]:
+                lo, hi = self.plane_cuts[gi]
+                N = len(self.groups[gi]["lanes"])
+                P = hi - lo
+                rows_g = self.batch * P * N
+                blk4 = payload[row0:row0 + rows_g].reshape(
+                    self.batch, P, N, -1)
+                for pi in range(P):
+                    cw = b["plane_capb"][lo + pi] // 4
+                    pieces.append(blk4[:, pi, :, :cw].reshape(-1))
+                row0 += rows_g
+            return jnp.concatenate(pieces), total, flush
 
         return fn
 
@@ -596,16 +687,8 @@ class JaxGrayscaleEncoder:
             if int(ll_means[i]) > (1 << self.mag_bits) - 1:
                 raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
 
-        # per-lane payload rows at their static (bucket-major) offsets
-        row_off = np.empty(n, dtype=np.int64)
-        row_cap = np.empty(n, dtype=np.int64)
-        r0 = 0
-        off = meta_bytes
-        for rows, capb in self._payload_layout:
-            row_off[r0:r0 + rows] = off + capb * np.arange(rows)
-            row_cap[r0:r0 + rows] = capb
-            off += rows * capb
-            r0 += rows
+        # per-lane payload rows at their static offsets (see __init__)
+        row_off = meta_bytes + self._row_off
 
         tables: list[dict[tuple, tuple[bytes, int]]] = [
             {} for _ in range(B)]
