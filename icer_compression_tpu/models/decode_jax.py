@@ -479,21 +479,14 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     B = len(streams)
+    if B == 0:
+        raise IcerError(IcerStatus.INVALID_INPUT, "no streams")
     NC = B * nchan
     tables = []
     ll_means = [0] * NC
     w = h = 0
-    # scans are independent per stream (~3 ms each at 512 KB): thread
-    # them so a B=12 batch pays ~1/4 of the serial scan wall
-    if B > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            founds = list(pool.map(
-                lambda d: scan_bytestream(d, with_offsets=True,
-                                          with_payload=False), streams))
-    else:
-        founds = [scan_bytestream(streams[0], with_offsets=True,
-                                  with_payload=False)]
+    founds = [scan_bytestream(d, with_offsets=True, with_payload=False)
+              for d in streams]
     for b, found in enumerate(founds):
         if not found:
             raise IcerError(IcerStatus.DECODER_OUT_OF_DATA,

@@ -365,13 +365,9 @@ def allocate_from_table(packets, payload_table: dict, quota,
 _JAX_ENCODERS: dict[tuple, object] = {}
 
 
-# Byte-mass share of bitplane lsb (0 = LSB) for natural imagery,
-# measured on the boat.512 lossless stream (uint16 path; byte mass
-# roughly doubles per plane toward the LSB then saturates).  Only the
-# SHAPE matters -- it steers which priority prefix a quota is likely to
-# admit; a bad guess costs one cheap delta-escalation encode.
-_PLANE_MASS = (0.225, 0.238, 0.214, 0.157, 0.080, 0.034, 0.020, 0.016,
-               0.016)
+# Byte-mass share of bitplane lsb: single source of truth lives next to
+# its other consumer (the per-plane payload caps) in ops/encode_jax.
+from ..ops.encode_jax import PLANE_MASS as _PLANE_MASS  # noqa: E402
 
 
 _QUOTA_CLASSES: dict[tuple, list] = {}

@@ -227,7 +227,6 @@ class JaxGrayscaleEncoder:
         # rows in lane_keys order.
         n = self.n_lanes
         self._row_off = np.empty(n, np.int64)
-        self._row_cap = np.empty(n, np.int64)
         r = 0
         off = 0
         for b in self.buckets:
@@ -246,7 +245,6 @@ class JaxGrayscaleEncoder:
                             base = off + band[pi] + img_i * N * cb
                             for li in range(N):
                                 self._row_off[r] = base + li * cb
-                                self._row_cap[r] = cb
                                 r += 1
                     off += band[-1]
             else:
@@ -257,7 +255,6 @@ class JaxGrayscaleEncoder:
                     * len(self.groups[gi]["lanes"]) for gi in b["groups"])
                 for k in range(rows_b):
                     self._row_off[r] = off + k * capb
-                    self._row_cap[r] = capb
                     r += 1
                 off += rows_b * capb
         assert r == n
