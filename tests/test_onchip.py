@@ -152,3 +152,15 @@ def test_pipelined_defer_collect(rng):
         for o, im in zip(outs, imgs):
             assert np.array_equal(o, im)
     assert r1[0][1] == r2[0][1] and r1[0][0] == r2[0][0]
+
+
+def test_batched_decode_uint8(rng):
+    from icer_compression_tpu.models.decode_jax import decompress_lanes_batch
+    imgs = [make_test_image(64, 64, rng, dtype=np.uint8, amplitude=100,
+                            noise=25) for _ in range(3)]
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=64 * 64 * 2)
+    streams = [G.compress(i, cfg) for i in imgs]
+    refs = [G.decompress(s, cfg, dtype=np.uint8) for s in streams]
+    outs = decompress_lanes_batch(streams, cfg, dtype=np.uint8)
+    for o, r in zip(outs, refs):
+        assert np.array_equal(o, r)
