@@ -100,13 +100,61 @@ def compress_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return assemble_stream(encoded, order)
 
 
+_YUV_QUOTA_CLASSES: dict[tuple, list] = {}
+
+
+def _yuv_quota_classes(w: int, h: int, stages: int, bitplanes: int):
+    """Priority-prefix classes for quota-aware color TPU encoding.
+
+    Like grayscale's (models/grayscale._jax_quota_classes) but over the
+    color packet order (Y-priority doubling included).  All three
+    channels share one batched encoder, so a class's per-stage cut is
+    the lowest lsb ANY channel's prefix packet needs -- a superset for
+    U/V (Y's boosted priorities reach deeper), which only costs some
+    extra encoded-but-unallocated planes.
+    """
+    cached = _YUV_QUOTA_CLASSES.get((w, h, stages, bitplanes))
+    if cached is not None:
+        return cached
+    from ..ops.encode_jax import PLANE_MASS
+    packets = sort_packets(build_packets_color(
+        w, h, stages, [0, 0, 0], bitplanes))
+    npk = len(packets)
+    mass = PLANE_MASS[:bitplanes]
+    mass = [m / sum(mass) for m in mass]
+    per_lsb_packets = max(1, npk // bitplanes)
+    classes, seen = [], set()
+    cum = 0.0
+    bounds = [1 / 16, 1 / 8, 1 / 4, 1 / 2, 1.0]
+    bi = 0
+    cuts = [bitplanes] * stages
+    for i, p in enumerate(packets):
+        cum += mass[p.lsb] / per_lsb_packets
+        cuts[p.decomp_level - 1] = min(cuts[p.decomp_level - 1], p.lsb)
+        last = i + 1 == npk
+        if bi < len(bounds) and (cum >= bounds[bi] or last):
+            while bi < len(bounds) and cum >= bounds[bi]:
+                bi += 1
+            t = tuple(cuts)
+            if t not in seen:
+                seen.add(t)
+                classes.append((min(cum, 1.0), t))
+    if classes[-1][1] != (0,) * stages:
+        classes.append((1.0, (0,) * stages))
+    _YUV_QUOTA_CLASSES[(w, h, stages, bitplanes)] = classes
+    return classes
+
+
 def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      config: CodecConfig) -> bytes:
     """Color compression on the TPU (XLA) pipeline.
 
-    Three runs of the (cached, geometry-keyed) fused channel encoder --
-    identical geometry, so one compile serves all channels -- followed by
-    the shared host rate allocation.  Bit-identical to compress_yuv.
+    One batched run of the (cached, geometry-keyed) fused channel
+    encoder per quota class -- identical geometry, so one compile
+    serves all channels -- followed by the shared host rate allocation.
+    At constraining quotas only the priority-prefix planes are encoded
+    (delta escalation, like grayscale compress_jax).  Bit-identical to
+    compress_yuv.
     """
     from .grayscale import _JAX_ENCODERS, allocate_from_table
     from ..ops.encode_jax import JaxGrayscaleEncoder
@@ -116,29 +164,62 @@ def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     mag_bits = _mag_bits(y.dtype)
     bitplanes = _bitplanes(mag_bits)
     h, w = y.shape
-    key = (w, h, config.stages, config.filt, config.segments, mag_bits)
-    enc = _JAX_ENCODERS.get(key)
-    if enc is None:
-        enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
-                                  config.segments, mag_bits)
-        _JAX_ENCODERS[key] = enc
 
-    # One device call for all three channels: the batched fused encoder
-    # folds the channels into shared entropy kernel lane blocks.
-    results = enc.encode_batch(np.stack([y, u, v]))
-    table = {}
-    ll_means = []
-    for chan in range(3):
-        raw, ll_mean = results[chan]
-        ll_means.append(ll_mean)
-        table.update({(chan,) + k: val for k, val in raw.items()})
+    quota = config.byte_quota
+    classes = _yuv_quota_classes(w, h, config.stages, bitplanes)
+    if quota is None:
+        ci = len(classes) - 1
+    else:
+        want = min(1.0, 1.7 * quota / max(1, 3 * 0.65 * h * w))
+        ci = next((i for i, (frac, _) in enumerate(classes)
+                   if frac >= want), len(classes) - 1)
 
-    packets = sort_packets(build_packets_color(
-        w, h, config.stages, ll_means, bitplanes))
-    nsegs = {(p.decomp_level, p.subband_type): config.segments
-             for p in packets}
-    encoded = allocate_from_table(packets, table, config.byte_quota, nsegs,
-                                  w, h)
+    def get_encoder(windows):
+        if all(lo == 0 and hi == bitplanes for lo, hi in windows):
+            key = (w, h, config.stages, config.filt, config.segments,
+                   mag_bits)
+        else:
+            key = (w, h, config.stages, config.filt, config.segments,
+                   mag_bits, windows)
+        enc = _JAX_ENCODERS.get(key)
+        if enc is None:
+            enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
+                                      config.segments, mag_bits,
+                                      plane_cuts=windows)
+            _JAX_ENCODERS[key] = enc
+        return enc
+
+    # Delta escalation (see grayscale.compress_jax): each step encodes
+    # only the planes the previous classes did not; one batched device
+    # call covers all three channels per step.
+    table: dict = {}
+    prev = (bitplanes,) * config.stages
+    ll_means = [0, 0, 0]
+    packets = nsegs = None
+    stacked = np.stack([y, u, v])
+    while True:
+        cuts = classes[ci][1]
+        windows = tuple((lo, hi) for lo, hi in zip(cuts, prev))
+        if any(lo < hi for lo, hi in windows):
+            results = get_encoder(windows).encode_batch(stacked)
+            for chan in range(3):
+                raw, ll_mean = results[chan]
+                ll_means[chan] = ll_mean
+                table.update({(chan,) + k: val for k, val in raw.items()})
+            prev = tuple(min(a, b) for a, b in zip(cuts, prev))
+        if packets is None:   # ll_means fixed by the channel transforms
+            packets = sort_packets(build_packets_color(
+                w, h, config.stages, ll_means, bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
+        try:
+            encoded = allocate_from_table(packets, table, quota, nsegs,
+                                          w, h)
+            break
+        except KeyError:
+            if ci + 1 >= len(classes):
+                raise
+            ci += 1
     order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
              else rearrange_order_color_uint16(bitplanes))
     return assemble_stream(encoded, order)

@@ -106,3 +106,18 @@ def test_compress_jax_quota_uses_cut_encoder(rng):
         added = set(G._JAX_ENCODERS) - before
         assert any(len(k) == 7 for k in added), \
             "expected a plane-cut encoder variant to be instantiated"
+
+
+def test_compress_yuv_jax_quota_classes(rng):
+    """Color quota classes (shared-cut delta escalation): byte-exact."""
+    from icer_compression_tpu.models.color import (compress_yuv,
+                                                   compress_yuv_jax)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        chans = [make_test_image(48, 48, rng, dtype=np.uint16)
+                 for _ in range(3)]
+        for quota in (600, 2500, 3 * 48 * 48):
+            cfg = CodecConfig(stages=2, filt=0, segments=2,
+                              byte_quota=quota)
+            assert (compress_yuv_jax(*chans, cfg)
+                    == compress_yuv(*chans, cfg)), quota
