@@ -28,7 +28,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
-from ..ops import entropy_jax, entropy_jax2, wavelet
+from ..ops import entropy_jax2, wavelet
 from ..ops.context_model import plane_emissions_lanes
 
 
@@ -79,12 +79,9 @@ class ShardedGrayscaleEncoder:
     """Batched grayscale encode sharded over a ('data', 'seg') mesh."""
 
     def __init__(self, mesh, image_w: int, image_h: int, stages: int,
-                 filt: int, segments: int, mag_bits: int = 15,
-                 entropy: str = "sorted"):
-        # entropy "sorted" (default) = the production sort-centric coder
-        # (ops/entropy_jax2, the fast TPU formulation); "pa" = the
-        # position-aligned v1 prototype (ops/entropy_jax, retained as a
-        # differential cross-check).  Both are bit-exact.
+                 filt: int, segments: int, mag_bits: int = 15):
+        # entropy: the production sort-centric coder (ops/entropy_jax2,
+        # the fast XLA formulation; bit-exact, oracle-tested)
         from ..ops.encode_jax import _ensure_cache
         _ensure_cache()
         import jax
@@ -140,12 +137,8 @@ class ShardedGrayscaleEncoder:
             valid = jnp.stack(vs)                            # (P, Nl, L)
             ctx = jnp.stack(cs)
             bit = jnp.stack(bs)
-            if entropy == "sorted":
-                enc1 = lambda v, c, b: entropy_jax2.encode_emissions_sorted(
-                    v, c, b, jnp)
-            else:
-                enc1 = lambda v, c, b: entropy_jax.encode_emissions_pa(
-                    v, c, b, jnp)
+            enc1 = lambda v, c, b: entropy_jax2.encode_emissions_sorted(
+                v, c, b, jnp)
             enc = jax.vmap(jax.vmap(enc1))
             return enc(valid, ctx, bit)   # payload (P,Nl,cap), total, flush
 
@@ -239,10 +232,9 @@ class ShardedColorEncoder:
     """
 
     def __init__(self, mesh, image_w: int, image_h: int, stages: int,
-                 filt: int, segments: int, mag_bits: int = 15,
-                 entropy: str = "sorted"):
+                 filt: int, segments: int, mag_bits: int = 15):
         self._g = ShardedGrayscaleEncoder(mesh, image_w, image_h, stages,
-                                          filt, segments, mag_bits, entropy)
+                                          filt, segments, mag_bits)
         self.mag_bits = mag_bits
         self.bitplanes = self._g.bitplanes
 
