@@ -24,6 +24,8 @@ device program).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.header import scan_bytestream
@@ -140,6 +142,9 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 
 
 _PALLAS_RUNS: dict = {}
+# lane-block width for the fused decode paths (multiple of 128); wider
+# blocks amortize the kernel's serial chain across more segments
+_BLK = int(os.environ.get("ICER_DECODE_LANES", "128"))
 
 
 def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, maxb,
@@ -185,8 +190,8 @@ def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         geom_r[r, 7] = readable * 8
 
     units = []
-    for blk in range(0, n, PD.LANES):
-        idx = np.arange(blk, min(blk + PD.LANES, n))
+    for blk in range(0, n, _BLK):
+        idx = np.arange(blk, min(blk + _BLK, n))
         m = len(idx)
         # no coefficient canvas here: every decode starts from zeros and
         # _run_fused materializes them on device (uploading a (PX, m)
@@ -240,19 +245,19 @@ def _run_fused(units, sdata, final=None, defer=False):
     raw = sdata.tobytes() + b"\0" * ((-nb) % 4)
     sw[: len(raw) // 4] = np.frombuffer(raw, np.int32)
 
-    fkey = ("fused", padb) + tuple(u["key"] for u in units)
+    fkey = ("fused", padb, _BLK) + tuple(u["key"] for u in units)
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
                  final["stages"], final["filt"], final["mag_bits"])
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
-            kkey = u["key"][:4]
+            kkey = u["key"][:4] + (_BLK,)
             if kkey not in _PALLAS_RUNS:
-                PX, Wpad, NW, R = kkey
+                PX, Wpad, NW, R = u["key"][:4]
                 _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
-                    PX, Wpad, NW, nrounds=R)
-        runs = [(_PALLAS_RUNS[u["key"][:4]],) + u["key"][2:]
+                    PX, Wpad, NW, nrounds=R, lanes=_BLK)
+        runs = [(_PALLAS_RUNS[u["key"][:4] + (_BLK,)],) + u["key"][2:]
                 for u in units]
         shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
@@ -280,7 +285,7 @@ def _run_fused(units, sdata, final=None, defer=False):
                     nval >= 4, jnp.uint32(0xFFFFFFFF),
                     (jnp.uint32(1) << (8 * nval)) - jnp.uint32(1))
                 wds = (w & mask).astype(jnp.int32).reshape(R * NW, m)
-                pad = ((0, 0), (0, PD.LANES - m))
+                pad = ((0, 0), (0, _BLK - m))
                 out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
                                      jnp.pad(sg, pad))
                 outs.append(out[:, :m])
@@ -542,10 +547,17 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                             ebits[c0 + i] = ent[1]
             per_round.append((lsb, offs, ebits))
             have = offs >= 0
-            if have.any():
-                mb = min(int((lane_end - offs)[have].max()),
-                         int(ebits.max() // 8 + 4096))
-                bucket_maxb = max(bucket_maxb, mb)
+            if not have.any():
+                # every lane retires at its first missing plane, so a
+                # round absent for ALL lanes ends the bucket's decode
+                # (quota-truncated streams drop the low planes first)
+                per_round.pop()
+                break
+            mb = min(int((lane_end - offs)[have].max()),
+                     int(ebits.max() // 8 + 4096))
+            bucket_maxb = max(bucket_maxb, mb)
+        if not per_round:
+            continue
         units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round,
                              mag_bits, blob, bucket_maxb,
                              lane_end=lane_end)

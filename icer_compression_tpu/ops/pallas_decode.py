@@ -82,8 +82,14 @@ def _plookup(packed, idx, jnp):
 
 
 def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
-                             nrounds: int | None = None):
-    """Kernel factory: decode bitplanes of LANES segments.
+                             nrounds: int | None = None,
+                             lanes: int = LANES):
+    """Kernel factory: decode bitplanes of ``lanes`` segments.
+
+    ``lanes`` (multiple of 128) widens the lock-step lane block: the
+    per-step cost is dominated by the serial dependency chain's ALU
+    latency, so wider blocks amortize it (same flat-in-width behavior
+    as the encode kernel) at the cost of proportional VMEM.
 
     PX = padded pixel rows of the seg array (multiple of Wpad), Wpad the
     padded width (multiple of 8), NW the stream word rows per round.
@@ -101,6 +107,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    LANES = lanes            # shadows the module default for the closure
+    assert LANES % 128 == 0
     assert Wpad % 8 == 0 and PX % Wpad == 0
     assert NW % 8 == 0 and NW >= 16  # ring needs two tiles
     Hmax = PX // Wpad
