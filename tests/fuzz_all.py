@@ -72,8 +72,11 @@ def main():
     sections = [
         ("gray", [sys.executable, "tests/fuzz_oracle.py"], {}),
         ("color", [sys.executable, "tests/fuzz_color_oracle.py"], {}),
+        # JAX_PLATFORMS=cpu keeps the CPU section independent of the
+        # accelerator backend entirely (axon init hangs when the TPU
+        # tunnel is down, even for CPU-device work)
         ("jax", [sys.executable, "tests/fuzz_jax.py"],
-         {"ICER_FUZZ_PLATFORM": "cpu"}),
+         {"ICER_FUZZ_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"}),
     ]
     if onchip:
         sections.append(

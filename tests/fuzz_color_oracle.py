@@ -20,9 +20,10 @@ from icer_compression_tpu.models.grayscale import CodecConfig
 from icer_compression_tpu.models.color import compress_yuv, decompress_yuv
 from icer_compression_tpu.models.decode_jax import decompress_yuv_lanes
 o = oracle.get_oracle()
-rng = np.random.default_rng()
-t0 = time.time(); trials = bad = 0
 dur = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+_seed = int(sys.argv[2]) if len(sys.argv) > 2 else None
+rng = np.random.default_rng(_seed)
+t0 = time.time(); trials = bad = 0
 while time.time() - t0 < dur:
     h = int(rng.integers(8, 96)); w = int(rng.integers(8, 96))
     st = int(rng.integers(1, 5))

@@ -9,6 +9,14 @@ see tests/test_extremes.py) and asserts byte-identical streams and
 pixel-identical decodes.
 
 Last full runs: 27,036 + 62,529 trials, 0 mismatches (2026-08-17).
+
+One nonreproducible DEC MISMATCH was observed on 2026-08-18 (seeded rerun
+of the identical trial sequence passed, as did 400 fresh trials of the
+same config): consistent with the reference decoder's zero-copy
+over-read UB touching heap residue past the oracle buffer's zero pad
+(now 4 KB, tests/oracle.py) or a transient on this shared box.  DEC
+mismatches now dump the image/stream to /tmp and re-run both decoders
+to classify determinism on the spot.
 """
 
 import sys
@@ -63,6 +71,7 @@ def main(duration=300, seed=None):
             bad += 1
             print("ENC MISMATCH", (h, w, stages, segs, filt, float(qf),
                                    int(kind)))
+            np.save(f"/tmp/fuzz_fail_enc_{trials}.npy", img)
             continue
         _, cd = o.decompress_u16(cs, stages, filt, segs, h * w * 8)
         md = np.asarray(G.decompress(cs, cfg))
@@ -70,10 +79,22 @@ def main(duration=300, seed=None):
             bad += 1
             print("DEC MISMATCH", (h, w, stages, segs, filt, float(qf),
                                    int(kind)))
+            np.save(f"/tmp/fuzz_fail_dec_{trials}.npy", img)
+            with open(f"/tmp/fuzz_fail_dec_{trials}.bin", "wb") as fh:
+                fh.write(cs)
+            # re-run both decoders once more: a repeat mismatch is a real
+            # codec divergence, a clean repeat points at nondeterminism
+            # (e.g. the reference's zero-copy over-read past the buffer)
+            _, cd2 = o.decompress_u16(cs, stages, filt, segs, h * w * 8)
+            md2 = np.asarray(G.decompress(cs, cfg))
+            print("  repeat: oracle stable", np.array_equal(cd, cd2),
+                  "| ours stable", np.array_equal(md, md2),
+                  "| match on repeat", np.array_equal(md2, cd2))
     print(f"fuzz: {trials} trials, {bad} failures")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
     dur = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    sys.exit(main(dur))
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    sys.exit(main(dur, seed))

@@ -122,8 +122,8 @@ class Oracle:
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
         # Pad: the reference scan loop reads up to a header past the end.
-        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
-            stream + b"\x00" * 64)
+        buf = (ct.c_uint8 * (len(stream) + 4096)).from_buffer_copy(
+            stream + b"\x00" * 4096)
         res = self.lib.icer_decompress_image_uint16(
             img.ctypes.data_as(ct.POINTER(ct.c_uint16)), ct.byref(w),
             ct.byref(h), bufpix, buf, len(stream), stages, filt, segments)
@@ -135,8 +135,8 @@ class Oracle:
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
         # Pad: the reference scan loop reads up to a header past the end.
-        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
-            stream + b"\x00" * 64)
+        buf = (ct.c_uint8 * (len(stream) + 4096)).from_buffer_copy(
+            stream + b"\x00" * 4096)
         res = self.lib.icer_decompress_image_uint8(
             img.ctypes.data_as(ct.POINTER(ct.c_uint8)), ct.byref(w),
             ct.byref(h), bufpix, buf, len(stream), stages, filt, segments)
@@ -148,8 +148,8 @@ class Oracle:
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
         # Pad: the reference scan loop reads up to a header past the end.
-        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
-            stream + b"\x00" * 64)
+        buf = (ct.c_uint8 * (len(stream) + 4096)).from_buffer_copy(
+            stream + b"\x00" * 4096)
         res = self.lib.icer_decompress_image_yuv_uint16(
             *[c.ctypes.data_as(ct.POINTER(ct.c_uint16)) for c in chans],
             ct.byref(w), ct.byref(h), bufpix, buf, len(stream),
@@ -164,8 +164,8 @@ class Oracle:
         w = ct.c_size_t(0)
         h = ct.c_size_t(0)
         # Pad: the reference scan loop reads up to a header past the end.
-        buf = (ct.c_uint8 * (len(stream) + 64)).from_buffer_copy(
-            stream + b"\x00" * 64)
+        buf = (ct.c_uint8 * (len(stream) + 4096)).from_buffer_copy(
+            stream + b"\x00" * 4096)
         res = self.lib.icer_decompress_image_yuv_uint8(
             *[c.ctypes.data_as(ct.POINTER(ct.c_uint8)) for c in chans],
             ct.byref(w), ct.byref(h), bufpix, buf, len(stream),
