@@ -66,9 +66,16 @@ def main(duration=300, seed=None):
     rng = np.random.default_rng(seed)
     dec_backend = os.environ.get("ICER_FUZZ_DECODE_BACKEND", "model")
     # JAX_PLATFORMS is ignored in this environment (the accelerator plugin
-    # pins itself as default); force host execution the way the test suite
-    # does, with jax.default_device.
+    # pins itself as default -- a sitecustomize overwrites the env var at
+    # interpreter start); restrict via jax.config BEFORE backend init so a
+    # CPU-only run cannot hang on accelerator bring-up (the tunnel can be
+    # down), then pin the device the way the test suite does.
     plat = os.environ.get("ICER_FUZZ_PLATFORM", "cpu")
+    if plat == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     ctx = (jax.default_device(jax.devices("cpu")[0])
            if plat == "cpu" else contextlib.nullcontext())
     with ctx:
