@@ -10,6 +10,19 @@ sys.path.insert(0, os.path.dirname(__file__))
 # before JAX initializes.  Single-chip TPU tests read JAX_PLATFORMS as-is.
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+# The default suite never touches the accelerator (on-chip tests are
+# env-gated), and accelerator-backend init hangs when the TPU tunnel is
+# down; restrict to the CPU backend unless an on-chip gate is set.
+# (jax.config, not the env var: a sitecustomize overwrites JAX_PLATFORMS.)
+if not any(os.environ.get(k) == "1" for k in
+           ("ICER_RUN_ONCHIP", "ICER_RUN_PALLAS_TESTS",
+            "ICER_RUN_SHARDED_TESTS")):
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import oracle as oracle_mod  # noqa: E402
 
 
