@@ -1,0 +1,94 @@
+"""CLI end-to-end coverage (host backends; flags mirror icer_util.c).
+
+The CLI's byte-parity against the reference binary is verified manually
+per round (the binary lives outside the repo); these tests pin the CLI's
+own contract: compress/decompress round trips, quota behavior, the
+grayscale/color mode flags, and the --prefix progressive preview.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from conftest import make_test_image  # noqa: E402
+
+from icer_compression_tpu.cli import main  # noqa: E402
+
+
+@pytest.fixture()
+def gray_png(tmp_path, rng):
+    img = make_test_image(96, 80, rng, dtype=np.uint8, amplitude=180,
+                          noise=30)
+    p = tmp_path / "in.png"
+    Image.fromarray(img, mode="L").save(p)
+    return p, img
+
+
+def test_cli_gray_roundtrip(tmp_path, gray_png):
+    src, img = gray_png
+    comp = tmp_path / "out.icer"
+    back = tmp_path / "back.png"
+    # -t 0 means quota = raw byte count (reference semantics), which can
+    # truncate noisy images; pass a generous quota for a true lossless
+    # round trip
+    assert main(["compress", str(src), str(comp),
+                 "-s", "3", "-f", "A", "-g", "4", "-G",
+                 "-t", "40000"]) == 0
+    assert comp.stat().st_size > 0
+    assert main(["decompress", str(comp), str(back),
+                 "-s", "3", "-f", "A", "-g", "4", "-G"]) == 0
+    out = np.asarray(Image.open(back).convert("L"))
+    assert np.array_equal(out, img)
+
+
+def test_cli_quota_and_prefix(tmp_path, gray_png):
+    src, img = gray_png
+    comp = tmp_path / "out.icer"
+    assert main(["compress", str(src), str(comp),
+                 "-s", "3", "-f", "A", "-g", "4", "-G", "-t", "2000"]) == 0
+    size = comp.stat().st_size
+    assert size <= 2000
+    back = tmp_path / "back.png"
+    assert main(["decompress", str(comp), str(back),
+                 "-s", "3", "-f", "A", "-g", "4", "-G"]) == 0
+    # --prefix decodes a coarser image from a stream prefix
+    pref = tmp_path / "pref.png"
+    assert main(["decompress", str(comp), str(pref),
+                 "-s", "3", "-f", "A", "-g", "4", "-G",
+                 "--prefix", str(size // 2)]) == 0
+    full = np.asarray(Image.open(back).convert("L")).astype(float)
+    part = np.asarray(Image.open(pref).convert("L")).astype(float)
+    ref = np.asarray(img, dtype=float)
+    # the prefix reconstruction must be a strictly worse (or equal)
+    # approximation than the full quota decode
+    assert ((part - ref) ** 2).mean() >= ((full - ref) ** 2).mean()
+
+
+def test_cli_color_roundtrip(tmp_path, rng):
+    rgbs = np.stack([make_test_image(64, 72, rng, dtype=np.uint8,
+                                     amplitude=200, noise=20)
+                     for _ in range(3)], axis=-1)
+    src = tmp_path / "in.png"
+    Image.fromarray(rgbs, mode="RGB").save(src)
+    comp = tmp_path / "out.icer"
+    back = tmp_path / "back.png"
+    assert main(["compress", str(src), str(comp),
+                 "-s", "2", "-f", "A", "-g", "3", "-c",
+                 "-t", "80000"]) == 0
+    assert main(["decompress", str(comp), str(back),
+                 "-s", "2", "-f", "A", "-g", "3", "-c"]) == 0
+    out = np.asarray(Image.open(back).convert("RGB")).astype(int)
+    # RGB<->YCbCr integer macros are lossy (color_util.h); bound the error
+    assert np.abs(out - rgbs.astype(int)).max() <= 4
+
+
+def test_cli_decompress_requires_mode(tmp_path, gray_png, capsys):
+    src, _ = gray_png
+    comp = tmp_path / "out.icer"
+    assert main(["compress", str(src), str(comp), "-G"]) == 0
+    assert main(["decompress", str(comp), str(tmp_path / "x.png")]) == 1
