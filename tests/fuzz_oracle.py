@@ -8,7 +8,8 @@ beyond that the reference encodes from uninitialized partition geometry,
 see tests/test_extremes.py) and asserts byte-identical streams and
 pixel-identical decodes.
 
-Last full runs: 27,036 + 62,529 trials, 0 mismatches (2026-08-17).
+Last full runs: 27,036 + 62,529 trials (2026-08-17) and 63,016 +
+18,445 seeded trials (2026-08-18), 0 reproducible mismatches.
 
 One nonreproducible DEC MISMATCH was observed on 2026-08-18 (seeded rerun
 of the identical trial sequence passed, as did 400 fresh trials of the
