@@ -583,6 +583,135 @@ def pack_records(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
     return payload, total
 
 
+def _shl_words(words, s, xp):
+    """Bit-shift a multi-word chunk left by s in [0, 31] bits.
+
+    ``words`` is a list of uint32 arrays (word 0 = least significant);
+    returns len(words) + 1 arrays (the top spill word).  The shift-right
+    by (32 - s) is split as >>(31-s)>>1 so s == 0 stays defined.
+    """
+    s = s.astype(xp.uint32)
+    out = []
+    prev = None
+    for w in words:
+        hi = xp.zeros_like(w) if prev is None else (prev >> (31 - s)) >> 1
+        out.append((w << s) | hi)
+        prev = w
+    out.append((prev >> (31 - s)) >> 1)
+    return out
+
+
+def _merge_chunks(aw, an, bw, bn, xp):
+    """Concatenate bit-chunk pairs: chunk a (list of W uint32 word arrays,
+    an bits) followed by chunk b.  Returns (2W word arrays, an + bn).
+
+    b is bit-shifted by an & 31, then word-shifted by an >> 5 via
+    binary-decomposed conditional rolls -- everything stays elementwise
+    (no gathers, no sorts); content never exceeds 32 * 2W bits so words
+    rolled off the top are provably zero.
+    """
+    W = len(aw)
+    bs = _shl_words(bw, an & 31, xp)
+    zero = xp.zeros_like(aw[0])
+    bs = bs + [zero] * (2 * W - len(bs))
+    d = an >> 5                                   # word offset, 0..W
+    m = 0
+    while (1 << m) <= W:
+        k = 1 << m
+        take = ((d >> m) & 1) != 0
+        bs = [xp.where(take, bs[i - k] if i >= k else zero, bs[i])
+              for i in range(2 * W)]
+        m += 1
+    return ([aw[i] | bs[i] for i in range(W)] + bs[W:]), an + bn
+
+
+def pack_records_tree(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
+                      with_overflow=False, return_words=False):
+    """Pack codewords (allocation order) LSB-first via a static merge tree.
+
+    Same contract as pack_records, ~3x cheaper on TPU: three levels of
+    pairwise codeword concatenation (pure elementwise -- dynamic shifts
+    with binary-decomposed word rolls) fold every 8 records into one
+    <=128-bit chunk, so the merged-sort word placement runs at 1/8 the
+    record count (the full-length sorts were the measured pack cost).
+    Bit-exact vs pack_records for every input (codewords are <= 16 bits:
+    golomb codes cap at GOLOMB_L+1, custom codes at 10)."""
+    L = code_o.shape[-1]
+    if max_bits is None:
+        max_bits = ((10 * L + 7) // 8) * 8
+    nb = (nbits_o * rec_valid).astype(xp.int32)
+    total = nb.sum()
+    W = (max_bits + 31) // 32
+
+    code = (code_o.astype(xp.uint32)
+            & ((xp.uint32(1) << nb.astype(xp.uint32)) - 1))
+    code = xp.where(rec_valid, code, xp.uint32(0))
+
+    Rp = -(-L // 8) * 8
+    if Rp != L:
+        code = xp.concatenate([code, xp.zeros(Rp - L, xp.uint32)])
+        nb = xp.concatenate([nb, xp.zeros(Rp - L, xp.int32)])
+
+    # level 1: record pairs -> one word (<= 32 bits; lhs <= 16 bits)
+    w1 = code[0::2] | (code[1::2] << nb[0::2].astype(xp.uint32))
+    n1 = nb[0::2] + nb[1::2]
+    # level 2: word pairs -> 2 words (<= 64 bits)
+    cw, n2 = _merge_chunks([w1[0::2]], n1[0::2], [w1[1::2]], n1[1::2], xp)
+    # level 3: -> 4 words (<= 128 bits)
+    cw, n4 = _merge_chunks([w[0::2] for w in cw], n2[0::2],
+                           [w[1::2] for w in cw], n2[1::2], xp)
+
+    # place chunks at their stream offsets (one cumsum over Rp/8 chunks)
+    off = xp.cumsum(n4) - n4
+    cw = _shl_words(cw, off & 31, xp)             # 5 word arrays
+    wc = off >> 5                                 # target word, nondecr.
+    NW = len(cw)
+
+    if _is_jax(xp):
+        # merged-sort prefix sums: one co-sort of [chunks | queries] keyed
+        # by word id, cumsum each word stream, then compact the W + 1
+        # query rows to the front (see pack_records for the derivation)
+        BIGK = xp.int32(2 ** 30)
+        qkey = 2 * xp.arange(W + 1, dtype=xp.int32)
+        key = xp.concatenate([2 * wc.astype(xp.int32) + 1, qkey])
+        zpad = xp.zeros(W + 1, xp.uint32)
+        ops = [xp.concatenate([c, zpad]) for c in cw]
+        k2, ops2 = _sort_by(key, ops, xp)
+        isq2 = (k2 & 1) == 0
+        cums = [xp.cumsum(o, dtype=xp.uint32) for o in ops2]
+        _, qs = _sort_by(xp.where(isq2, k2, BIGK), cums, xp)
+        ds = [q[1:W + 1] - q[:W] for q in qs]
+    else:
+        # bounds[q] = #chunks with wc < q, so S(q) = sum over wc < q and
+        # ds[w] = S(w + 1) - S(w) = sum over wc == w
+        bounds = xp.searchsorted(wc, xp.arange(W + 1, dtype=wc.dtype),
+                                 side="left")
+        ds = []
+        for c in cw:
+            cs = xp.concatenate([xp.zeros(1, xp.uint32),
+                                 xp.cumsum(c, dtype=xp.uint32)])
+            s = cs[bounds]
+            ds.append(s[1:] - s[:-1])
+
+    words = ds[0]
+    for r in range(1, NW):
+        words = words + xp.concatenate([xp.zeros(min(r, W), xp.uint32),
+                                        ds[r][:max(W - r, 0)]])
+    if return_words:
+        assert max_bits % 32 == 0
+        if with_overflow:
+            return words, total, total > max_bits
+        return words, total
+    b0 = (words & 0xFF).astype(xp.uint8)
+    b1 = ((words >> 8) & 0xFF).astype(xp.uint8)
+    b2 = ((words >> 16) & 0xFF).astype(xp.uint8)
+    b3 = ((words >> 24) & 0xFF).astype(xp.uint8)
+    payload = xp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)[:max_bits // 8]
+    if with_overflow:
+        return payload, total, total > max_bits
+    return payload, total
+
+
 def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None,
                             return_words=False):
     """Full sort-centric encode: (payload, total_bits, flush_flag).
@@ -593,10 +722,10 @@ def encode_emissions_sorted(valid, ctx, bit, xp=np, max_bits=None,
     open_o, code_o, nbits_o, done_o, rec_valid = build_records(
         spos, sbin, scoded, xp)
     flush = detect_flush_records(open_o, done_o, rec_valid, xp)
-    payload, total, over = pack_records(code_o, nbits_o, rec_valid, xp,
-                                        max_bits=max_bits,
-                                        with_overflow=True,
-                                        return_words=return_words)
+    payload, total, over = pack_records_tree(code_o, nbits_o, rec_valid, xp,
+                                             max_bits=max_bits,
+                                             with_overflow=True,
+                                             return_words=return_words)
     return payload, total, flush | over
 
 

@@ -676,10 +676,10 @@ def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None,
     c2 = p2 & 0xFFFF
     n2 = (p2 >> 16) & 31
     flush = E2.detect_flush_records(skey, d2, rv, xp)
-    payload, total, over = E2.pack_records(c2, n2, rv, xp,
-                                           max_bits=max_bits,
-                                           with_overflow=True,
-                                           return_words=return_words)
+    payload, total, over = E2.pack_records_tree(c2, n2, rv, xp,
+                                                max_bits=max_bits,
+                                                with_overflow=True,
+                                                return_words=return_words)
     return payload, total, flush | over
 
 

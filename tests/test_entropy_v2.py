@@ -60,6 +60,55 @@ def test_v2_uncoded_only(rng):
     _check(np.ones(L), ctx, bit)
 
 
+def _random_records(rng, L):
+    nbits = rng.integers(0, 17, L).astype(np.int32)
+    code = rng.integers(0, 1 << 16, L).astype(np.int32)
+    code = code & ((1 << np.maximum(nbits, 1)) - 1)
+    rec_valid = (rng.random(L) < 0.8) & (nbits > 0)
+    return code, nbits, rec_valid
+
+
+def test_pack_tree_matches_pack_records(rng):
+    for _ in range(40):
+        L = int(rng.integers(1, 2000))
+        code, nbits, rec_valid = _random_records(rng, L)
+        max_bits = ((int((nbits * rec_valid).sum())
+                     + int(rng.integers(0, 512)) + 255) // 256) * 256
+        max_bits = max(max_bits, 256)
+        a = E2.pack_records(code, nbits, rec_valid, np, max_bits=max_bits,
+                            with_overflow=True, return_words=True)
+        b = E2.pack_records_tree(code, nbits, rec_valid, np,
+                                 max_bits=max_bits, with_overflow=True,
+                                 return_words=True)
+        assert int(a[1]) == int(b[1]) and bool(a[2]) == bool(b[2])
+        if not a[2]:
+            assert np.array_equal(a[0], b[0])
+        # byte path
+        ab = E2.pack_records(code, nbits, rec_valid, np, max_bits=max_bits)
+        bb = E2.pack_records_tree(code, nbits, rec_valid, np,
+                                  max_bits=max_bits)
+        if int(ab[1]) <= max_bits:
+            assert np.array_equal(ab[0], bb[0])
+
+
+def test_pack_tree_jax_cpu(rng):
+    import pytest
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+    with jax.default_device(jax.devices("cpu")[0]):
+        for L in (1, 7, 64, 1023, 4096):
+            code, nbits, rec_valid = _random_records(rng, L)
+            max_bits = ((int((nbits * rec_valid).sum()) + 511)
+                        // 256) * 256
+            a = E2.pack_records(code, nbits, rec_valid, np,
+                                max_bits=max_bits, return_words=True)
+            b = E2.pack_records_tree(jnp.asarray(code), jnp.asarray(nbits),
+                                     jnp.asarray(rec_valid), jnp,
+                                     max_bits=max_bits, return_words=True)
+            assert int(a[1]) == int(b[1])
+            assert np.array_equal(a[0], np.asarray(b[0]))
+
+
 def test_compaction_equivalence(rng):
     """Dropping invalid emission slots (stable) never changes the coder
     output -- the contract behind the fused encoder's compaction."""
