@@ -456,16 +456,22 @@ class JaxGrayscaleEncoder:
 
         Lb = b["L"]
         chunk = 256
-        Lc = min(-(-Lb // chunk) * chunk,
-                 (-(-(3 * Lb) // 4) + 255) // 256 * 256)
+        # The slim kernel runs over the UNCOMPACTED interleaved stream:
+        # its per-step cost is flat in lane width and invalid slots are
+        # no-ops, so paying 4/3 the (cheap, batch-amortized) kernel steps
+        # beats the full-length compaction sort the other backends use
+        # (a stack/reshape interleave measures ~1 elementwise pass on
+        # TPU; the sort was ~7-9 ms at the big-bucket shape).
+        Lk = -(-Lb // chunk) * chunk
+        Lc = min(Lk, (-(-(3 * Lb) // 4) + 255) // 256 * 256)
         # Lane-block width: wider rows are ~free per step (ALU-latency-
         # bound serial chain, measured flat 128..1024 lanes), so batch
         # mode widens the blocks to absorb all images' lanes.
         width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) \
             or min(2048, 512 * self.batch)
-        # payload cap ~1 bit per emission slot (+ flush slack): covers
-        # every real stream comfortably (boat.512's densest lane runs
-        # 0.91 b/slot); adversarial expansion beyond it lands in the
+        # payload cap ~1 bit per compacted emission slot (+ flush slack):
+        # covers every real stream comfortably (boat.512's densest lane
+        # runs 0.91 b/slot); adversarial expansion beyond it lands in the
         # per-lane host fallback like a coder-buffer flush would
         cap_bits = ((Lc + 17 * 10 + 255) // 256) * 256
         b["capb"] = cap_bits // 8
@@ -491,22 +497,29 @@ class JaxGrayscaleEncoder:
                      * len(self.groups[gi]["lanes"]) for gi in b["groups"])
 
         def fn(parts):
-            # the gathered words ARE the kernel's packed emission format
-            packed, over = self._gather_compact_words(parts, Lb)
-            if Lc > packed.shape[-1]:
-                packed = jnp.pad(packed,
-                                 ((0, 0), (0, Lc - packed.shape[-1])))
+            # interleave the two per-pixel slot words (the kernel's packed
+            # emission format); invalid slots ride through as no-ops
+            half = Lb // 2
+            w0s, w1s = [], []
+            for (w0, w1) in parts:
+                pad = half - w0.shape[-1]
+                w0s.append(jnp.pad(w0, ((0, 0), (0, pad))))
+                w1s.append(jnp.pad(w1, ((0, 0), (0, pad))))
+            w0 = jnp.concatenate(w0s, axis=0)
+            w1 = jnp.concatenate(w1s, axis=0)
+            packed = jnp.stack([w0, w1], axis=-1).reshape(w0.shape[0], Lb)
+            if Lk > Lb:
+                packed = jnp.pad(packed, ((0, 0), (0, Lk - Lb)))
             n = packed.shape[0]
             lanes = min(width, -(-full_n // PE.LANES) * PE.LANES)
-            run = PE.make_encode_lanes_slim(Lc, chunk=chunk, lanes=lanes)
+            run = PE.make_encode_lanes_slim(Lk, chunk=chunk, lanes=lanes)
             nblk = -(-n // lanes)
             rpad = nblk * lanes - n
             packed = jnp.pad(packed, ((0, rpad), (0, 0)))
 
-            rowidx = jnp.arange(Lc + 17)
-            done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
-            post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                c, nn, o, done, jnp, max_bits=cap_bits, return_words=True))
+            post = jax.vmap(lambda c, nn, a: PE.order_and_pack_lane_slim(
+                c, nn, a, jnp, max_bits=cap_bits, slice_to=Lc,
+                return_words=True))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
@@ -514,17 +527,19 @@ class JaxGrayscaleEncoder:
                 # real rows, rounded up to the 8-row sublane tile
                 # (unaligned row slices force relayout copies)
                 m = min(lanes, -(-(n - blk * lanes) // 8) * 8)
-                r1, r2, fstate = run(packed[sl].T)
-                code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
-                p, t, f = post(code.T[:m], nbits.T[:m], opn.T[:m])
+                r1, r2, fstate, misc = run(packed[sl].T)
+                code, nbits, alloc = PE.slim_records(r1, r2, fstate, jnp)
+                p, t, f = post(code.T[:m], nbits.T[:m], alloc.T[:m])
                 pls.append(p)
                 tts.append(t)
-                fls.append(f)
+                # in-kernel mid-plane buffer-flush flag ORs into the
+                # host-fallback condition
+                fls.append(f | (misc[0, :m] != 0))
             payload = jnp.concatenate(pls)[:n]
             total = jnp.concatenate(tts)[:n]
             # a lane over its PLANE cap re-encodes on host (exact), like
             # a coder-buffer flush
-            flush = (jnp.concatenate(fls)[:n] | over
+            flush = (jnp.concatenate(fls)[:n]
                      | (total > jnp.asarray(row_caps)))
 
             # flatten with plane-major bands trimmed to each plane's cap

@@ -435,9 +435,19 @@ _CMPL = {
 }
 
 
-def _slim_step(state, w, emi, jax, jnp, lanes):
-    """One emission step of the slim coder.  state = (zt, bs)."""
-    zt, bs = state
+def _slim_step(state, w, jax, jnp, lanes):
+    """One emission step of the slim coder.  state = (zt, bs, alloc, flg).
+
+    ``alloc`` is the per-lane codeword allocation counter; bin state
+    carries each open codeword's allocation index (+1), so completion
+    records emit their output position directly and the mid-plane
+    buffer-flush condition (icer_encoding.c:200-206 / sequential.py
+    ``used >= buffer_length``: allocating while the oldest un-popped
+    codeword is CIRC_BUF_SIZE allocations behind) folds into ``flg``
+    in-kernel -- the oldest un-popped codeword is always the oldest OPEN
+    one, a 17-way min over the bin states.
+    """
+    zt, bs, alloc, flg = state
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
 
     def sel17(st, cc):
@@ -483,7 +493,17 @@ def _slim_step(state, w, emi, jax, jnp, lanes):
     k = (bsb >> 17) & 1023
     nb = bsb >> 27
     newly = op1 == 0
-    op1 = jnp.where(newly, emi + 1, op1)
+    opening = v & newly
+    # buffer-flush check at allocation time: oldest open codeword
+    # CIRC_BUF_SIZE allocations behind the new one
+    amin = jnp.full((lanes,), BIG, jnp.int32)
+    for q in range(17):
+        opq = bs[q, :] & 0x1FFFF
+        amin = jnp.minimum(amin, jnp.where(opq > 0, opq - 1, BIG))
+    flg = flg | (opening
+                 & (amin + C.CIRC_BUF_SIZE <= alloc)).astype(jnp.int32)
+    op1 = jnp.where(newly, alloc + 1, op1)
+    alloc = alloc + opening.astype(jnp.int32)
     k = jnp.where(newly, 0, k)
     nb = jnp.where(newly, 0, nb)
 
@@ -516,17 +536,21 @@ def _slim_step(state, w, emi, jax, jnp, lanes):
         1 | (bn << 1) | (k << 6) | (cb << 16) | (nb << 17),
         0)
     out2 = jnp.where(complete, op1 - 1, BIG)
-    return (zt, bs), out1, out2
+    return (zt, bs, alloc, flg), out1, out2
 
 
 def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
                            lanes: int = LANES):
-    """Slim-kernel factory: fn(packed) -> (rec1, rec2, fstate).
+    """Slim-kernel factory: fn(packed) -> (rec1, rec2, fstate, misc).
 
     packed: (L, lanes) int32 emission words (valid | ctx<<1 | bit<<6).
-    rec1/rec2: (L, lanes) completion records (see packing table above);
-    fstate: (17, lanes) final packed bin state for the end-of-plane flush.
-    Feed all three to slim_records() for the (code, nbits, open) streams.
+    rec1/rec2: (L, lanes) completion records (see packing table above;
+    rec2 is the record's allocation index, BIG when none completes);
+    fstate: (17, lanes) final packed bin state for the end-of-plane
+    flush; misc: (8, lanes) with row 0 = mid-plane buffer-flush flag
+    (lane needs the exact host fallback) and row 1 = total codewords
+    allocated.  Feed rec1/rec2/fstate to slim_records() for the
+    (code, nbits, alloc) record streams.
     """
     import jax
     import jax.numpy as jnp
@@ -536,47 +560,54 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
     assert L % chunk == 0 and lanes % 128 == 0 and L < (1 << 17)
     ngrid = L // chunk
 
-    def kernel(in_ref, r1_ref, r2_ref, fs_ref, zt_s, bs_s):
+    def kernel(in_ref, r1_ref, r2_ref, fs_ref, mo_ref, zt_s, bs_s, ms_s):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
             zt_s[:] = jnp.full((17, lanes), 4 | (2 << 16), jnp.int32)
             bs_s[:] = jnp.zeros((17, lanes), jnp.int32)
+            ms_s[:] = jnp.zeros((8, lanes), jnp.int32)
 
         def body(i, state):
             w = in_ref[i, :]
-            emi = g * chunk + i
-            state, o1, o2 = _slim_step(state, w, emi, jax, jnp, lanes)
+            state, o1, o2 = _slim_step(state, w, jax, jnp, lanes)
             r1_ref[i, :] = o1
             r2_ref[i, :] = o2
             return state
 
-        state = (zt_s[:], bs_s[:])
-        zt, bs = jax.lax.fori_loop(0, chunk, body, state)
+        state = (zt_s[:], bs_s[:], ms_s[1, :], ms_s[0, :])
+        zt, bs, alloc, flg = jax.lax.fori_loop(0, chunk, body, state)
         zt_s[:] = zt
         bs_s[:] = bs
+        ms_s[0, :] = flg
+        ms_s[1, :] = alloc
 
         @pl.when(g == ngrid - 1)
         def _():
             fs_ref[:] = bs
+            mo_ref[:] = ms_s[:]
 
     def run_impl(packed):
-        r1, r2, fs = pl.pallas_call(
+        r1, r2, fs, mo = pl.pallas_call(
             kernel,
             grid=(ngrid,),
             out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * 2
-            + [jax.ShapeDtypeStruct((17, lanes), jnp.int32)],
+            + [jax.ShapeDtypeStruct((17, lanes), jnp.int32),
+               jax.ShapeDtypeStruct((8, lanes), jnp.int32)],
             in_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                     memory_space=pltpu.VMEM)] * 2
             + [pl.BlockSpec((17, lanes), lambda g: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((8, lanes), lambda g: (0, 0),
                             memory_space=pltpu.VMEM)],
-            scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 2,
+            scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 2
+            + [pltpu.VMEM((8, lanes), jnp.int32)],
             interpret=interpret,
         )(packed)
-        return r1, r2, fs
+        return r1, r2, fs, mo
 
     if interpret:
         def run(packed):
@@ -594,13 +625,14 @@ def pack_emissions(valid, ctx, bit, xp):
 
 
 def slim_records(r1, r2, fstate, jnp):
-    """Elementwise post-pass: slim records -> (code, nbits, open) streams.
+    """Elementwise post-pass: slim records -> (code, nbits, alloc) streams.
 
     Reconstructs each completed codeword's output bits from (bin, k, cb,
     nb) -- the work hoisted out of the sequential kernel -- and appends
-    the 17 end-of-plane flush rows from the packed final bin state.
-    Output shapes: (L + 17, lanes), downstream-compatible with
-    order_and_pack_lane.
+    the 17 end-of-plane flush rows from the packed final bin state.  The
+    third stream is each record's allocation index (its output position);
+    BIG marks rows with no completion.  Output shapes: (L + 17, lanes),
+    for order_and_pack_lane_slim.
     """
     complete = (r1 & 1) != 0
     bn = (r1 >> 1) & 31
@@ -651,6 +683,40 @@ def slim_records(r1, r2, fstate, jnp):
     return (jnp.concatenate([code, tail_code]),
             jnp.concatenate([nbits, tail_nbits]),
             jnp.concatenate([opn, tail_open]))
+
+
+def order_and_pack_lane_slim(code, nbits, alloc, xp, max_bits=None,
+                             slice_to=None, return_words=False):
+    """One slim-record lane -> (payload, total bits, overflow flag).
+
+    Records carry their allocation index (tracked in-kernel), so ordering
+    is ONE sort with a single packed operand; the mid-plane buffer-flush
+    condition is detected in-kernel and is NOT part of the returned flag
+    (callers OR in the kernel's misc row).  ``slice_to`` bounds the
+    record count fed to the packer: the sort compacts valid records to a
+    prefix, so lanes with more records (records <= valid emissions, so
+    this is never more restrictive than the former compaction margin)
+    just raise the overflow flag and re-encode on host.
+    """
+    from . import entropy_jax2 as E2
+
+    rec_valid = nbits > 0
+    rkey = xp.where(rec_valid, alloc, BIG)
+    packed = (code & 0xFFFF) | (nbits << 16)
+    skey, (p2,) = E2._sort_by(rkey, (packed,), xp)
+    rv = skey != BIG
+    over = xp.zeros((), dtype=bool)
+    if slice_to is not None and slice_to < rv.shape[-1]:
+        over = rv[slice_to]
+        rv = rv[:slice_to]
+        p2 = p2[:slice_to]
+    c2 = p2 & 0xFFFF
+    n2 = (p2 >> 16) & 31
+    payload, total, over2 = E2.pack_records_tree(c2, n2, rv, xp,
+                                                 max_bits=max_bits,
+                                                 with_overflow=True,
+                                                 return_words=return_words)
+    return payload, total, over | over2
 
 
 def order_and_pack_lane(code, nbits, opn, done, xp, max_bits=None,

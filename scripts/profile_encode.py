@@ -94,19 +94,17 @@ def main():
                 rpad = nblk * lanes - n
                 packed = jnp.pad(packed, ((0, rpad), (0, 0)))
                 cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
-                rowidx = jnp.arange(Lc + 17)
-                done = jnp.where(rowidx < Lc, rowidx, PE.BIG)
-                post = jax.vmap(lambda c, nn, o: PE.order_and_pack_lane(
-                    c, nn, o, done, jnp, max_bits=cap_bits,
+                post = jax.vmap(lambda c, nn, a: PE.order_and_pack_lane_slim(
+                    c, nn, a, jnp, max_bits=cap_bits,
                     return_words=True))
                 for blk in range(nblk):
                     sl = slice(blk * lanes, (blk + 1) * lanes)
-                    r1, r2, fstate = run(packed[sl].T)
+                    r1, r2, fstate, misc = run(packed[sl].T)
                     if depth == 4:
                         acc += r1.sum() + r2.sum() + fstate.sum()
                         continue
-                    code, nbits, opn = PE.slim_records(r1, r2, fstate, jnp)
-                    p, t, f = post(code.T, nbits.T, opn.T)
+                    code, nbits, alloc = PE.slim_records(r1, r2, fstate, jnp)
+                    p, t, f = post(code.T, nbits.T, alloc.T)
                     acc += p.astype(jnp.int32).sum() + t.sum()
             return padded(acc)
 

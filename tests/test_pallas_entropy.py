@@ -57,8 +57,9 @@ def test_pallas_coder_matches_sequential(rng, tiled):
 
 
 def test_slim_coder_matches_sequential(rng):
-    """Slim kernel (packed IO, deferred codeword construction) +
-    slim_records + order_and_pack vs the sequential reference coder."""
+    """Slim kernel (packed IO, deferred codeword construction, in-kernel
+    alloc indices + buffer-flush flag) + slim_records +
+    order_and_pack_lane_slim vs the sequential reference coder."""
     L = 256
     LANES = 128
     ctx = rng.integers(0, 18, (L, LANES)).astype(np.int32)
@@ -73,20 +74,58 @@ def test_slim_coder_matches_sequential(rng):
 
     run = PE.make_encode_lanes_slim(L, chunk=64, interpret=True, lanes=LANES)
     with jax.default_device(jax.devices("cpu")[0]):
-        r1, r2, fs = run(jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
-        code, nbits, opn = map(np.asarray,
-                               PE.slim_records(r1, r2, fs, jnp))
-    done = np.where(np.arange(L + 17) < L, np.arange(L + 17), PE.BIG)
+        r1, r2, fs, mo = run(
+            jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
+        code, nbits, alloc = map(np.asarray,
+                                 PE.slim_records(r1, r2, fs, jnp))
+        kflush = np.asarray(mo[0]) != 0
+        nalloc = np.asarray(mo[1])
     for lane in list(range(0, LANES, 17)) + [126, 127]:
-        pl, t, f = PE.order_and_pack_lane(
-            code[:, lane], nbits[:, lane], opn[:, lane], done, np,
+        pl, t, f = PE.order_and_pack_lane_slim(
+            code[:, lane], nbits[:, lane], alloc[:, lane], np,
             max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
         pl_s, nb_s, fl = S.encode_emissions(
             valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
-        assert bool(f) == (fl > 0)
+        assert bool(kflush[lane]) == (fl > 0)
         if fl:
             continue
+        assert not bool(f)
         assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s)
+        # the allocation counter counts every real record (incl. tails)
+        assert int(nalloc[lane]) == int((nbits[:, lane] > 0).sum())
+
+
+def test_slim_kernel_buffer_flush(rng):
+    """The in-kernel CIRC_BUF condition fires exactly when the sequential
+    coder's does: one bin held open while >= CIRC_BUF_SIZE codewords
+    allocate behind it."""
+    # 64 ctx-0 zeros adapt the counters into golomb bins and leave (at
+    # least) one run open as the bin index drifts upward; ctx-17
+    # (uncoded) emissions then allocate one codeword each behind it
+    L = 2432
+    LANES = 128
+    warm = 64
+    n_unc = np.arange(LANES) * 17 + 90
+    valid = np.ones((L, LANES), np.int32)
+    ctx = np.full((L, LANES), 17, np.int32)
+    bit = rng.integers(0, 2, (L, LANES)).astype(np.int32)
+    ctx[:warm] = 0
+    bit[:warm] = 0
+    mask = np.arange(L - warm)[:, None] >= n_unc[None, :]
+    valid[warm:] = np.where(mask, 0, 1)
+
+    run = PE.make_encode_lanes_slim(L, chunk=128, interpret=True,
+                                    lanes=LANES)
+    with jax.default_device(jax.devices("cpu")[0]):
+        _, _, _, mo = run(
+            jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
+        kflush = np.asarray(mo[0]) != 0
+    for lane in range(0, LANES, 13):
+        _, _, fl = S.encode_emissions(
+            valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
+        assert bool(kflush[lane]) == (fl > 0), lane
+    # sanity: the construction actually crosses the boundary somewhere
+    assert kflush.any() and not kflush.all()
 
 
 @slow_pallas
