@@ -517,8 +517,8 @@ class JaxGrayscaleEncoder:
             rpad = nblk * lanes - n
             packed = jnp.pad(packed, ((0, rpad), (0, 0)))
 
-            post = jax.vmap(lambda c, nn, a: PE.order_and_pack_lane_slim(
-                c, nn, a, jnp, max_bits=cap_bits, slice_to=Lc,
+            post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
+                o, k, jnp, max_bits=cap_bits, slice_to=Lc,
                 return_words=True))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
@@ -528,8 +528,8 @@ class JaxGrayscaleEncoder:
                 # (unaligned row slices force relayout copies)
                 m = min(lanes, -(-(n - blk * lanes) // 8) * 8)
                 r1, r2, fstate, misc = run(packed[sl].T)
-                code, nbits, alloc = PE.slim_records(r1, r2, fstate, jnp)
-                p, t, f = post(code.T[:m], nbits.T[:m], alloc.T[:m])
+                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp)
+                p, t, f = post(ops.T[:m], keys.T[:m])
                 pls.append(p)
                 tts.append(t)
                 # in-kernel mid-plane buffer-flush flag ORs into the

@@ -50,12 +50,19 @@ def _is_jax(xp) -> bool:
     return xp.__name__.startswith("jax")
 
 
-def _sort_by(key, ops, xp):
-    """Stable ascending sort by ``key``; returns (sorted_key, sorted_ops)."""
+def _sort_by(key, ops, xp, stable=True):
+    """Ascending sort by ``key``; returns (sorted_key, sorted_ops).
+
+    Pass stable=False when ties are impossible or tie order is
+    immaterial (e.g. values only enter commutative sums, or tied rows
+    are masked out downstream): the stable lowering on TPU adds an iota
+    tiebreaker operand to the sort, and compare-exchange cost scales
+    with operand count.
+    """
     if _is_jax(xp):
         import jax
         out = jax.lax.sort((key,) + tuple(ops), dimension=-1, num_keys=1,
-                           is_stable=True)
+                           is_stable=stable)
         return out[0], list(out[1:])
     order = np.argsort(key, kind="stable")
     return key[order], [o[order] for o in ops]
@@ -671,15 +678,17 @@ def pack_records_tree(code_o, nbits_o, rec_valid, xp=np, max_bits=None,
         # merged-sort prefix sums: one co-sort of [chunks | queries] keyed
         # by word id, cumsum each word stream, then compact the W + 1
         # query rows to the front (see pack_records for the derivation)
+        # unstable sorts: word sums are commutative, so tie order among
+        # equal-word chunks never changes a query's prefix total
         BIGK = xp.int32(2 ** 30)
         qkey = 2 * xp.arange(W + 1, dtype=xp.int32)
         key = xp.concatenate([2 * wc.astype(xp.int32) + 1, qkey])
         zpad = xp.zeros(W + 1, xp.uint32)
         ops = [xp.concatenate([c, zpad]) for c in cw]
-        k2, ops2 = _sort_by(key, ops, xp)
+        k2, ops2 = _sort_by(key, ops, xp, stable=False)
         isq2 = (k2 & 1) == 0
         cums = [xp.cumsum(o, dtype=xp.uint32) for o in ops2]
-        _, qs = _sort_by(xp.where(isq2, k2, BIGK), cums, xp)
+        _, qs = _sort_by(xp.where(isq2, k2, BIGK), cums, xp, stable=False)
         ds = [q[1:W + 1] - q[:W] for q in qs]
     else:
         # bounds[q] = #chunks with wc < q, so S(q) = sum over wc < q and

@@ -531,9 +531,13 @@ def _slim_step(state, w, jax, jnp, lanes):
     bs = wr17(bs, bn,
               jnp.where(complete, 0, op1 | (newk << 17) | (nb2 << 27)), v)
 
+    # nb is only meaningful for custom bins (<= 4); golomb bins keep
+    # incrementing it through long runs, so mask to the 3-bit field --
+    # unmasked it would overflow into the tail-marker bit the ordering
+    # sort operand reserves (bit 22, slim_sort_operands)
     out1 = jnp.where(
         complete,
-        1 | (bn << 1) | (k << 6) | (cb << 16) | (nb << 17),
+        1 | (bn << 1) | (k << 6) | (cb << 16) | ((nb & 7) << 17),
         0)
     out2 = jnp.where(complete, op1 - 1, BIG)
     return (zt, bs, alloc, flg), out1, out2
@@ -549,8 +553,8 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
     fstate: (17, lanes) final packed bin state for the end-of-plane
     flush; misc: (8, lanes) with row 0 = mid-plane buffer-flush flag
     (lane needs the exact host fallback) and row 1 = total codewords
-    allocated.  Feed rec1/rec2/fstate to slim_records() for the
-    (code, nbits, alloc) record streams.
+    allocated.  Feed rec1/rec2/fstate to slim_sort_operands() for the
+    ordering sort's (ops, keys) streams.
     """
     import jax
     import jax.numpy as jnp
@@ -624,94 +628,100 @@ def pack_emissions(valid, ctx, bit, xp):
             | (bit.astype(xp.int32) << 6))
 
 
-def slim_records(r1, r2, fstate, jnp):
-    """Elementwise post-pass: slim records -> (code, nbits, alloc) streams.
+def slim_sort_operands(r1, r2, fstate, jnp):
+    """Slim kernel outputs -> (ops, keys) for the ordering sort.
 
-    Reconstructs each completed codeword's output bits from (bin, k, cb,
-    nb) -- the work hoisted out of the sequential kernel -- and appends
-    the 17 end-of-plane flush rows from the packed final bin state.  The
-    third stream is each record's allocation index (its output position);
-    BIG marks rows with no completion.  Output shapes: (L + 17, lanes),
-    for order_and_pack_lane_slim.
+    Main rows carry the RAW packed r1 record (codeword reconstruction is
+    deferred until after the sort + record-prefix slice, so it runs over
+    ~25% fewer rows); the 17 end-of-plane flush rows are pre-reconstructed
+    from the final bin state (their codes come from the flush tables) and
+    marked with bit 22: 1 | code<<1 | nbits<<17 | 1<<22.  Keys are
+    allocation indices, BIG for rows without a completion.
     """
-    complete = (r1 & 1) != 0
-    bn = (r1 >> 1) & 31
-    k = (r1 >> 6) & 1023
-    cb = (r1 >> 16) & 1
-    nb = (r1 >> 17) & 7
-
-    isg = bn >= 8
-    isc = (bn >= 1) & (bn <= 7)
-
-    m_e = jnp.ones(bn.shape, jnp.int32)
-    l_e = jnp.ones(bn.shape, jnp.int32)
-    i_e = jnp.zeros(bn.shape, jnp.int32)
-    for gb in range(8, 17):
-        m, l, ii = _GOL[gb]
-        m_e = jnp.where(bn == gb, m, m_e)
-        l_e = jnp.where(bn == gb, l, l_e)
-        i_e = jnp.where(bn == gb, ii, i_e)
-    kz = k + (cb == 0)
-    g_run_done = (cb == 0) & (kz >= m_e)
-    adj = jnp.where(k < i_e, k, k + i_e)
-    gl = l_e + (k >= i_e)
-    g_code = jnp.where(g_run_done, 1, _bitrev16(adj, gl, jnp))
-    g_bits = jnp.where(g_run_done, 1, gl)
-
-    val = (k | (cb << nb)) & 31
-    ccode = jnp.zeros(bn.shape, jnp.int32)
-    cbits = jnp.zeros(bn.shape, jnp.int32)
-    for bb in range(1, 8):
-        s = bn == bb
-        ccode = jnp.where(s, _plookup(_COUT[bb], val, jnp), ccode)
-        cbits = jnp.where(s, _plookup(_COBITS[bb], val, jnp), cbits)
-
-    code = jnp.where(isg, g_code, jnp.where(isc, ccode, cb))
-    nbits = jnp.where(isg, g_bits, jnp.where(isc, cbits, 1))
-    code = jnp.where(complete, code, 0)
-    nbits = jnp.where(complete, nbits, 0)
-    opn = jnp.where(complete, r2, BIG)
-
     fop1 = fstate & 0x1FFFF
     fk = (fstate >> 17) & 1023
     fnb = fstate >> 27
     tcode, tbits = _tail_flush(fk, fnb, jnp, fstate.shape[-1])
     is_open = fop1 > 0
-    tail_code = jnp.where(is_open, tcode, 0)
-    tail_nbits = jnp.where(is_open, tbits, 0)
-    tail_open = jnp.where(is_open, fop1 - 1, BIG)
-    return (jnp.concatenate([code, tail_code]),
-            jnp.concatenate([nbits, tail_nbits]),
-            jnp.concatenate([opn, tail_open]))
+    tail_op = jnp.where(is_open,
+                        1 | (tcode << 1) | (tbits << 17) | (1 << 22), 0)
+    tail_key = jnp.where(is_open, fop1 - 1, BIG)
+    return (jnp.concatenate([r1, tail_op]),
+            jnp.concatenate([r2, tail_key]))
 
 
-def order_and_pack_lane_slim(code, nbits, alloc, xp, max_bits=None,
+def slim_decode_op(p2, xp):
+    """Post-sort reconstruction: packed record operand -> (code, nbits).
+
+    Regular records rebuild their golomb/custom output bits from
+    (bin, k, cb, nb); bit-22-marked tail rows carry their code/nbits
+    inline (see slim_sort_operands).  Rows must be masked by the caller's
+    record-valid flags (invalid rows decode to garbage).
+    """
+    bn = (p2 >> 1) & 31
+    k = (p2 >> 6) & 1023
+    cb = (p2 >> 16) & 1
+    nb = (p2 >> 17) & 7
+
+    isg = bn >= 8
+    isc = (bn >= 1) & (bn <= 7)
+    m_e = xp.ones(bn.shape, xp.int32)
+    l_e = xp.ones(bn.shape, xp.int32)
+    i_e = xp.zeros(bn.shape, xp.int32)
+    for gb in range(8, 17):
+        m, l, ii = _GOL[gb]
+        m_e = xp.where(bn == gb, m, m_e)
+        l_e = xp.where(bn == gb, l, l_e)
+        i_e = xp.where(bn == gb, ii, i_e)
+    kz = k + (cb == 0)
+    g_run_done = (cb == 0) & (kz >= m_e)
+    adj = xp.where(k < i_e, k, k + i_e)
+    gl = l_e + (k >= i_e)
+    g_code = xp.where(g_run_done, 1, _bitrev16(adj, gl, xp))
+    g_bits = xp.where(g_run_done, 1, gl)
+
+    val = (k | (cb << nb)) & 31
+    ccode = xp.zeros(bn.shape, xp.int32)
+    cbits = xp.zeros(bn.shape, xp.int32)
+    for bb in range(1, 8):
+        s = bn == bb
+        ccode = xp.where(s, _plookup(_COUT[bb], val, xp), ccode)
+        cbits = xp.where(s, _plookup(_COBITS[bb], val, xp), cbits)
+
+    code = xp.where(isg, g_code, xp.where(isc, ccode, cb))
+    nbits = xp.where(isg, g_bits, xp.where(isc, cbits, 1))
+    istail = ((p2 >> 22) & 1) != 0
+    code = xp.where(istail, (p2 >> 1) & 0xFFFF, code)
+    nbits = xp.where(istail, (p2 >> 17) & 31, nbits)
+    return code, nbits
+
+
+def order_and_pack_lane_slim(ops, keys, xp, max_bits=None,
                              slice_to=None, return_words=False):
     """One slim-record lane -> (payload, total bits, overflow flag).
 
-    Records carry their allocation index (tracked in-kernel), so ordering
-    is ONE sort with a single packed operand; the mid-plane buffer-flush
-    condition is detected in-kernel and is NOT part of the returned flag
-    (callers OR in the kernel's misc row).  ``slice_to`` bounds the
-    record count fed to the packer: the sort compacts valid records to a
-    prefix, so lanes with more records (records <= valid emissions, so
-    this is never more restrictive than the former compaction margin)
-    just raise the overflow flag and re-encode on host.
+    ``ops``/``keys`` from slim_sort_operands: records carry their
+    allocation index (tracked in-kernel), so ordering is ONE unstable
+    sort with a single packed operand (keys are unique; tied BIG rows
+    are masked out); codeword reconstruction runs on the sliced sorted
+    prefix.  The mid-plane buffer-flush condition is detected in-kernel
+    and is NOT part of the returned flag (callers OR in the kernel's
+    misc row).  ``slice_to`` bounds the record count fed to the packer:
+    the sort compacts valid records to a prefix, so lanes with more
+    records (records <= valid emissions, so this is never more
+    restrictive than the former compaction margin) just raise the
+    overflow flag and re-encode on host.
     """
     from . import entropy_jax2 as E2
 
-    rec_valid = nbits > 0
-    rkey = xp.where(rec_valid, alloc, BIG)
-    packed = (code & 0xFFFF) | (nbits << 16)
-    skey, (p2,) = E2._sort_by(rkey, (packed,), xp)
-    rv = skey != BIG
+    skey, (p2,) = E2._sort_by(keys, (ops,), xp, stable=False)
     over = xp.zeros((), dtype=bool)
-    if slice_to is not None and slice_to < rv.shape[-1]:
-        over = rv[slice_to]
-        rv = rv[:slice_to]
+    if slice_to is not None and slice_to < skey.shape[-1]:
+        over = skey[slice_to] != BIG
+        skey = skey[:slice_to]
         p2 = p2[:slice_to]
-    c2 = p2 & 0xFFFF
-    n2 = (p2 >> 16) & 31
+    rv = skey != BIG
+    c2, n2 = slim_decode_op(p2, xp)
     payload, total, over2 = E2.pack_records_tree(c2, n2, rv, xp,
                                                  max_bits=max_bits,
                                                  with_overflow=True,

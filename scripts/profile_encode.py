@@ -94,8 +94,8 @@ def main():
                 rpad = nblk * lanes - n
                 packed = jnp.pad(packed, ((0, rpad), (0, 0)))
                 cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
-                post = jax.vmap(lambda c, nn, a: PE.order_and_pack_lane_slim(
-                    c, nn, a, jnp, max_bits=cap_bits,
+                post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
+                    o, k, jnp, max_bits=cap_bits,
                     return_words=True))
                 for blk in range(nblk):
                     sl = slice(blk * lanes, (blk + 1) * lanes)
@@ -103,8 +103,8 @@ def main():
                     if depth == 4:
                         acc += r1.sum() + r2.sum() + fstate.sum()
                         continue
-                    code, nbits, alloc = PE.slim_records(r1, r2, fstate, jnp)
-                    p, t, f = post(code.T, nbits.T, alloc.T)
+                    ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp)
+                    p, t, f = post(ops.T, keys.T)
                     acc += p.astype(jnp.int32).sum() + t.sum()
             return padded(acc)
 

@@ -76,13 +76,12 @@ def test_slim_coder_matches_sequential(rng):
     with jax.default_device(jax.devices("cpu")[0]):
         r1, r2, fs, mo = run(
             jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
-        code, nbits, alloc = map(np.asarray,
-                                 PE.slim_records(r1, r2, fs, jnp))
+        ops, keys = map(np.asarray, PE.slim_sort_operands(r1, r2, fs, jnp))
         kflush = np.asarray(mo[0]) != 0
         nalloc = np.asarray(mo[1])
     for lane in list(range(0, LANES, 17)) + [126, 127]:
         pl, t, f = PE.order_and_pack_lane_slim(
-            code[:, lane], nbits[:, lane], alloc[:, lane], np,
+            ops[:, lane], keys[:, lane], np,
             max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
         pl_s, nb_s, fl = S.encode_emissions(
             valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
@@ -92,7 +91,7 @@ def test_slim_coder_matches_sequential(rng):
         assert not bool(f)
         assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s)
         # the allocation counter counts every real record (incl. tails)
-        assert int(nalloc[lane]) == int((nbits[:, lane] > 0).sum())
+        assert int(nalloc[lane]) == int((keys[:, lane] != PE.BIG).sum())
 
 
 def test_slim_kernel_buffer_flush(rng):
