@@ -419,20 +419,27 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 ring_sweep(st[4])
                 base = r * Wpad + t * 8
                 seg_tile = out_ref[pl.ds(base, 8), :]
-                as_t = buf_ref[0, pl.ds(8 + t * 8 - 1, 10), :]
-                cs_t = buf_ref[1, pl.ds(8 + t * 8 - 1, 10), :]
-                cp_t = buf_ref[2, pl.ds(8 + t * 8 - 1, 10), :]
-                bp_t = buf_ref[3, pl.ds(8 + t * 8 - 1, 10), :]
-                ag_t = buf_ref[4, pl.ds(8 + t * 8 - 1, 10), :]
-                cg_t = buf_ref[5, pl.ds(8 + t * 8 - 1, 10), :]
-                pg_t = buf_ref[6, pl.ds(8 + t * 8 - 1, 10), :]
-                bg_t = buf_ref[7, pl.ds(8 + t * 8 - 1, 10), :]
+                # 24-row strips starting at the aligned tile base: the
+                # column window [c-1, c+1] lives at strip rows j+7..j+9
+                # (column c of the buffers is index 8 + c).  Aligned
+                # starts are REQUIRED: Mosaic cannot lower sublane loads
+                # at offset 7 mod 8 once lanes > 128 (a logical row spans
+                # several vregs), and the pixel loop's static strip-row
+                # indexing works on any strip width.
+                as_t = buf_ref[0, pl.ds(t * 8, 24), :]
+                cs_t = buf_ref[1, pl.ds(t * 8, 24), :]
+                cp_t = buf_ref[2, pl.ds(t * 8, 24), :]
+                bp_t = buf_ref[3, pl.ds(t * 8, 24), :]
+                ag_t = buf_ref[4, pl.ds(t * 8, 24), :]
+                cg_t = buf_ref[5, pl.ds(t * 8, 24), :]
+                pg_t = buf_ref[6, pl.ds(t * 8, 24), :]
+                bg_t = buf_ref[7, pl.ds(t * 8, 24), :]
 
                 # The pixel loop is UNROLLED (static j): every strip
                 # access becomes a fixed vreg row read/write instead of an
                 # 8/10-way select chain -- the single largest per-bit op
                 # count in this kernel (~130 vector ops/pixel).
-                iota10 = jax.lax.broadcasted_iota(jnp.int32, (10, LANES), 0)
+                iota24 = jax.lax.broadcasted_iota(jnp.int32, (24, LANES), 0)
                 iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
                 for j in range(8):
                     c = t * 8 + j
@@ -447,12 +454,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     cat = ((mq >= 2).astype(jnp.int32)
                            + (mq >= 4) + (mq >= 8))
 
-                    # neighbor counts from buffers (index j+1 == column
-                    # c relative to the loaded 10-wide strips)
-                    hc = cs_t[j, :] + cp_t[j + 2, :]
-                    vc = as_t[j + 1, :] + bp_t[j + 1, :]
-                    dc = (as_t[j, :] + bp_t[j, :]
-                          + as_t[j + 2, :] + bp_t[j + 2, :])
+                    # neighbor counts from buffers (index j+8 == column
+                    # c relative to the loaded 24-row strips)
+                    hc = cs_t[j + 7, :] + cp_t[j + 9, :]
+                    vc = as_t[j + 8, :] + bp_t[j + 8, :]
+                    dc = (as_t[j + 7, :] + bp_t[j + 7, :]
+                          + as_t[j + 9, :] + bp_t[j + 9, :])
                     hh = jnp.where(is_hl, vc, hc)
                     vv = jnp.where(is_hl, hc, vc)
                     # closed-form context tables (context_model.py
@@ -474,12 +481,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
                                      v)
                     # significance update for newly-significant pixels
-                    cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 1, :])
+                    cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 8, :])
 
                     # sign pass
                     sgn_act = ok & (cat == 0) & (bit == 1)
-                    sh = (2 + cg_t[j, :] + pg_t[j + 2, :])
-                    sv = (2 + ag_t[j + 1, :] + bg_t[j + 1, :])
+                    sh = (2 + cg_t[j + 7, :] + pg_t[j + 9, :])
+                    sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
                     sh2 = jnp.where(is_hl, sv, sh)
                     sv2 = jnp.where(is_hl, sh, sv)
                     sctx, pred = _sign_formula(sh2, sv2, jnp)
@@ -493,23 +500,23 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         newv)
                     # sign buffer update: newly significant -> -actual;
                     # already-significant keep their prev-plane sign
-                    cg_row = jnp.where(ok2, -actual, cg_t[j + 1, :])
+                    cg_row = jnp.where(ok2, -actual, cg_t[j + 8, :])
 
-                    # write back pixel + buffer columns (10-wide strips,
-                    # column c is index j+1).  One-hot row masks: value
+                    # write back pixel + buffer columns (24-row strips,
+                    # column c is index j+8).  One-hot row masks: value
                     # scatter/dynamic_update_slice do not lower to Mosaic,
                     # and iota==const stays a vector op in the jaxpr
-                    cs_t = jnp.where(iota10 == (j + 1), cs_row[None, :],
+                    cs_t = jnp.where(iota24 == (j + 8), cs_row[None, :],
                                      cs_t)
-                    cg_t = jnp.where(iota10 == (j + 1), cg_row[None, :],
+                    cg_t = jnp.where(iota24 == (j + 8), cg_row[None, :],
                                      cg_t)
                     seg_tile = jnp.where(iota8 == j,
                                          jnp.where(ok, newv, v)[None, :],
                                          seg_tile)
 
                 out_ref[pl.ds(base, 8), :] = seg_tile
-                buf_ref[1, pl.ds(8 + t * 8 - 1, 10), :] = cs_t
-                buf_ref[5, pl.ds(8 + t * 8 - 1, 10), :] = cg_t
+                buf_ref[1, pl.ds(t * 8, 24), :] = cs_t
+                buf_ref[5, pl.ds(t * 8, 24), :] = cg_t
                 return st
 
             st = jax.lax.fori_loop(0, ntiles, tile_body, st)
