@@ -240,9 +240,17 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         # ---- one decode_bit over all lanes --------------------------
         # Per-lane coder state is packed to halve the 17-way
         # select/broadcast chains: zt = zero | total << 9 (counters cap
-        # at 500), nl = n | low << 11 (bin-FIFO depth 11b, low bits 8b).
+        # at 500), nl = n | low << 11 | age << 19 (bin-FIFO depth 11b --
+        # a golomb refill can push up to 2^(l+1) entries -- low bits 8b,
+        # staleness age 12b).  ``age`` counts decoded codewords since the
+        # bin's stack
+        # was refilled (the reference's decoded_words - bin_decode_index):
+        # every successful refill ticks ALL bins' ages by one broadcast
+        # add, replacing the former (17, LANES) bn_idx state and its
+        # select/write chains; tile_body clamps ages at CIRC_BUF_SIZE
+        # (the test is >=) so the 13-bit field cannot wrap.
         def decode_bit(st, ctx, act, cat3):
-            (zt, nl, bn_idx, dwords, pos, erri) = st
+            (zt, nl, pos, erri) = st
             err = erri != 0
             m = act & ~err
             ztc = sel17(zt, ctx)
@@ -259,9 +267,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
 
             nlb = sel17(nl, bn)
             sn = nlb & 2047
-            low_old = jax.lax.shift_right_logical(nlb, 11)
-            sidx = sel17(bn_idx, bn)
-            need = m & ((sn <= 0) | (dwords - sidx >= C.CIRC_BUF_SIZE))
+            low_old = jax.lax.shift_right_logical(nlb, 11) & 255
+            age = jax.lax.shift_right_logical(nlb, 19)
+            need = m & ((sn <= 0) | (age >= C.CIRC_BUF_SIZE))
 
             look = ring_look11(pos)
 
@@ -279,11 +287,10 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             for i in range(1, 11):
                 kl = jnp.where(l_e >= i, (kl << 1) | ((look >> (i - 1)) & 1),
                                kl)
-            klong = jnp.zeros((LANES,), jnp.int32)
-            for i in range(1, 12):
-                klong = jnp.where(l_e + 1 >= i,
-                                  (klong << 1) | ((look >> (i - 1)) & 1),
-                                  klong)
+            # the (l_e+1)-bit reversed prefix is the l_e-bit one with the
+            # next lookahead bit appended (bit l_e is a vector shift, not
+            # another 11-step build loop)
+            klong = (kl << 1) | (jax.lax.shift_right_logical(look, l_e) & 1)
             long_needed = (~first) & (kl >= i_e)
             gerr = g & (~first) & ((l_e > ebits)
                                    | (long_needed & (l_e + 1 > ebits)))
@@ -324,8 +331,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             new_low = jnp.where(gok, ones_g,
                                 jnp.where(cok, ival, look & 1))
             pos = jnp.where(okany, pos + adv, pos)
-            dwords = jnp.where(okany, dwords + 1, dwords)
-            bn_idx = wr17(bn_idx, bn, dwords, okany)
+            # one decoded word: every bin's stack ages by one (the write
+            # below resets the refilled bin's age to zero)
+            nl = nl + jnp.where(okany, jnp.int32(1) << 19, 0)[None, :]
 
             # consume top of stack; refilled lanes (okany, a subset of
             # m2) consume from the just-computed (new_n, new_low), so no
@@ -333,6 +341,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             m2 = m & ~err
             n_now = jnp.where(okany, new_n, sn)
             low_now = jnp.where(okany, new_low, low_old)
+            age_now = jnp.where(okany, 0, age)
             n1 = n_now - 1
             n1c = jnp.clip(n1, 0, 31)
             bitv = jnp.where(n1 < 5,
@@ -341,7 +350,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             cleared = low_now & ~jnp.where(n1 < 5,
                                            jax.lax.shift_left(
                                                jnp.int32(1), n1c), 0)
-            nl = wr17(nl, bn, n1 | jax.lax.shift_left(cleared, 11), m2)
+            nl = wr17(nl, bn,
+                      n1 | jax.lax.shift_left(cleared, 11)
+                      | jax.lax.shift_left(age_now, 19), m2)
             bit = jnp.where(m2, bitv ^ inv.astype(jnp.int32), 0)
 
             # counter update (skipped for the fixed cat-3 pseudo-context)
@@ -352,7 +363,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             tc2 = jnp.where(resc, tc2 >> 1, tc2)
             zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
             zt = wr17(zt, ctx, zc2 | jax.lax.shift_left(tc2, 9), mu)
-            return (zt, nl, bn_idx, dwords, pos, erri), bit
+            return (zt, nl, pos, erri), bit
 
         # ---- row buffer fills ---------------------------------------
         ONEB = NBUF // 8
@@ -406,8 +417,6 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         ring_ref[16, :] = tz
         st0 = (jnp.full((17, LANES), 2 | (4 << 9), jnp.int32),  # zt
                jnp.zeros((17, LANES), jnp.int32),               # nl
-               jnp.zeros((17, LANES), jnp.int32),               # bn_idx
-               jnp.zeros((LANES,), jnp.int32),                  # dwords
                jnp.zeros((LANES,), jnp.int32),                  # pos
                jnp.where(active0 & (prev_err == 0), 0,
                          1).astype(jnp.int32))                  # erri
@@ -416,7 +425,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         def row_body(r, st):
             def tile_body(t, st):
                 # ring top-up once per 8-pixel tile (see ring_sweep)
-                ring_sweep(st[4])
+                ring_sweep(st[2])
                 base = r * Wpad + t * 8
                 seg_tile = out_ref[pl.ds(base, 8), :]
                 # 24-row strips starting at the aligned tile base: the
@@ -476,7 +485,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     ctx = jnp.where(cat3, 0, ctx)
 
                     st, bit = decode_bit(st, ctx, act, cat3)
-                    err = st[5] != 0
+                    err = st[3] != 0
                     ok = act & ~err
                     newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
                                      v)
@@ -492,7 +501,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     sctx, pred = _sign_formula(sh2, sv2, jnp)
                     st, agree = decode_bit(st, sctx, sgn_act,
                                            sgn_act & ~sgn_act)
-                    err = st[5] != 0
+                    err = st[3] != 0
                     ok2 = sgn_act & ~err
                     actual = (agree ^ pred) & 1
                     newv = jnp.where(
@@ -517,7 +526,15 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 out_ref[pl.ds(base, 8), :] = seg_tile
                 buf_ref[1, pl.ds(t * 8, 24), :] = cs_t
                 buf_ref[5, pl.ds(t * 8, 24), :] = cg_t
-                return st
+                # saturate bin ages at CIRC_BUF_SIZE (the staleness test
+                # is >=): ages grow <= 16 per tile, so a per-tile clamp
+                # keeps the 12-bit field from ever wrapping
+                zt, nl, pos, erri = st
+                nl = jnp.where(
+                    nl >= jnp.int32((C.CIRC_BUF_SIZE + 1) << 19),
+                    (nl & ((1 << 19) - 1))
+                    | jnp.int32(C.CIRC_BUF_SIZE << 19), nl)
+                return (zt, nl, pos, erri)
 
             st = jax.lax.fori_loop(0, ntiles, tile_body, st)
 
@@ -541,8 +558,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             return st
 
         st = jax.lax.fori_loop(0, Hmax, row_body, st0)
-        err_ref[0, :] = st[5]
-        pos_ref[0, :] = st[4]
+        err_ref[0, :] = st[3]
+        pos_ref[0, :] = st[2]
 
     def run_impl(words, geom, seg):
         if multi:
