@@ -21,8 +21,9 @@ every mode checks bit-exactness while timing (encoded stream sha-pinned
 to the reference encoder's output, decode reproduces the pixels).
 
 Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
-(default 12; 0 skips the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts
-without a usable accelerator; native numbers only),
+(default 14 = two full 126-lane decode blocks; 0 skips the batched
+mode), ICER_BENCH_SKIP_TPU=1 (hosts without a usable accelerator;
+native numbers only),
 ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
 mode is skipped, default 900).
 """
@@ -135,7 +136,7 @@ def main():
             if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
                 candidates.append((tpu["MPs"], "tpu single-image"))
 
-            B = int(os.environ.get("ICER_BENCH_BATCH", "12"))
+            B = int(os.environ.get("ICER_BENCH_BATCH", "14"))
             if B > 1 and warm_enc + warm_dec < budget:
                 from icer_compression_tpu.models.decode_jax import (
                     decompress_lanes_batch)
@@ -177,14 +178,18 @@ def main():
                     return finish(enc.encode_batch(imgs))
 
                 streams = encode_all()           # warmup (compile)
+                # serving-mode decode fetch: 4 px/word (pack8) with an
+                # exact wide fallback; encode uploads 8-bit-valued
+                # images as uint8 (encode_batch auto-downcasts)
                 decs = decompress_lanes_batch(streams, cfg,
-                                              dtype=np.uint16)
+                                              dtype=np.uint16, pack8=True)
                 ok = (streams[0] == stream
                       and all(np.array_equal(d, i)
                               for d, i in zip(decs, imgs)))
                 benc = best(encode_all, max(2, treps - 2))
                 bdec = best(lambda: decompress_lanes_batch(
-                    streams, cfg, dtype=np.uint16), max(2, treps - 2))
+                    streams, cfg, dtype=np.uint16, pack8=True),
+                    max(2, treps - 2))
                 tb = {
                     "B": B,
                     "encode_s": round(benc, 4), "decode_s": round(bdec, 4),
@@ -214,7 +219,8 @@ def main():
                         out, hold = [], None
                         for _ in range(K):
                             nxt = decompress_lanes_batch(
-                                streams, cfg, dtype=np.uint16, defer=True)
+                                streams, cfg, dtype=np.uint16, defer=True,
+                                pack8=True)
                             if hold is not None:
                                 out.extend(hold())
                             hold = nxt

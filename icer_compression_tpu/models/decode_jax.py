@@ -248,7 +248,8 @@ def _run_fused(units, sdata, final=None, defer=False):
     fkey = ("fused", padb, _BLK) + tuple(u["key"] for u in units)
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
-                 final["stages"], final["filt"], final["mag_bits"])
+                 final["stages"], final["filt"], final["mag_bits"],
+                 bool(final.get("pack8")))
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
@@ -326,6 +327,20 @@ def _run_fused(units, sdata, final=None, defer=False):
                                            jnp)[0])(img)
             img = jnp.maximum(img, 0)
             flat = img.reshape(B, -1)
+            if final.get("pack8"):
+                # 8-bit serving fetch: 4 px/word + per-image max values
+                # so the caller can detect >8-bit pixels and refetch wide
+                # (exactness is never at risk; the pixel fetch is the
+                # decode path's largest transfer at 2 B/px)
+                maxv = flat.max(axis=1)
+                if flat.shape[1] % 4:
+                    flat = jnp.pad(flat, ((0, 0),
+                                          (0, (-flat.shape[1]) % 4)))
+                b4 = ((flat[:, 0::4] & 0xFF)
+                      | ((flat[:, 1::4] & 0xFF) << 8)
+                      | ((flat[:, 2::4] & 0xFF) << 16)
+                      | ((flat[:, 3::4] & 0xFF) << 24))
+                return jnp.concatenate([maxv, b4.reshape(-1)])
             if flat.shape[1] % 2:
                 flat = jnp.pad(flat, ((0, 0), (0, 1)))
             return ((flat[:, 0::2] & 0xFFFF)
@@ -352,6 +367,13 @@ def _unpack_fused(blob, units, final):
     if final is not None:
         B, h, w = final["B"], final["h"], final["w"]
         npx = h * w
+        if final.get("pack8"):
+            if (blob[:B] > 255).any():
+                return None   # >8-bit pixels: caller refetches wide
+            npxq = (npx + 3) // 4
+            packed = blob[B:B + B * npxq].reshape(B, npxq)
+            px = packed.view(np.uint8).astype(np.int32)
+            return px[:, :npx].reshape(B, h, w)
         npxh = (npx + 1) // 2
         packed = blob.reshape(B, npxh)
         px = np.empty((B, 2 * npxh), np.int32)
@@ -473,7 +495,8 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
 
 
 def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
-                  defer: bool, max_pixels: int | None = None):
+                  defer: bool, max_pixels: int | None = None,
+                  pack8: bool | None = None):
     """Shared batched TPU decode over B streams x nchan channels.
 
     Canvas c = b * nchan + chan; lanes from every (image, channel) share
@@ -577,40 +600,60 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                 t = lanes[i]
                 placements.append((ui, k, c, t["row"], t["col"],
                                    t["h"], t["w"]))
+    if pack8 is None:
+        # uint8-path pixels always fit a byte after the clamp; the
+        # uint16 path stays wide unless the caller opts in
+        pack8 = np.dtype(dtype) == np.uint8
     final = {"B": NC, "h": h, "w": w, "stages": config.stages,
              "filt": config.filt, "mag_bits": mag_bits,
-             "ll_means": ll_means, "placements": placements}
+             "ll_means": ll_means, "placements": placements,
+             "pack8": bool(pack8)}
+
+    def _finish(pix):
+        if pix is None:
+            # a pixel exceeded 8 bits under pack8: refetch wide (exact)
+            wide = dict(final, pack8=False)
+            pix = _run_fused(all_units, blob, final=wide)
+        return [pix[c].astype(dtype) for c in range(NC)]
+
     if defer:
         collect = _run_fused(all_units, blob, final=final, defer=True)
-        return lambda: [img.astype(dtype) for img in collect()]
-    pix = _run_fused(all_units, blob, final=final)
-    return [pix[c].astype(dtype) for c in range(NC)]
+        return lambda: _finish(collect())
+    return _finish(_run_fused(all_units, blob, final=final))
 
 
 def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
                            defer: bool = False,
-                           max_pixels: int | None = None):
+                           max_pixels: int | None = None,
+                           pack8: bool | None = None):
     """Batched TPU decode of same-geometry grayscale streams (serving
     mode); returns a list of decoded images, each pixel-identical to
     decompress() of its stream.  ``defer`` returns a zero-arg collector
-    right after the async dispatch (pipelining)."""
-    return _decode_batch(streams, config, dtype, 1, defer, max_pixels)
+    right after the async dispatch (pipelining).  ``pack8`` fetches
+    pixels 4/word (the decode path's largest transfer) with an on-device
+    max check and an exact wide refetch when any pixel exceeds 8 bits;
+    default: on for dtype=uint8, off for uint16."""
+    return _decode_batch(streams, config, dtype, 1, defer, max_pixels,
+                         pack8=pack8)
 
 
 def decompress_yuv_lanes_batch(streams, config: CodecConfig,
                                dtype=np.uint16, defer: bool = False,
-                               max_pixels: int | None = None):
+                               max_pixels: int | None = None,
+                               pack8: bool | None = None):
     """Batched TPU decode of same-geometry color (YUV) streams.
 
     All B x 3 channel canvases decode and finalize in one fused device
     program; returns a list of (y, u, v) tuples, each pixel-identical
-    to decompress_yuv() of its stream."""
+    to decompress_yuv() of its stream.  ``pack8`` as in
+    decompress_lanes_batch (8-bit YUV planes fit a byte)."""
     if defer:
         collect = _decode_batch(streams, config, dtype, 3, True,
-                                max_pixels)
+                                max_pixels, pack8=pack8)
         return lambda: [tuple(c[i:i + 3]) for c in [collect()]
                         for i in range(0, len(c), 3)]
-    flat = _decode_batch(streams, config, dtype, 3, False, max_pixels)
+    flat = _decode_batch(streams, config, dtype, 3, False, max_pixels,
+                         pack8=pack8)
     return [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
 
 

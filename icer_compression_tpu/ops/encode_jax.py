@@ -644,7 +644,12 @@ class JaxGrayscaleEncoder:
                     plane_cuts=self.plane_cuts)
                 self._siblings[B] = sib
             return sib.encode_batch(images, defer=defer)
-        dev = self._fused(self.jnp.asarray(images))
+        # 8-bit-valued batches upload as uint8 (half the transfer; the
+        # transform widens to int32 on device, so streams are identical)
+        up = images
+        if up.dtype.itemsize > 1 and up.max() < 256:
+            up = up.astype(np.uint8)
+        dev = self._fused(self.jnp.asarray(up))
         # Speculative host transforms: flush-lane fallback (the 2048-word
         # coder-buffer eviction path) needs the transformed image on
         # host, and the host DWT was the single largest serialized tail

@@ -42,6 +42,10 @@ def main():
         imgs[0] = img
         enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt, cfg.segments,
                                   15, batch=B, entropy="slim")
+        # serving-mode transfer trims: 8-bit sources upload as uint8
+        # (the transform widens on device) and pixels fetch 4/word with
+        # an exact wide fallback (pack8)
+        imgs_up = imgs.astype(np.uint8) if imgs.max() < 256 else imgs
 
         def finish(res):
             streams = []
@@ -60,7 +64,7 @@ def main():
         def encode_pipe():
             out, hold = [], None
             for _ in range(K):
-                nxt = enc.encode_batch(imgs, defer=True)
+                nxt = enc.encode_batch(imgs_up, defer=True)
                 if hold is not None:
                     out.extend(finish(hold()))
                 hold = nxt
@@ -69,14 +73,16 @@ def main():
 
         streams = encode_pipe()
         assert streams[0] == ref, "stream mismatch"
-        decs = decompress_lanes_batch(streams[:B], cfg, dtype=np.uint16)
+        decs = decompress_lanes_batch(streams[:B], cfg, dtype=np.uint16,
+                                      pack8=True)
         assert all(np.array_equal(d, i) for d, i in zip(decs, imgs))
 
         def decode_pipe():
             out, hold = [], None
             for _ in range(K):
                 nxt = decompress_lanes_batch(streams[:B], cfg,
-                                             dtype=np.uint16, defer=True)
+                                             dtype=np.uint16, defer=True,
+                                             pack8=True)
                 if hold is not None:
                     out.extend(hold())
                 hold = nxt

@@ -154,6 +154,37 @@ def test_pipelined_defer_collect(rng):
     assert r1[0][1] == r2[0][1] and r1[0][0] == r2[0][0]
 
 
+def test_batched_decode_pack8(rng):
+    """pack8 serving fetch: packed path on 8-bit data, exact wide
+    fallback when a pixel exceeds a byte."""
+    from icer_compression_tpu.models.decode_jax import decompress_lanes_batch
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=64 * 64 * 4)
+    lo = [make_test_image(64, 64, rng, dtype=np.uint8).astype(np.uint16)
+          for _ in range(2)]
+    hi = [(make_test_image(64, 64, rng, dtype=np.uint16) | 256)
+          for _ in range(2)]   # guaranteed >8-bit pixels
+    for imgs in (lo, hi):
+        streams = [G.compress(i, cfg) for i in imgs]
+        refs = [G.decompress(s, cfg, dtype=np.uint16) for s in streams]
+        outs = decompress_lanes_batch(streams, cfg, dtype=np.uint16,
+                                      pack8=True)
+        for o, r in zip(outs, refs):
+            assert np.array_equal(o, r)
+
+
+def test_encode_batch_uint8_upload(rng):
+    """8-bit-valued images upload as uint8 and encode identically to the
+    same values as uint16 (the transform widens on device)."""
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+    imgs8 = np.stack([make_test_image(96, 96, rng, dtype=np.uint8)
+                      for _ in range(2)])
+    enc = JaxGrayscaleEncoder(96, 96, 2, 0, 3, 15, batch=2)
+    a = enc.encode_batch(imgs8)
+    b = enc.encode_batch(imgs8.astype(np.uint16))
+    for (ta, la), (tb, lb) in zip(a, b):
+        assert la == lb and ta == tb
+
+
 def test_batched_decode_uint8(rng):
     from icer_compression_tpu.models.decode_jax import decompress_lanes_batch
     imgs = [make_test_image(64, 64, rng, dtype=np.uint8, amplitude=100,
