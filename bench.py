@@ -117,12 +117,13 @@ def main():
             warm_enc = time.time() - t0
             t0 = time.time()
             tdec = np.asarray(
-                G.decompress(ts, cfg, dtype=np.uint16, backend="jax"))
+                G.decompress(ts, cfg, dtype=np.uint16, backend="jax",
+                             pack8=True))
             warm_dec = time.time() - t0
             enc_s = best(lambda: G.compress_jax(img, cfg), treps)
             dec_s = best(
                 lambda: G.decompress(ts, cfg, dtype=np.uint16,
-                                     backend="jax"), treps)
+                                     backend="jax", pack8=True), treps)
             tpu = {
                 "encode_s": round(enc_s, 4), "decode_s": round(dec_s, 4),
                 "MPs": round(px / (enc_s + dec_s) / 1e6, 3),

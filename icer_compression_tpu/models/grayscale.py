@@ -548,7 +548,8 @@ def _check_decode_dims(w: int, h: int, max_pixels: int | None):
 def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
                decode_partition=None,
                max_pixels: int | None = DEFAULT_MAX_PIXELS,
-               backend: str = "auto") -> np.ndarray:
+               backend: str = "auto",
+               pack8: bool | None = None) -> np.ndarray:
     """Decompress an ICER bytestream into a grayscale image.
 
     Like the reference grayscale decoder, the header's channel nibble is
@@ -560,14 +561,17 @@ def decompress(data: bytes, config: CodecConfig, dtype=np.uint16,
     backend: "auto"/"native" (multithreaded C++ runtime), "python"
     (sequential reference), or "jax" (the lane-batched TPU decoder,
     models/decode_jax -- lock-step plane rounds over all segments in one
-    fused device program).  All are pixel-identical.
+    fused device program).  All are pixel-identical.  ``pack8`` (jax
+    backend only) fetches pixels 4/word with an exact wide refetch when
+    any pixel exceeds a byte; default on for dtype=uint8.
     """
     mag_bits = _mag_bits(dtype)
     bitplanes = _bitplanes(mag_bits)
     if backend == "jax":
-        from .decode_jax import decompress_lanes
-        return decompress_lanes(data, config, dtype=dtype,
-                                backend="pallas", max_pixels=max_pixels)
+        from .decode_jax import decompress_lanes_batch
+        return decompress_lanes_batch([data], config, dtype=dtype,
+                                      max_pixels=max_pixels,
+                                      pack8=pack8)[0]
 
     segments_found = scan_bytestream(data, with_offsets=True, with_payload=False)
     if not segments_found:

@@ -647,7 +647,8 @@ class JaxGrayscaleEncoder:
         # 8-bit-valued batches upload as uint8 (half the transfer; the
         # transform widens to int32 on device, so streams are identical)
         up = images
-        if up.dtype.itemsize > 1 and up.max() < 256:
+        if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
+                and up.max() < 256:
             up = up.astype(np.uint8)
         dev = self._fused(self.jnp.asarray(up))
         # Speculative host transforms: flush-lane fallback (the 2048-word

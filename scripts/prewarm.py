@@ -33,9 +33,10 @@ def main():
     ap.add_argument("--stages", type=int, default=4)
     ap.add_argument("--filter", type=int, default=0)
     ap.add_argument("--segments", type=int, default=6)
-    ap.add_argument("--batch", type=int, default=8,
-                    help="also warm the batched encoder at this B "
-                         "(0 = skip)")
+    ap.add_argument("--batch", type=int, default=14,
+                    help="also warm the batched encoder + decoder at "
+                         "this B (0 = skip; 14 = bench.py's default "
+                         "serving batch)")
     ap.add_argument("--backends", default="slim,sorted")
     ap.add_argument("--decode", action="store_true", default=True)
     ap.add_argument("--no-decode", dest="decode", action="store_false")
@@ -68,8 +69,10 @@ def main():
             encb = JaxGrayscaleEncoder(n, n, args.stages, args.filter,
                                        args.segments, 15, entropy=be,
                                        batch=args.batch)
-            encb.encode_batch(np.broadcast_to(
-                img, (args.batch,) + img.shape).copy())
+            bimgs = np.broadcast_to(img, (args.batch,) + img.shape).copy()
+            encb.encode_batch(bimgs)          # auto-uint8 upload program
+            bimgs[0, 0, 0] = 300              # wide (uint16) upload program
+            encb.encode_batch(bimgs)
             print(f"encode[{be}] B={args.batch} warm in "
                   f"{time.time()-t0:.0f} s", flush=True)
 
@@ -79,7 +82,19 @@ def main():
         dec = np.asarray(G.decompress(stream, cfg, dtype=np.uint16,
                                       backend="jax"))
         assert np.array_equal(dec, img), "prewarm decode mismatch"
+        dec = np.asarray(G.decompress(stream, cfg, dtype=np.uint16,
+                                      backend="jax", pack8=True))
+        assert np.array_equal(dec, img), "prewarm pack8 decode mismatch"
         print(f"decode warm in {time.time()-t0:.0f} s", flush=True)
+        if args.batch > 1:
+            from icer_compression_tpu.models.decode_jax import (
+                decompress_lanes_batch)
+            t0 = time.time()
+            decs = decompress_lanes_batch([stream] * args.batch, cfg,
+                                          dtype=np.uint16, pack8=True)
+            assert all(np.array_equal(d, img) for d in decs)
+            print(f"decode B={args.batch} (pack8) warm in "
+                  f"{time.time()-t0:.0f} s", flush=True)
 
     if args.quotas:
         for q in (int(x) for x in args.quotas.split(",")):

@@ -45,3 +45,23 @@ def test_decompress_yuv_lanes_matches(rng):
         a = decompress_yuv(stream, cfg, dtype=np.uint16)
         b = decompress_yuv_lanes(stream, cfg, dtype=np.uint16)
         assert all(np.array_equal(x, z) for x, z in zip(a, b))
+
+
+def test_unpack_fused_pack8_roundtrip():
+    """Host-side pack8 blob unpack: byte order, tail padding, and the
+    overflow (wide-refetch) signal."""
+    from icer_compression_tpu.models.decode_jax import _unpack_fused
+    B, h, w = 2, 3, 5
+    npx, npxq = h * w, (h * w + 3) // 4
+    px = np.arange(B * npx, dtype=np.int32).reshape(B, npx) % 251
+    flat = np.zeros((B, npxq * 4), np.int32)
+    flat[:, :npx] = px
+    b4 = (flat[:, 0::4] | (flat[:, 1::4] << 8) | (flat[:, 2::4] << 16)
+          | (flat[:, 3::4] << 24))
+    maxv = px.max(axis=1)
+    blob = np.concatenate([maxv, b4.reshape(-1)]).astype(np.int32)
+    final = {"B": B, "h": h, "w": w, "pack8": True}
+    out = _unpack_fused(blob, [], final)
+    assert np.array_equal(out, px.reshape(B, h, w))
+    blob[0] = 300   # a >8-bit pixel: unpack must signal the wide refetch
+    assert _unpack_fused(blob, [], final) is None
