@@ -87,7 +87,10 @@ class ShardedGrayscaleEncoder:
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:          # pre-0.8 JAX
+            from jax.experimental.shard_map import shard_map
 
         self.jax, self.jnp = jax, jnp
         self.mesh = mesh
@@ -104,14 +107,16 @@ class ShardedGrayscaleEncoder:
 
         def transform_one(image):
             img = image.astype(jnp.int32)
-            img, _ = wavelet.forward_stages(img, stages, filt, mag_bits, jnp)
+            img, overflow = wavelet.forward_stages(img, stages, filt,
+                                                   mag_bits, jnp)
             mask = (1 << (mag_bits + 1)) - 1
             ll = img[:ll_h, :ll_w]
             ll_mean = ((ll & mask).astype(jnp.uint32).sum()
                        // jnp.uint32(ll_w * ll_h)).astype(jnp.int32)
             img = img.at[:ll_h, :ll_w].set(
                 wavelet._wrap(ll - ll_mean, mag_bits, jnp))
-            return wavelet.to_sign_magnitude(img, mag_bits, jnp), ll_mean
+            return (wavelet.to_sign_magnitude(img, mag_bits, jnp), ll_mean,
+                    overflow)
 
         def encode_group(img, g, lane_lo, lanes_per_shard):
             segs = []
@@ -144,7 +149,7 @@ class ShardedGrayscaleEncoder:
 
         def step(local_images):           # (Bl, H, W) on this device
             seg_idx = jax.lax.axis_index("seg")
-            imgs, ll_means = jax.vmap(transform_one)(local_images)
+            imgs, ll_means, overflows = jax.vmap(transform_one)(local_images)
             outs = []
             for g in self.groups:
                 lanes_per_shard = len(g["lanes"]) // nseg
@@ -156,14 +161,15 @@ class ShardedGrayscaleEncoder:
 
                 outs.append(jax.vmap(one_image)(imgs))
                 # payload: (Bl, P, Nl, cap); totals: (Bl, P, Nl)
-            return ll_means, outs
+            return ll_means, overflows, outs
 
         out_group_spec = (P("data", None, "seg", None),
                           P("data", None, "seg"), P("data", None, "seg"))
         self._step = jax.jit(shard_map(
             step, mesh=mesh,
             in_specs=P("data", None, None),
-            out_specs=(P("data"), [out_group_spec] * len(self.groups)),
+            out_specs=(P("data"), P("data"),
+                       [out_group_spec] * len(self.groups)),
         ))
         self._P = P
         self._NamedSharding = NamedSharding
@@ -177,7 +183,14 @@ class ShardedGrayscaleEncoder:
         dev_images = self.jax.device_put(
             jnp.asarray(images),
             self._NamedSharding(self.mesh, self._P("data", None, None)))
-        ll_means, outs = self._step(dev_images)
+        ll_means, overflows, outs = self._step(dev_images)
+        if np.asarray(overflows).any():
+            # Same semantics as every other encode path: the reference
+            # aborts with ICER_INTEGER_OVERFLOW when the DWT wraps a
+            # sample (icer_wavelet.c:243,460).
+            from ..core.status import IcerError, IcerStatus
+            raise IcerError(IcerStatus.INTEGER_OVERFLOW,
+                            "wavelet transform (sharded batch)")
         ll_means = np.asarray(ll_means)
         B = images.shape[0]
         tables = [dict() for _ in range(B)]

@@ -18,18 +18,12 @@ def _cpu_devices():
         return []
 
 
-import os
-
-# The shard_map compile goes through this environment's remote TPU compile
-# service and takes minutes (cold cache); the driver exercises the same
-# program via __graft_entry__.dryrun_multichip with its own time budget.
-# Opt in with ICER_RUN_SHARDED_TESTS=1.
+# The conftest pins the CPU backend for the default tier and these tests
+# build their mesh with platform="cpu" explicitly, so the whole tier
+# compiles and runs locally (~40 s) -- it is part of the default suite.
 pytestmark = [
     pytest.mark.skipif(len(_cpu_devices()) < 2,
                        reason="needs >=2 virtual cpu devices"),
-    pytest.mark.skipif(os.environ.get("ICER_RUN_SHARDED_TESTS") != "1",
-                       reason="slow remote compile; set "
-                              "ICER_RUN_SHARDED_TESTS=1"),
 ]
 
 
@@ -57,9 +51,12 @@ def test_sharded_color_and_uint8(rng):
         ref = compress_yuv(planes[0][bi], planes[1][bi], planes[2][bi], cfg)
         assert streams[bi] == ref
 
-    # uint8 path (7 magnitude bits)
+    # uint8 path (7 magnitude bits): amplitudes must keep the DWT inside
+    # int8 -- the reference flags ICER_INTEGER_OVERFLOW otherwise
+    # (icer_wavelet.c:243), and so do we (tested separately below).
     enc8 = ShardedGrayscaleEncoder(mesh, W, H, 1, 0, 2, mag_bits=7)
-    imgs8 = (rng.integers(0, 200, (2, H, W))).astype(np.uint8)
+    imgs8 = ((np.add.outer(np.arange(H), np.arange(W))[None] % 60)
+             + rng.integers(0, 20, (2, H, W))).astype(np.uint8)
     ll_means, tables = enc8.encode_batch(imgs8)
     for bi in range(2):
         ref = G.compress(imgs8[bi], cfg)
@@ -102,16 +99,38 @@ def test_sharded_encode_matches_reference_path(rng):
         assert assemble_stream(encoded, rearrange_order_grayscale(9)) == ref
 
 
+def test_sharded_overflow_raises(rng):
+    """A DWT sample wrap must surface as ICER_INTEGER_OVERFLOW from the
+    sharded batch encoder, exactly like the single-image paths
+    (icer_wavelet.c:243,460)."""
+    from icer_compression_tpu.core.status import IcerError, IcerStatus
+    from icer_compression_tpu.parallel.sharded import (
+        ShardedGrayscaleEncoder, make_mesh)
+
+    mesh = make_mesh(2, platform="cpu")
+    H = W = 24
+    enc8 = ShardedGrayscaleEncoder(mesh, W, H, 1, 0, 2, mag_bits=7)
+    # full-range uint8 noise guarantees an int8 wrap in the 7-bit DWT
+    imgs8 = rng.integers(0, 250, (2, H, W)).astype(np.uint8)
+    with pytest.raises(IcerError) as exc:
+        enc8.encode_batch(imgs8)
+    assert exc.value.status == IcerStatus.INTEGER_OVERFLOW
+
+
 def test_decode_batch_sharded_devices(rng):
     """Data-parallel sharded decode (no collectives): round-robin over
-    devices, pixel-identical to the host decoder."""
+    devices, pixel-identical to the host decoder.  Lossless round-trip
+    needs amplitudes representable in the 9 coded uint16 bitplanes and an
+    unconstrained quota (values above ~512 lose MSBs by design -- see
+    test_extremes.py)."""
     from icer_compression_tpu.parallel.sharded import decode_batch_sharded
     from icer_compression_tpu.models import grayscale as G
     from icer_compression_tpu.models.grayscale import CodecConfig
 
     H = W = 24
-    cfg = CodecConfig(stages=1, filt=0, segments=2, byte_quota=H * W * 2)
-    imgs = [(rng.integers(0, 3000, (H, W))).astype(np.uint16)
+    cfg = CodecConfig(stages=1, filt=0, segments=2, byte_quota=None)
+    imgs = [((np.add.outer(np.arange(H) * 3, np.arange(W)) % 150)
+             + rng.integers(0, 40, (H, W))).astype(np.uint16)
             for _ in range(4)]
     streams = [G.compress(im, cfg) for im in imgs]
     out = decode_batch_sharded(streams, cfg, devices=_cpu_devices()[:4])
