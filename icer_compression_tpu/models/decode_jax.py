@@ -72,10 +72,10 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
         ww = np.array([t["w"] for t in lanes], np.int32)
         sb = np.array([t["subband"] for t in lanes], np.int32)
         alive = np.ones(n, bool)
-        # One payload-window size per bucket (max over all rounds): every
-        # round then shares one kernel instance / one compiled program.
+        # Per-round payload-window sizes (the fused gather fetches only
+        # each round's worst-case window; see _prep_bucket).
         per_round = []
-        bucket_maxb = 8
+        round_maxb = []
         for rnd in range(bitplanes):
             lsb = bitplanes - 1 - rnd
             offs = np.full(n, -1, np.int64)
@@ -87,13 +87,14 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                     offs[i], ebits[i] = ent
             per_round.append((lsb, offs, ebits))
             have = offs >= 0
+            mb = 8
             if have.any():
                 mb = min(int(len(stream) - offs[have].min()),
                          int(ebits.max() // 8 + 4096))
-                bucket_maxb = max(bucket_maxb, mb)
+            round_maxb.append(max(8, mb))
         if backend == "pallas-interpret":
             _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata,
-                           bucket_maxb, interpret=True)
+                           max(round_maxb), interpret=True)
             for i, t in enumerate(lanes):
                 img[t["row"]:t["row"] + t["h"],
                     t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
@@ -101,7 +102,7 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
         if backend == "pallas":
             pending.append((seg, lanes, _prep_bucket(
                 seg.shape, hh, ww, sb, per_round, mag_bits, sdata,
-                bucket_maxb)))
+                round_maxb)))
             continue
         for (lsb, offs, ebits) in per_round:
             alive &= offs >= 0
@@ -109,7 +110,7 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 break
             # per-lane plane payload views; readable extent runs to the
             # stream end (the reference's zero-copy over-read semantics)
-            maxb = bucket_maxb
+            maxb = max(round_maxb)
             data = np.zeros((n, max(maxb, 8)), np.uint8)
             readable = np.zeros(n, np.int64)
             for i in range(n):
@@ -147,27 +148,35 @@ _PALLAS_RUNS: dict = {}
 _BLK = int(os.environ.get("ICER_DECODE_LANES", "128"))
 
 
-def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, maxb,
+def _round_nw(mb: int) -> int:
+    """Power-of-two word-window size covering an mb-byte round payload
+    (+3 bytes of word-alignment slack).  Power-of-two sizes bound the
+    number of distinct compiled programs; payload sizes vary per stream
+    and exact-fit windows would recompile for nearly every input."""
+    nbytes = max(mb + 3, 8)
+    return max(16, 1 << (-(-nbytes // 4) - 1).bit_length())
+
+
+def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, round_maxb,
                  lane_end=None):
     """Host-side assembly of one bucket's kernel inputs (see
     _pallas_bucket); returns unit dicts for the fused runner.
 
-    ``lane_end`` gives each lane's readable stream end (defaults to the
-    whole blob) -- in batched decode the blob concatenates several
-    images' streams and a lane's zero-copy over-read must stop at ITS
-    image's end, exactly where the per-image decode reads zeros."""
-    from ..ops import pallas_decode as PD
-
+    ``round_maxb`` gives each plane round's worst-case payload bytes: the
+    fused window gather fetches only that round's (power-of-two) window
+    rows -- MSB rounds carry ~1% of an LSB round's bytes, so per-round
+    windows cut the serializing gather volume ~4x vs one uniform
+    worst-round size.  ``lane_end`` gives each lane's readable stream end
+    (defaults to the whole blob) -- in batched decode the blob
+    concatenates several images' streams and a lane's zero-copy over-read
+    must stop at ITS image's end, exactly where the per-image decode
+    reads zeros."""
     Hmax, Wmax, n = shape
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
-    nbytes = max(maxb, 8)
-    # power-of-two window sizes: NW is part of the kernel's compile key
-    # and payload sizes vary per stream -- exact-fit windows would
-    # recompile for nearly every input; the device-side window gather
-    # makes the padding cheap (~10 ns/word)
-    NW = max(16, 1 << (-(-nbytes // 4) - 1).bit_length())
     R = len(per_round)
+    NWr = tuple(_round_nw(mb) for mb in round_maxb)
+    NW = max(NWr)
     stream_len = len(sdata)
     if lane_end is None:
         lane_end = np.full(n, stream_len, np.int64)
@@ -177,27 +186,32 @@ def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     for r, (lsb, offs, ebits) in enumerate(per_round):
         present = present & (offs >= 0)
         offs_ok = np.where(present, offs, 0)
-        readable = np.where(present,
-                            np.minimum(lane_end - offs_ok, NW * 4), 0)
+        # word-aligned windows: the kernel starts at bit (offs & 3) * 8
+        # (packed into geom row 5), so the gather fetches one aligned
+        # word per row with no byte-shift recombination
+        mis = (offs_ok & 3).astype(np.int64)
+        readable_bits = np.where(
+            present,
+            np.minimum((lane_end - (offs_ok - mis)) * 8, NWr[r] * 32), 0)
         offs_r[r] = offs_ok
         geom_r[r, 0] = hh
         geom_r[r, 1] = ww
         geom_r[r, 2] = sb
         geom_r[r, 3] = lsb
         geom_r[r, 4] = mag_bits
-        geom_r[r, 5] = present
+        geom_r[r, 5] = present.astype(np.int32) | (mis << 1)
         geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
-        geom_r[r, 7] = readable * 8
+        geom_r[r, 7] = readable_bits
 
     units = []
     for blk in range(0, n, _BLK):
         idx = np.arange(blk, min(blk + _BLK, n))
         m = len(idx)
         # no coefficient canvas here: every decode starts from zeros and
-        # _run_fused materializes them on device (uploading a (PX, m)
-        # zero canvas per unit was a measured multi-MB/call tax)
+        # the multi-round kernel zeroes its output block at round 0
         units.append({
             "key": (PX, Wpad, NW, R, m),
+            "NWr": NWr,
             "offs": np.ascontiguousarray(offs_r[:, idx]),
             "geom": np.ascontiguousarray(
                 geom_r[:, :, idx].reshape(R * 8, m)),
@@ -216,12 +230,16 @@ def _run_fused(units, sdata, final=None, defer=False):
     dispatch, one concatenated fetch); fills unit["out"].
 
     The byte stream is uploaded ONCE as padded int32 words; each unit's
-    per-(round, lane) payload windows are assembled on device from two
-    clamped word gathers + a byte shift (window bytes need not be
-    word-aligned) and a readable-bytes mask.  This replaces the former
-    host-side window materialization, which uploaded NW*4 bytes per lane
-    per round (~18x the stream size for a 512x512 decode, and B times
-    that for batched decode).
+    per-(round, lane) payload windows are assembled on device from ONE
+    clamped aligned word gather per round (the sub-word byte offset rides
+    into the kernel as its starting bit position, and the kernel masks
+    past-readable bits itself), sized to that ROUND's worst payload --
+    the former uniform worst-round windows with a two-gather byte-shift
+    combine were the single largest cost of the decode program (~3.6 ns
+    per serially gathered word x R*NW*lanes).  This also replaces the
+    original host-side window materialization, which uploaded NW*4 bytes
+    per lane per round (~18x the stream size for a 512x512 decode, and B
+    times that for batched decode).
 
     With ``final`` the whole decode FINISHES on device: lanes assemble
     into the (B, h, w) coefficient canvas (static slice updates),
@@ -245,7 +263,8 @@ def _run_fused(units, sdata, final=None, defer=False):
     raw = sdata.tobytes() + b"\0" * ((-nb) % 4)
     sw[: len(raw) // 4] = np.frombuffer(raw, np.int32)
 
-    fkey = ("fused", padb, _BLK) + tuple(u["key"] for u in units)
+    fkey = ("fused", padb, _BLK) + tuple(u["key"] + u["NWr"]
+                                         for u in units)
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
                  final["stages"], final["filt"], final["mag_bits"],
@@ -259,36 +278,30 @@ def _run_fused(units, sdata, final=None, defer=False):
                 _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
                     PX, Wpad, NW, nrounds=R, lanes=_BLK)
         runs = [(_PALLAS_RUNS[u["key"][:4] + (_BLK,)],) + u["key"][2:]
-                for u in units]
+                + (u["NWr"],) for u in units]
         shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
         def fused(swords, llv, *arrays):
             limit = swords.shape[0] - 1
             outs = []
-            for i, (run, NW, R, m) in enumerate(runs):
+            for i, (run, NW, R, m, NWr) in enumerate(runs):
                 offs, ge = arrays[2 * i:2 * i + 2]
-                # the coefficient canvas starts all-zero in every decode
-                # path; materializing it on device avoids re-uploading
-                # megabytes of zeros per call (PX x LANES int32 per unit)
-                sg = jnp.zeros((shapes[i][0] * shapes[i][1], m),
-                               jnp.int32)
-                j = jnp.arange(NW, dtype=jnp.int32)[None, :, None]
-                woff = (offs >> 2)[:, None, :]          # (R, 1, m)
-                sh = ((offs & 3) * 8)[:, None, :].astype(jnp.uint32)
-                idx = woff + j                          # (R, NW, m)
-                w0 = swords[jnp.clip(idx, 0, limit)].astype(jnp.uint32)
-                w1 = swords[jnp.clip(idx + 1, 0, limit)].astype(jnp.uint32)
-                w = jnp.where(sh == 0, w0,
-                              (w0 >> sh) | (w1 << ((32 - sh) & 31)))
-                readable = ge.reshape(R, 8, m)[:, 7:8, :] // 8  # bytes
-                nval = jnp.clip(readable - 4 * j, 0, 4).astype(jnp.uint32)
-                mask = jnp.where(
-                    nval >= 4, jnp.uint32(0xFFFFFFFF),
-                    (jnp.uint32(1) << (8 * nval)) - jnp.uint32(1))
-                wds = (w & mask).astype(jnp.int32).reshape(R * NW, m)
+                # one aligned word gather per round, sized to the round's
+                # worst payload; rows beyond NWr pad to the kernel's
+                # uniform NW block with zeros (never read: lanes consume
+                # at most their readable bits).  The kernel handles the
+                # sub-word start offset and past-readable masking.
+                parts = []
+                for r in range(R):
+                    j = jnp.arange(NWr[r], dtype=jnp.int32)[:, None]
+                    idx = (offs[r] >> 2)[None, :] + j       # (NWr, m)
+                    wr = swords[jnp.clip(idx, 0, limit)]
+                    if NWr[r] < NW:
+                        wr = jnp.pad(wr, ((0, NW - NWr[r]), (0, 0)))
+                    parts.append(wr)
+                wds = jnp.concatenate(parts)                # (R*NW, m)
                 pad = ((0, 0), (0, _BLK - m))
-                out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad),
-                                     jnp.pad(sg, pad))
+                out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad))
                 outs.append(out[:, :m])
 
             if final is None:
@@ -410,7 +423,7 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
 
-    Hmax, Wmax, n = shape
+    Hmax, Wmax, n = seg.shape
     Wpad = -(-Wmax // 8) * 8
     PX = Hmax * Wpad
     nbytes = max(maxb, 8)
@@ -460,11 +473,10 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         # on the way back): buckets often fill a small fraction of the
         # 128 lanes and the tunnel transfers dominate decode wall time.
         if interpret:
-            def prun(words_m, geom_m, seg_m, run=run, m=m):
+            def prun(words_m, geom_m, run=run, m=m):
                 pad = ((0, 0), (0, PD.LANES - m))
                 out, err, _pos = run(np.pad(words_m, pad),
-                                     np.pad(geom_m, pad),
-                                     np.pad(seg_m, pad))
+                                     np.pad(geom_m, pad))
                 return np.asarray(out)[:, :m], np.asarray(err)[:m]
         else:
             pkey = key + (m,)
@@ -473,23 +485,19 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                 import jax
 
                 def make(run=run, m=m):
-                    def padded(words_m, geom_m, seg_m):
+                    def padded(words_m, geom_m):
                         pad = PD.LANES - m
                         w = jnp.pad(words_m, ((0, 0), (0, pad)))
                         ge = jnp.pad(geom_m, ((0, 0), (0, pad)))
-                        sg = jnp.pad(seg_m, ((0, 0), (0, pad)))
-                        out, err, pos = run(w, ge, sg)
+                        out, err, pos = run(w, ge)
                         return out[:, :m], err[:m]
                     return jax.jit(padded)
                 prun = make()
                 _PALLAS_RUNS[pkey] = prun
-        segp = np.zeros((Hmax, Wpad, m), np.int32)
-        segp[:, :Wmax, :] = seg[:, :, idx]
         words = np.ascontiguousarray(
             words_r[:, :, idx].reshape(R * NW, m))
         geom = np.ascontiguousarray(geom_r[:, :, idx].reshape(R * 8, m))
-        out, _err = prun(jnp.asarray(words), jnp.asarray(geom),
-                         jnp.asarray(segp.reshape(PX, m)))
+        out, _err = prun(jnp.asarray(words), jnp.asarray(geom))
         out = np.asarray(out).reshape(Hmax, Wpad, m)
         seg[:, :, idx] = out[:, :Wmax, :]
 
@@ -554,7 +562,7 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
         lane_end = np.repeat(np.repeat(bases[1:], nchan), n1).astype(
             np.int64)
         per_round = []
-        bucket_maxb = 8
+        round_maxb = []
         for rnd in range(bitplanes):
             lsb = bitplanes - 1 - rnd
             offs = np.full(n, -1, np.int64)
@@ -576,13 +584,13 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                 # (quota-truncated streams drop the low planes first)
                 per_round.pop()
                 break
-            mb = min(int((lane_end - offs)[have].max()),
-                     int(ebits.max() // 8 + 4096))
-            bucket_maxb = max(bucket_maxb, mb)
+            round_maxb.append(max(8, min(
+                int((lane_end - offs)[have].max()),
+                int(ebits.max() // 8 + 4096))))
         if not per_round:
             continue
         units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round,
-                             mag_bits, blob, bucket_maxb,
+                             mag_bits, blob, round_maxb,
                              lane_end=lane_end)
         pending.append((lanes, units))
 

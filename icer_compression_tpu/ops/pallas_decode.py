@@ -95,12 +95,23 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     padded width (multiple of 8), NW the stream word rows per round.
 
     With ``nrounds=None`` one call decodes a single plane (words (NW,
-    LANES), geom (8, LANES)).  With ``nrounds=R`` the kernel grids over R
-    plane rounds in one call -- words (R*NW, LANES) and geom (R*8, LANES)
-    stacked per round -- and the per-lane retirement mask (first missing
-    plane or stream error stops a lane for all later rounds, matching the
-    reference's per-segment plane loop) persists in the err output across
-    rounds.  One device round trip for a whole bucket's decode.
+    LANES), geom (8, LANES), seg (PX, LANES)).  With ``nrounds=R`` the
+    kernel grids over R plane rounds in one call -- words (R*NW, LANES)
+    and geom (R*8, LANES) stacked per round, NO seg input (every fused
+    decode starts from a zero canvas, zeroed in-kernel at round 0 instead
+    of shipping a (PX, LANES) zeros block through VMEM) -- and the
+    per-lane retirement mask (first missing plane or stream error stops a
+    lane for all later rounds, matching the reference's per-segment plane
+    loop) persists in the err output across rounds.  One device round
+    trip for a whole bucket's decode.
+
+    Stream windows may be WORD-ALIGNED: geom row 5 packs the active flag
+    (bit 0) with the window's byte misalignment (bits 1-2) -- the lane's
+    payload starts at bit position (misalign * 8) inside the window, and
+    the decoder's initial bit position starts there.  Callers that build
+    byte-exact windows just pass active (misalign 0).  This lets the
+    fused assembly gather one aligned word per window row instead of two
+    words plus a byte-shift combine.
     """
     import jax
     import jax.numpy as jnp
@@ -117,8 +128,11 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
 
     multi = nrounds is not None
 
-    def kernel(words_ref, geom_ref, seg_ref, out_ref, err_ref, pos_ref,
-               buf_ref, ring_ref):
+    def kernel(words_ref, geom_ref, *refs):
+        if multi:
+            out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
+        else:
+            seg_ref, out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
         # buf_ref: (8, NBUF, LANES) scratch: rolling row buffers
         #   0 above_sig_lsb  1 cur_sig_lsb  2 cur_sig_prev  3 below_sig_prev
         #   4 above_sgn_lsb  5 cur_sgn_lsb  6 cur_sgn_prev  7 below_sgn_prev
@@ -127,7 +141,10 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         subband = geom_ref[2, :]
         lsb = geom_ref[3, :]
         mag_bits = geom_ref[4, :]
-        active0 = geom_ref[5, :] != 0
+        g5 = geom_ref[5, :]
+        active0 = (g5 & 1) != 0
+        # word-aligned windows: payload starts (misalign * 8) bits in
+        pos0 = ((jax.lax.shift_right_logical(g5, 1)) & 3) * 8
         ebits = geom_ref[6, :]
         readable = geom_ref[7, :]
         if multi:
@@ -146,7 +163,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         if multi:
             @pl.when(g == 0)
             def _():
-                out_ref[:] = seg_ref[:]
+                # every fused decode starts from a zero coefficient canvas
+                out_ref[:] = jnp.zeros((PX, LANES), jnp.int32)
         else:
             out_ref[:] = seg_ref[:]
 
@@ -417,7 +435,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         ring_ref[16, :] = tz
         st0 = (jnp.full((17, LANES), 2 | (4 << 9), jnp.int32),  # zt
                jnp.zeros((17, LANES), jnp.int32),               # nl
-               jnp.zeros((LANES,), jnp.int32),                  # pos
+               pos0.astype(jnp.int32),                          # pos
                jnp.where(active0 & (prev_err == 0), 0,
                          1).astype(jnp.int32))                  # erri
 
@@ -561,7 +579,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         err_ref[0, :] = st[3]
         pos_ref[0, :] = st[2]
 
-    def run_impl(words, geom, seg):
+    def run_impl(words, geom, seg=None):
         if multi:
             call = pl.pallas_call(
                 kernel,
@@ -573,8 +591,6 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     pl.BlockSpec((NW, LANES), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, LANES), lambda g: (g, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((PX, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
                 out_specs=[
                     pl.BlockSpec((PX, LANES), lambda g: (0, 0),
@@ -587,6 +603,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                 pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
+            out, err, pos = call(words, geom)
         else:
             call = pl.pallas_call(
                 kernel,
@@ -599,11 +616,11 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                 pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
-        out, err, pos = call(words, geom, seg)
+            out, err, pos = call(words, geom, seg)
         return out, err[0], pos[0]
 
     if interpret:
-        def run(words, geom, seg):
+        def run(words, geom, seg=None):
             import jax
             with jax.default_device(jax.devices("cpu")[0]):
                 return run_impl(words, geom, seg)
