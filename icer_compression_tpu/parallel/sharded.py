@@ -44,6 +44,19 @@ class _Lane:
     dummy: bool = False
 
 
+def _host(x) -> np.ndarray:
+    """Materialize a (possibly multi-process global) jax.Array on the host.
+
+    Single-process arrays are fully addressable and go straight to numpy;
+    in a multi-process runtime (jax.distributed) the sharded step outputs
+    span processes, so every process gathers the global value (the codec's
+    one collective: the ordered gather of per-lane payload tables)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _plan_groups(image_w, image_h, stages, segments, nseg_shards):
     groups = []
     for stage in range(1, stages + 1):
@@ -179,26 +192,28 @@ class ShardedGrayscaleEncoder:
 
         Each table maps (stage, subband, lsb, seg) -> (payload, nbits).
         """
-        jnp = self.jnp
+        # host numpy straight into device_put: in a multi-process runtime
+        # the sharding spans non-addressable devices and each process
+        # contributes its addressable shards from its (replicated) copy
         dev_images = self.jax.device_put(
-            jnp.asarray(images),
+            np.asarray(images),
             self._NamedSharding(self.mesh, self._P("data", None, None)))
         ll_means, overflows, outs = self._step(dev_images)
-        if np.asarray(overflows).any():
+        if _host(overflows).any():
             # Same semantics as every other encode path: the reference
             # aborts with ICER_INTEGER_OVERFLOW when the DWT wraps a
             # sample (icer_wavelet.c:243,460).
             from ..core.status import IcerError, IcerStatus
             raise IcerError(IcerStatus.INTEGER_OVERFLOW,
                             "wavelet transform (sharded batch)")
-        ll_means = np.asarray(ll_means)
+        ll_means = _host(ll_means)
         B = images.shape[0]
         tables = [dict() for _ in range(B)]
         flush_lanes = []
         for g, (payload, total, flush) in zip(self.groups, outs):
-            payload = np.asarray(payload)
-            total = np.asarray(total)
-            flush = np.asarray(flush)
+            payload = _host(payload)
+            total = _host(total)
+            flush = _host(flush)
             for bi in range(B):
                 for p in range(self.bitplanes):
                     for i, l in enumerate(g["lanes"]):
