@@ -150,10 +150,12 @@ _BLK = int(os.environ.get("ICER_DECODE_LANES", "128"))
 
 def _round_nw(mb: int) -> int:
     """Power-of-two word-window size covering an mb-byte round payload
-    (+3 bytes of word-alignment slack).  Power-of-two sizes bound the
-    number of distinct compiled programs; payload sizes vary per stream
-    and exact-fit windows would recompile for nearly every input."""
-    nbytes = max(mb + 3, 8)
+    (+31 bytes of tile-alignment slack: windows start at the enclosing
+    8-word tile and the kernel skips the residual via its start-bit).
+    Power-of-two sizes bound the number of distinct compiled programs;
+    payload sizes vary per stream and exact-fit windows would recompile
+    for nearly every input."""
+    nbytes = max(mb + 31, 32)
     return max(16, 1 << (-(-nbytes // 4) - 1).bit_length())
 
 
@@ -186,10 +188,12 @@ def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, round_maxb,
     for r, (lsb, offs, ebits) in enumerate(per_round):
         present = present & (offs >= 0)
         offs_ok = np.where(present, offs, 0)
-        # word-aligned windows: the kernel starts at bit (offs & 3) * 8
-        # (packed into geom row 5), so the gather fetches one aligned
-        # word per row with no byte-shift recombination
-        mis = (offs_ok & 3).astype(np.int64)
+        # tile-aligned windows: the kernel starts at bit (offs & 31) * 8
+        # (packed into geom row 5), so the gather fetches whole 8-word
+        # tiles -- XLA lowers a row gather of a (S/8, 8) operand as one
+        # contiguous copy per index (~28x cheaper than the former
+        # per-word scalar gather, measured in scripts/probe_gather.py)
+        mis = (offs_ok & 31).astype(np.int64)
         readable_bits = np.where(
             present,
             np.minimum((lane_end - (offs_ok - mis)) * 8, NWr[r] * 32), 0)
@@ -282,20 +286,26 @@ def _run_fused(units, sdata, final=None, defer=False):
         shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
         def fused(swords, llv, *arrays):
-            limit = swords.shape[0] - 1
+            # 8-word tile rows: a row gather of (S/8, 8) lowers to one
+            # contiguous copy per index instead of one per WORD (~28x,
+            # scripts/probe_gather.py); the kernel skips each lane's
+            # <=31-byte in-tile residual via its start-bit (geom row 5)
+            swt = swords.reshape(-1, 8)
+            limit_t = swt.shape[0] - 1
             outs = []
             for i, (run, NW, R, m, NWr) in enumerate(runs):
                 offs, ge = arrays[2 * i:2 * i + 2]
-                # one aligned word gather per round, sized to the round's
-                # worst payload; rows beyond NWr pad to the kernel's
-                # uniform NW block with zeros (never read: lanes consume
-                # at most their readable bits).  The kernel handles the
-                # sub-word start offset and past-readable masking.
+                # one tile-aligned row gather per round, sized to the
+                # round's worst payload; rows beyond NWr pad to the
+                # kernel's uniform NW block with zeros (never read: lanes
+                # consume at most their readable bits).
                 parts = []
                 for r in range(R):
-                    j = jnp.arange(NWr[r], dtype=jnp.int32)[:, None]
-                    idx = (offs[r] >> 2)[None, :] + j       # (NWr, m)
-                    wr = swords[jnp.clip(idx, 0, limit)]
+                    nt = NWr[r] // 8
+                    j = jnp.arange(nt, dtype=jnp.int32)[:, None]
+                    idx = (offs[r] >> 5)[None, :] + j       # (nt, m)
+                    rows = swt[jnp.clip(idx, 0, limit_t)]   # (nt, m, 8)
+                    wr = rows.transpose(0, 2, 1).reshape(NWr[r], m)
                     if NWr[r] < NW:
                         wr = jnp.pad(wr, ((0, NW - NWr[r]), (0, 0)))
                     parts.append(wr)
@@ -367,6 +377,11 @@ def _run_fused(units, sdata, final=None, defer=False):
         flat += [jnp.asarray(u["offs"]), jnp.asarray(u["geom"])]
     llv = np.asarray(final["ll_means"] if final is not None else [0],
                      np.int32)
+    dump = os.environ.get("ICER_DUMP_HLO")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(fn.lower(jnp.asarray(sw), jnp.asarray(llv),
+                             *flat).compile().as_text())
     dev = fn(jnp.asarray(sw), jnp.asarray(llv), *flat)
     if defer:
         # dispatch is async on remotely-attached devices: return a

@@ -143,8 +143,10 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         mag_bits = geom_ref[4, :]
         g5 = geom_ref[5, :]
         active0 = (g5 & 1) != 0
-        # word-aligned windows: payload starts (misalign * 8) bits in
-        pos0 = ((jax.lax.shift_right_logical(g5, 1)) & 3) * 8
+        # tile-aligned windows: payload starts (misalign * 8) bits in,
+        # misalign up to 31 bytes (windows start at 8-word tiles so the
+        # host gather runs at row, not scalar, granularity)
+        pos0 = ((jax.lax.shift_right_logical(g5, 1)) & 31) * 8
         ebits = geom_ref[6, :]
         readable = geom_ref[7, :]
         if multi:
@@ -289,65 +291,113 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             age = jax.lax.shift_right_logical(nlb, 19)
             need = m & ((sn <= 0) | (age >= C.CIRC_BUF_SIZE))
 
-            look = ring_look11(pos)
+            # The refill machinery (ring lookahead + Golomb / custom-LUT
+            # codeword parse, ~300 vector ops) is SKIPPED whenever no lane
+            # refills this step via scalar-predicated cond: a refill with
+            # an all-false need mask provably changes nothing (okany
+            # false => pos/nl/err unchanged), so the guard is pure
+            # savings.  Stacks hold several bits per codeword, so most
+            # steps skip.  Same trick again inside for the custom-LUT
+            # block (the single largest select chain) and the Golomb
+            # parse: MSB planes are golomb-dominated, LSB planes custom-
+            # dominated, so one of the two inner blocks usually skips.
+            def do_refill(pos, erri):
+                look = ring_look11(pos)
 
-            # Golomb refill
-            isg = bn >= 8
-            g = need & isg
-            pe = jnp.full((LANES,), 1 | (1 << 10), jnp.int32)  # m=1,l=1,i=0
-            for gb in range(8, 17):
-                pe = jnp.where(bn == gb, _GOLPK[gb], pe)
-            m_e = pe & 1023
-            l_e = jax.lax.shift_right_logical(pe, 10) & 15
-            i_e = jax.lax.shift_right_logical(pe, 14)
-            first = (look & 1) != 0
-            kl = jnp.zeros((LANES,), jnp.int32)
-            for i in range(1, 11):
-                kl = jnp.where(l_e >= i, (kl << 1) | ((look >> (i - 1)) & 1),
-                               kl)
-            # the (l_e+1)-bit reversed prefix is the l_e-bit one with the
-            # next lookahead bit appended (bit l_e is a vector shift, not
-            # another 11-step build loop)
-            klong = (kl << 1) | (jax.lax.shift_right_logical(look, l_e) & 1)
-            long_needed = (~first) & (kl >= i_e)
-            gerr = g & (~first) & ((l_e > ebits)
-                                   | (long_needed & (l_e + 1 > ebits)))
-            gok = g & ~gerr
-            adv_g = jnp.where(first, 1,
-                              jnp.where(long_needed, l_e + 1, l_e))
-            zeros_g = jnp.where(first, m_e,
-                                jnp.where(long_needed, klong - i_e, kl))
-            ones_g = jnp.where(first, 0, 1)
+                # Golomb refill
+                isg = bn >= 8
+                g = need & isg
+                first = (look & 1) != 0
 
-            # Custom refill (dense 5-bit-lookahead LUT)
-            isc = (bn >= 1) & (bn <= 7)
-            cu = need & isc
-            look5 = look & 31
-            hit = jnp.zeros((LANES,), jnp.int32)
-            ival = jnp.zeros((LANES,), jnp.int32)
-            ibits = jnp.zeros((LANES,), jnp.int32)
-            for bb in range(1, 8):
-                s = bn == bb
-                hit = jnp.where(s, _plookup(_RHIT[bb], look5, jnp), hit)
-                ival = jnp.where(s, _plookup(_RVAL[bb], look5, jnp), ival)
-                ibits = jnp.where(s, _plookup(_RBITS[bb], look5, jnp),
-                                  ibits)
-            cerr = cu & ((hit == 0) | (hit >= ebits))
-            cok = cu & ~cerr
+                def golomb_parse(_):
+                    pe = jnp.full((LANES,), 1 | (1 << 10),
+                                  jnp.int32)  # m=1,l=1,i=0
+                    for gb in range(8, 17):
+                        pe = jnp.where(bn == gb, _GOLPK[gb], pe)
+                    m_e = pe & 1023
+                    l_e = jax.lax.shift_right_logical(pe, 10) & 15
+                    i_e = jax.lax.shift_right_logical(pe, 14)
+                    kl = jnp.zeros((LANES,), jnp.int32)
+                    for i in range(1, 11):
+                        kl = jnp.where(l_e >= i,
+                                       (kl << 1) | ((look >> (i - 1)) & 1),
+                                       kl)
+                    # the (l_e+1)-bit reversed prefix is the l_e-bit one
+                    # with the next lookahead bit appended (bit l_e is a
+                    # vector shift, not another 11-step build loop)
+                    klong = (kl << 1) | (
+                        jax.lax.shift_right_logical(look, l_e) & 1)
+                    long_needed = (~first) & (kl >= i_e)
+                    gerr = g & (~first) & ((l_e > ebits)
+                                           | (long_needed
+                                              & (l_e + 1 > ebits)))
+                    adv_g = jnp.where(first, 1,
+                                      jnp.where(long_needed, l_e + 1, l_e))
+                    zeros_g = jnp.where(first, m_e,
+                                        jnp.where(long_needed,
+                                                  klong - i_e, kl))
+                    return adv_g, zeros_g, gerr
 
-            # Uncoded refill
-            un = need & (bn == 0)
-            uerr = un & (ebits < 1)
-            uok = un & ~uerr
+                z1 = jnp.zeros((LANES,), jnp.int32)
+                # cond results cross the scf.if boundary as int32: Mosaic
+                # rejects i1 mask vectors as branch yields (layout cast)
+                adv_g, zeros_g, gerr_i = jax.lax.cond(
+                    jnp.any(g),
+                    lambda _: (lambda a, z, e: (a, z, e.astype(jnp.int32)))(
+                        *golomb_parse(0)),
+                    lambda _: (z1, z1, z1), 0)
+                gerr = gerr_i != 0
+                gok = g & ~gerr
+                ones_g = jnp.where(first, 0, 1)
 
-            err = err | gerr | cerr | uerr
+                # Custom refill (dense 5-bit-lookahead LUT)
+                isc = (bn >= 1) & (bn <= 7)
+                cu = need & isc
+                look5 = look & 31
+
+                def custom_parse(_):
+                    hit = jnp.zeros((LANES,), jnp.int32)
+                    ival = jnp.zeros((LANES,), jnp.int32)
+                    ibits = jnp.zeros((LANES,), jnp.int32)
+                    for bb in range(1, 8):
+                        s = bn == bb
+                        hit = jnp.where(s, _plookup(_RHIT[bb], look5, jnp),
+                                        hit)
+                        ival = jnp.where(s, _plookup(_RVAL[bb], look5, jnp),
+                                         ival)
+                        ibits = jnp.where(s, _plookup(_RBITS[bb], look5,
+                                                      jnp), ibits)
+                    return hit, ival, ibits
+
+                hit, ival, ibits = jax.lax.cond(
+                    jnp.any(cu), custom_parse, lambda _: (z1, z1, z1), 0)
+                cerr = cu & ((hit == 0) | (hit >= ebits))
+                cok = cu & ~cerr
+
+                # Uncoded refill
+                un = need & (bn == 0)
+                uerr = un & (ebits < 1)
+                uok = un & ~uerr
+
+                err2 = gerr | cerr | uerr
+                okany = gok | cok | uok
+                adv = jnp.where(gok, adv_g, jnp.where(cok, hit, 1))
+                new_n = jnp.where(gok, zeros_g + ones_g,
+                                  jnp.where(cok, ibits, 1))
+                new_low = jnp.where(gok, ones_g,
+                                    jnp.where(cok, ival, look & 1))
+                return (okany.astype(jnp.int32), adv, new_n, new_low,
+                        err2.astype(jnp.int32))
+
+            def no_refill(pos, erri):
+                z = jnp.zeros((LANES,), jnp.int32)
+                return z, z, z, z, z
+
+            okany_i, adv, new_n, new_low, err2_i = jax.lax.cond(
+                jnp.any(need), do_refill, no_refill, pos, erri)
+            okany = okany_i != 0
+            err = err | (err2_i != 0)
             erri = jnp.where(err, 1, erri).astype(jnp.int32)
-            okany = gok | cok | uok
-            adv = jnp.where(gok, adv_g, jnp.where(cok, hit, 1))
-            new_n = jnp.where(gok, zeros_g + ones_g,
-                              jnp.where(cok, ibits, 1))
-            new_low = jnp.where(gok, ones_g,
-                                jnp.where(cok, ival, look & 1))
             pos = jnp.where(okany, pos + adv, pos)
             # one decoded word: every bin's stack ages by one (the write
             # below resets the refilled bin's age to zero)
@@ -510,15 +560,27 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     # significance update for newly-significant pixels
                     cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 8, :])
 
-                    # sign pass
+                    # sign pass -- skipped entirely (scalar cond) when no
+                    # lane's pixel became significant this step: a
+                    # decode_bit with an all-false act mask is a no-op
                     sgn_act = ok & (cat == 0) & (bit == 1)
-                    sh = (2 + cg_t[j + 7, :] + pg_t[j + 9, :])
-                    sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
-                    sh2 = jnp.where(is_hl, sv, sh)
-                    sv2 = jnp.where(is_hl, sh, sv)
-                    sctx, pred = _sign_formula(sh2, sv2, jnp)
-                    st, agree = decode_bit(st, sctx, sgn_act,
-                                           sgn_act & ~sgn_act)
+
+                    def sign_pass(st):
+                        sh = (2 + cg_t[j + 7, :] + pg_t[j + 9, :])
+                        sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
+                        sh2 = jnp.where(is_hl, sv, sh)
+                        sv2 = jnp.where(is_hl, sh, sv)
+                        sctx, pred = _sign_formula(sh2, sv2, jnp)
+                        st, agree = decode_bit(st, sctx, sgn_act,
+                                               sgn_act & ~sgn_act)
+                        return st + (agree, pred)
+
+                    res = jax.lax.cond(
+                        jnp.any(sgn_act), sign_pass,
+                        lambda st: st + (jnp.zeros((LANES,), jnp.int32),
+                                         jnp.zeros((LANES,), jnp.int32)),
+                        st)
+                    st, agree, pred = res[:4], res[4], res[5]
                     err = st[3] != 0
                     ok2 = sgn_act & ~err
                     actual = (agree ^ pred) & 1

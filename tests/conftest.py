@@ -14,8 +14,9 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 # env-gated), and accelerator-backend init hangs when the TPU tunnel is
 # down; restrict to the CPU backend unless an on-chip gate is set.
 # (jax.config, not the env var: a sitecustomize overwrites JAX_PLATFORMS.)
-if not any(os.environ.get(k) == "1" for k in
-           ("ICER_RUN_ONCHIP", "ICER_RUN_PALLAS_TESTS")):
+if os.environ.get("ICER_FORCE_CPU") == "1" or not any(
+        os.environ.get(k) == "1" for k in
+        ("ICER_RUN_ONCHIP", "ICER_RUN_PALLAS_TESTS")):
     try:
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -1,18 +1,14 @@
 """Pallas batched decoder kernel vs the validated numpy lane model.
 
-Interpret-mode (eager CPU) execution; opt in with ICER_RUN_PALLAS_TESTS=1
-(same gating/rationale as test_pallas_entropy.py).
+Interpret-mode (eager) execution on the default CPU-pinned suite backend;
+~60 s total, so it rides the default tier (semantic regressions in the
+kernel are caught without a chip).
 """
 
 import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
-import os
-
-pytestmark = pytest.mark.skipif(
-    os.environ.get("ICER_RUN_PALLAS_TESTS") != "1",
-    reason="slow remote compile; set ICER_RUN_PALLAS_TESTS=1")
 
 import jax.numpy as jnp  # noqa: E402
 

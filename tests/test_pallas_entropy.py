@@ -8,14 +8,9 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
-import os
-
-# Interpreter-mode execution of the original (wide-step) kernels takes
-# minutes; those are opt-in via ICER_RUN_PALLAS_TESTS=1.  The slim-kernel
-# test runs in seconds on the local CPU device and is always on.
-slow_pallas = pytest.mark.skipif(
-    os.environ.get("ICER_RUN_PALLAS_TESTS") != "1",
-    reason="slow interpret-mode kernel; set ICER_RUN_PALLAS_TESTS=1")
+# All tests run interpret-mode on the suite's pinned CPU backend (~20 s
+# total with the small shapes below), so the whole file rides the default
+# tier.
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -23,7 +18,6 @@ from icer_compression_tpu.backend import sequential as S  # noqa: E402
 from icer_compression_tpu.ops import pallas_entropy as PE  # noqa: E402
 
 
-@slow_pallas
 @pytest.mark.parametrize("tiled", [False, True])
 def test_pallas_coder_matches_sequential(rng, tiled):
     L = 160
@@ -127,7 +121,6 @@ def test_slim_kernel_buffer_flush(rng):
     assert kflush.any() and not kflush.all()
 
 
-@slow_pallas
 def test_pallas_coder_golomb_runs(rng):
     # all-zero streams exercise golomb run splitting and flush tails
     L = 128
