@@ -183,6 +183,9 @@ class JaxGrayscaleEncoder:
         self.mag_bits = mag_bits
         self.batch = batch
         self.bitplanes = C.BITPLANES_8 if mag_bits == 7 else C.BITPLANES_16
+        # adaptive speculation: arm the fallback-path host transforms
+        # only after a batch actually needed them (see encode_batch)
+        self._spec_wanted = False
 
         self.groups = _plan_groups(image_w, image_h, stages, segments)
         self.buckets = _plan_buckets(self.groups)
@@ -527,8 +530,9 @@ class JaxGrayscaleEncoder:
                 # real rows, rounded up to the 8-row sublane tile
                 # (unaligned row slices force relayout copies)
                 m = min(lanes, -(-(n - blk * lanes) // 8) * 8)
-                r1, r2, fstate, misc = run(packed[sl].T)
-                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp)
+                r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
+                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
+                                                  ev1, ev2)
                 p, t, f = post(ops.T[:m], keys.T[:m])
                 pls.append(p)
                 tts.append(t)
@@ -623,7 +627,8 @@ class JaxGrayscaleEncoder:
         return fused
 
     # ---- host orchestration --------------------------------------------
-    def encode_batch(self, images: np.ndarray, defer: bool = False):
+    def encode_batch(self, images: np.ndarray, defer: bool = False,
+                     upload_dtype=None):
         """Batched encode of (B, h, w) same-geometry images.
 
         One device round trip for the whole batch; all images' lanes share
@@ -632,7 +637,11 @@ class JaxGrayscaleEncoder:
         (payload_table, ll_mean) pairs.  With ``defer`` the call returns a
         zero-arg collector right after the async dispatch, so a pipelined
         caller can overlap the next batch's upload + compute with this
-        batch's fetch + host unpack.
+        batch's fetch + host unpack.  ``upload_dtype`` pins the upload
+        representation (e.g. np.uint8 for 8-bit serving), skipping the
+        per-call max() scan and making the compiled-program choice
+        deterministic; by default 8-bit-valued unsigned batches
+        auto-downcast.
         """
         B = images.shape[0]
         if B != self.batch:
@@ -643,20 +652,27 @@ class JaxGrayscaleEncoder:
                     self.mag_bits, entropy=self.entropy, batch=B,
                     plane_cuts=self.plane_cuts)
                 self._siblings[B] = sib
-            return sib.encode_batch(images, defer=defer)
+            return sib.encode_batch(images, defer=defer,
+                                    upload_dtype=upload_dtype)
         # 8-bit-valued batches upload as uint8 (half the transfer; the
         # transform widens to int32 on device, so streams are identical)
         up = images
-        if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
+        if upload_dtype is not None:
+            if up.dtype != upload_dtype:
+                up = up.astype(upload_dtype)
+        elif up.dtype.kind == "u" and up.dtype.itemsize > 1 \
                 and up.max() < 256:
             up = up.astype(np.uint8)
         dev = self._fused(self.jnp.asarray(up))
-        # Speculative host transforms: flush-lane fallback (the 2048-word
-        # coder-buffer eviction path) needs the transformed image on
-        # host, and the host DWT was the single largest serialized tail
-        # in the encode trace (~50 ms/image AFTER the fetch).  Start it
-        # in threads now so it overlaps the device time + fetch.
-        spec = self._speculative_transforms(images)
+        # Speculative host transforms: a host-fallback lane (eviction
+        # side-buffer overflow or a payload past its plane cap) needs the
+        # transformed image on host, and the host DWT is ~50 ms/image
+        # AFTER the fetch.  Fallbacks are rare now that the kernel
+        # handles circular-buffer evictions itself, so speculate only
+        # while recent batches actually used the fallback path (the
+        # threads otherwise burn every host core for nothing).
+        spec = (self._speculative_transforms(images)
+                if self._spec_wanted else None)
         if defer:
             return lambda: self._unpack_batch(
                 np.asarray(dev).view(np.uint8), images, spec)
@@ -720,6 +736,7 @@ class JaxGrayscaleEncoder:
             tables[key[0]][key[1:5]] = (
                 out[o:o + (nb + 7) // 8].tobytes(), nb)
 
+        self._spec_wanted = bool(fallback)
         if fallback:
             from ..backend import native_backend
             from ..models.grayscale import transform_for_encode

@@ -426,6 +426,12 @@ def _tail_flush(fk, fnb, jnp, lanes=LANES):
 #   record out1: complete | bin<<1 | k<<6 | cb<<16 | nb<<17
 #   record out2: opening emission index (BIG when no completion)
 
+# eviction side-buffer depth per lane: real content measures <= 6
+# mid-plane circular-buffer evictions per (noisy LSB) lane; lanes that
+# somehow exceed the depth raise the flush flag and take the exact host
+# fallback, so the bound is a fast path, not a correctness limit.
+_NEV = 32
+
 # per-(bin, prefix_len) completion masks: bit v of _CMPL[b][n] set iff the
 # length-n prefix with value v completes a codeword of custom bin b.
 _CMPL = {
@@ -435,19 +441,74 @@ _CMPL = {
 }
 
 
+def _evict_flush_code(bs, amin, jax, jnp, lanes):
+    """Flush-complete the open codeword with allocation ordinal ``amin``.
+
+    The reference's circular-buffer eviction (icer_encoding.c:59-64 ->
+    icer_flush_encode 141-189) force-completes the OLDEST pending word --
+    always the oldest OPEN codeword -- using the same per-bin flush rules
+    as the end-of-plane drain (_tail_flush).  Returns (code, nbits) of
+    the evicted codeword, valid on lanes where some bin's ordinal
+    matches ``amin``."""
+    ek = jnp.zeros((lanes,), jnp.int32)
+    enb = jnp.zeros((lanes,), jnp.int32)
+    ebin = jnp.zeros((lanes,), jnp.int32)
+    for q in range(1, 17):
+        ise = (bs[q, :] & 0x1FFFF) == amin + 1
+        ek = jnp.where(ise, (bs[q, :] >> 17) & 1023, ek)
+        enb = jnp.where(ise, bs[q, :] >> 27, enb)
+        ebin = jnp.where(ise, q, ebin)
+    # golomb bins: k == m-1 flushes to the full-run '1'; else the
+    # bit-reversed partial-run code (icer_encoding.c:155-166)
+    m_e = jnp.ones((lanes,), jnp.int32)
+    l_e = jnp.ones((lanes,), jnp.int32)
+    i_e = jnp.zeros((lanes,), jnp.int32)
+    for gb in range(8, 17):
+        m, l, ii = _GOL[gb]
+        s = ebin == gb
+        m_e = jnp.where(s, m, m_e)
+        l_e = jnp.where(s, l, l_e)
+        i_e = jnp.where(s, ii, i_e)
+    adj = jnp.where(ek < i_e, ek, ek + i_e)
+    gl = l_e + (ek >= i_e).astype(jnp.int32)
+    gcode = jnp.where(ek == m_e - 1, 1, _bitrev16(adj, gl, jnp))
+    gbits = jnp.where(ek == m_e - 1, 1, gl)
+    # custom bins: append the flush bits, then the output LUT
+    # (icer_encoding.c:168-181)
+    fv = jnp.zeros((lanes,), jnp.int32)
+    ccode = jnp.zeros((lanes,), jnp.int32)
+    cbits = jnp.zeros((lanes,), jnp.int32)
+    for b in range(1, 8):
+        s = ebin == b
+        fb = jnp.zeros((lanes,), jnp.int32)
+        for (pv, pn), (av, an) in C.CUSTOM_FLUSH_BITS[b].items():
+            fb = jnp.where((ek == pv) & (enb == pn), av, fb)
+        final = (ek | (fb << enb)) & 31
+        ccode = jnp.where(s, _plookup(_COUT[b], final, jnp), ccode)
+        cbits = jnp.where(s, _plookup(_COBITS[b], final, jnp), cbits)
+        fv = jnp.where(s, fb, fv)
+    code = jnp.where(ebin >= 8, gcode, ccode)
+    nbits = jnp.where(ebin >= 8, gbits, cbits)
+    return code, nbits, ebin
+
+
 def _slim_step(state, w, jax, jnp, lanes):
-    """One emission step of the slim coder.  state = (zt, bs, alloc, flg).
+    """One emission step of the slim coder.
+    state = (zt, bs, alloc, flg, ec).
 
     ``alloc`` is the per-lane codeword allocation counter; bin state
     carries each open codeword's allocation index (+1), so completion
     records emit their output position directly and the mid-plane
-    buffer-flush condition (icer_encoding.c:200-206 / sequential.py
+    circular-buffer eviction (icer_encoding.c:59-64 / sequential.py
     ``used >= buffer_length``: allocating while the oldest un-popped
-    codeword is CIRC_BUF_SIZE allocations behind) folds into ``flg``
-    in-kernel -- the oldest un-popped codeword is always the oldest OPEN
-    one, a 17-way min over the bin states.
+    codeword is CIRC_BUF_SIZE allocations behind) is HANDLED in-kernel --
+    the oldest un-popped codeword is always the oldest OPEN one, a
+    17-way min over the bin states; its flush-completed record is
+    returned as (ev, eo1, eo2) for the caller's bounded side buffer
+    (``ec`` counts eviction records; past the buffer depth the lane
+    sets ``flg`` and falls back to the exact host path).
     """
-    zt, bs, alloc, flg = state
+    zt, bs, alloc, flg, ec = state
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
 
     def sel17(st, cc):
@@ -494,14 +555,32 @@ def _slim_step(state, w, jax, jnp, lanes):
     nb = bsb >> 27
     newly = op1 == 0
     opening = v & newly
-    # buffer-flush check at allocation time: oldest open codeword
-    # CIRC_BUF_SIZE allocations behind the new one
+    # eviction check at allocation time: oldest open codeword
+    # CIRC_BUF_SIZE allocations behind the new one (used == buffer_length
+    # in icer_encoding.c:200-206 alloc_buf)
     amin = jnp.full((lanes,), BIG, jnp.int32)
     for q in range(17):
         opq = bs[q, :] & 0x1FFFF
         amin = jnp.minimum(amin, jnp.where(opq > 0, opq - 1, BIG))
-    flg = flg | (opening
-                 & (amin + C.CIRC_BUF_SIZE <= alloc)).astype(jnp.int32)
+    ev = opening & (amin + C.CIRC_BUF_SIZE <= alloc)
+
+    def do_evict(_):
+        ecode, ebits, ebin = _evict_flush_code(bs, amin, jax, jnp, lanes)
+        # pre-reconstructed (tail-marker) record form + evicted-row clear
+        eo1 = jnp.where(ev, 1 | (ecode << 1) | (ebits << 17) | (1 << 22),
+                        0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
+        bs2 = jnp.where((iota == ebin[None, :]) & ev[None, :], 0, bs)
+        return eo1, bs2
+
+    # evictions are rare (a handful per noisy lane); the scalar cond
+    # skips the ~150-op flush-code construction on non-evicting steps
+    eo1, bs = jax.lax.cond(jnp.any(ev), do_evict,
+                           lambda _: (jnp.zeros((lanes,), jnp.int32), bs),
+                           0)
+    eo2 = jnp.where(ev, amin, BIG)
+    flg = flg | (ev & (ec >= _NEV)).astype(jnp.int32)
+    ec = ec + ev.astype(jnp.int32)
     op1 = jnp.where(newly, alloc + 1, op1)
     alloc = alloc + opening.astype(jnp.int32)
     k = jnp.where(newly, 0, k)
@@ -540,7 +619,7 @@ def _slim_step(state, w, jax, jnp, lanes):
         1 | (bn << 1) | (k << 6) | (cb << 16) | ((nb & 7) << 17),
         0)
     out2 = jnp.where(complete, op1 - 1, BIG)
-    return (zt, bs, alloc, flg), out1, out2
+    return (zt, bs, alloc, flg, ec), out1, out2, ev, eo1, eo2
 
 
 def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
@@ -551,9 +630,11 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
     rec1/rec2: (L, lanes) completion records (see packing table above;
     rec2 is the record's allocation index, BIG when none completes);
     fstate: (17, lanes) final packed bin state for the end-of-plane
-    flush; misc: (8, lanes) with row 0 = mid-plane buffer-flush flag
-    (lane needs the exact host fallback) and row 1 = total codewords
-    allocated.  Feed rec1/rec2/fstate to slim_sort_operands() for the
+    flush; misc: (8, lanes) with row 0 = fallback flag (eviction
+    side-buffer overflow: lane needs the exact host path), row 1 = total
+    codewords allocated, row 2 = eviction count; ev1/ev2: (_NEV, lanes)
+    mid-plane eviction records in the same (op, key) form as the tail
+    rows.  Feed rec1/rec2/fstate/ev1/ev2 to slim_sort_operands() for the
     ordering sort's (ops, keys) streams.
     """
     import jax
@@ -564,7 +645,8 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
     assert L % chunk == 0 and lanes % 128 == 0 and L < (1 << 17)
     ngrid = L // chunk
 
-    def kernel(in_ref, r1_ref, r2_ref, fs_ref, mo_ref, zt_s, bs_s, ms_s):
+    def kernel(in_ref, r1_ref, r2_ref, fs_ref, mo_ref, ev1_ref, ev2_ref,
+               zt_s, bs_s, ms_s, e1_s, e2_s):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -572,33 +654,51 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
             zt_s[:] = jnp.full((17, lanes), 4 | (2 << 16), jnp.int32)
             bs_s[:] = jnp.zeros((17, lanes), jnp.int32)
             ms_s[:] = jnp.zeros((8, lanes), jnp.int32)
+            e1_s[:] = jnp.zeros((_NEV, lanes), jnp.int32)
+            e2_s[:] = jnp.full((_NEV, lanes), BIG, jnp.int32)
+
+        iota_ev = jax.lax.broadcasted_iota(jnp.int32, (_NEV, lanes), 0)
 
         def body(i, state):
             w = in_ref[i, :]
-            state, o1, o2 = _slim_step(state, w, jax, jnp, lanes)
+            state, o1, o2, ev, eo1, eo2 = _slim_step(state, w, jax, jnp,
+                                                     lanes)
             r1_ref[i, :] = o1
             r2_ref[i, :] = o2
+
+            # bounded eviction side rows (rare: guarded store)
+            @pl.when(jnp.any(ev))
+            def _():
+                idx = state[4] - ev.astype(jnp.int32)  # pre-step count
+                wm = (iota_ev == idx[None, :]) & ev[None, :]
+                e1_s[:] = jnp.where(wm, eo1[None, :], e1_s[:])
+                e2_s[:] = jnp.where(wm, eo2[None, :], e2_s[:])
+
             return state
 
-        state = (zt_s[:], bs_s[:], ms_s[1, :], ms_s[0, :])
-        zt, bs, alloc, flg = jax.lax.fori_loop(0, chunk, body, state)
+        state = (zt_s[:], bs_s[:], ms_s[1, :], ms_s[0, :], ms_s[2, :])
+        zt, bs, alloc, flg, ec = jax.lax.fori_loop(0, chunk, body, state)
         zt_s[:] = zt
         bs_s[:] = bs
         ms_s[0, :] = flg
         ms_s[1, :] = alloc
+        ms_s[2, :] = ec
 
         @pl.when(g == ngrid - 1)
         def _():
             fs_ref[:] = bs
             mo_ref[:] = ms_s[:]
+            ev1_ref[:] = e1_s[:]
+            ev2_ref[:] = e2_s[:]
 
     def run_impl(packed):
-        r1, r2, fs, mo = pl.pallas_call(
+        r1, r2, fs, mo, ev1, ev2 = pl.pallas_call(
             kernel,
             grid=(ngrid,),
             out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * 2
             + [jax.ShapeDtypeStruct((17, lanes), jnp.int32),
-               jax.ShapeDtypeStruct((8, lanes), jnp.int32)],
+               jax.ShapeDtypeStruct((8, lanes), jnp.int32)]
+            + [jax.ShapeDtypeStruct((_NEV, lanes), jnp.int32)] * 2,
             in_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
@@ -606,12 +706,15 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
             + [pl.BlockSpec((17, lanes), lambda g: (0, 0),
                             memory_space=pltpu.VMEM),
                pl.BlockSpec((8, lanes), lambda g: (0, 0),
-                            memory_space=pltpu.VMEM)],
+                            memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((_NEV, lanes), lambda g: (0, 0),
+                            memory_space=pltpu.VMEM)] * 2,
             scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 2
-            + [pltpu.VMEM((8, lanes), jnp.int32)],
+            + [pltpu.VMEM((8, lanes), jnp.int32)]
+            + [pltpu.VMEM((_NEV, lanes), jnp.int32)] * 2,
             interpret=interpret,
         )(packed)
-        return r1, r2, fs, mo
+        return r1, r2, fs, mo, ev1, ev2
 
     if interpret:
         def run(packed):
@@ -628,15 +731,17 @@ def pack_emissions(valid, ctx, bit, xp):
             | (bit.astype(xp.int32) << 6))
 
 
-def slim_sort_operands(r1, r2, fstate, jnp):
+def slim_sort_operands(r1, r2, fstate, jnp, ev1=None, ev2=None):
     """Slim kernel outputs -> (ops, keys) for the ordering sort.
 
     Main rows carry the RAW packed r1 record (codeword reconstruction is
     deferred until after the sort + record-prefix slice, so it runs over
     ~25% fewer rows); the 17 end-of-plane flush rows are pre-reconstructed
     from the final bin state (their codes come from the flush tables) and
-    marked with bit 22: 1 | code<<1 | nbits<<17 | 1<<22.  Keys are
-    allocation indices, BIG for rows without a completion.
+    marked with bit 22: 1 | code<<1 | nbits<<17 | 1<<22.  The optional
+    (_NEV, lanes) ``ev1``/``ev2`` mid-plane eviction rows arrive already
+    in that (op, key) form from the kernel and ride along unchanged.
+    Keys are allocation indices, BIG for rows without a completion.
     """
     fop1 = fstate & 0x1FFFF
     fk = (fstate >> 17) & 1023
@@ -646,8 +751,9 @@ def slim_sort_operands(r1, r2, fstate, jnp):
     tail_op = jnp.where(is_open,
                         1 | (tcode << 1) | (tbits << 17) | (1 << 22), 0)
     tail_key = jnp.where(is_open, fop1 - 1, BIG)
-    return (jnp.concatenate([r1, tail_op]),
-            jnp.concatenate([r2, tail_key]))
+    ops = [r1, tail_op] + ([ev1] if ev1 is not None else [])
+    keys = [r2, tail_key] + ([ev2] if ev2 is not None else [])
+    return jnp.concatenate(ops), jnp.concatenate(keys)
 
 
 def slim_decode_op(p2, xp):

@@ -43,7 +43,7 @@ def main():
 
         @jax.jit
         def summed(p, run=run):
-            r1, r2, fs, mo = run(p)
+            r1, r2, fs, mo, ev1, ev2 = run(p)
             return ((r1 % 97).sum() + (r2 % 89).sum() + fs.sum()
                      + mo.sum(),
                     (r1[:, :128] % 97).sum() + (r2[:, :128] % 89).sum())

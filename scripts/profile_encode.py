@@ -99,11 +99,12 @@ def main():
                     return_words=True))
                 for blk in range(nblk):
                     sl = slice(blk * lanes, (blk + 1) * lanes)
-                    r1, r2, fstate, misc = run(packed[sl].T)
+                    r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
                     if depth == 4:
                         acc += r1.sum() + r2.sum() + fstate.sum()
                         continue
-                    ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp)
+                    ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
+                                                      ev1, ev2)
                     p, t, f = post(ops.T, keys.T)
                     acc += p.astype(jnp.int32).sum() + t.sum()
             return padded(acc)

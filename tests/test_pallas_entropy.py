@@ -68,9 +68,10 @@ def test_slim_coder_matches_sequential(rng):
 
     run = PE.make_encode_lanes_slim(L, chunk=64, interpret=True, lanes=LANES)
     with jax.default_device(jax.devices("cpu")[0]):
-        r1, r2, fs, mo = run(
+        r1, r2, fs, mo, ev1, ev2 = run(
             jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
-        ops, keys = map(np.asarray, PE.slim_sort_operands(r1, r2, fs, jnp))
+        ops, keys = map(np.asarray,
+                        PE.slim_sort_operands(r1, r2, fs, jnp, ev1, ev2))
         kflush = np.asarray(mo[0]) != 0
         nalloc = np.asarray(mo[1])
     for lane in list(range(0, LANES, 17)) + [126, 127]:
@@ -88,10 +89,13 @@ def test_slim_coder_matches_sequential(rng):
         assert int(nalloc[lane]) == int((keys[:, lane] != PE.BIG).sum())
 
 
-def test_slim_kernel_buffer_flush(rng):
-    """The in-kernel CIRC_BUF condition fires exactly when the sequential
-    coder's does: one bin held open while >= CIRC_BUF_SIZE codewords
-    allocate behind it."""
+def test_slim_kernel_buffer_eviction(rng):
+    """The in-kernel CIRC_BUF eviction reproduces the sequential coder
+    exactly: one bin held open while >= CIRC_BUF_SIZE codewords allocate
+    behind it forces a mid-plane flush of the oldest open codeword
+    (icer_encoding.c:59-64), now handled inside the kernel (eviction
+    record into the bounded side buffer) instead of flagging a host
+    fallback."""
     # 64 ctx-0 zeros adapt the counters into golomb bins and leave (at
     # least) one run open as the bin index drifts upward; ctx-17
     # (uncoded) emissions then allocate one codeword each behind it
@@ -110,15 +114,27 @@ def test_slim_kernel_buffer_flush(rng):
     run = PE.make_encode_lanes_slim(L, chunk=128, interpret=True,
                                     lanes=LANES)
     with jax.default_device(jax.devices("cpu")[0]):
-        _, _, _, mo = run(
+        r1, r2, fs, mo, ev1, ev2 = run(
             jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
+        ops, keys = map(np.asarray,
+                        PE.slim_sort_operands(r1, r2, fs, jnp, ev1, ev2))
         kflush = np.asarray(mo[0]) != 0
+        nev = np.asarray(mo[2])
+    assert not kflush.any()          # side buffer never overflows here
+    evicted = 0
     for lane in range(0, LANES, 13):
-        _, _, fl = S.encode_emissions(
+        pl_s, nb_s, fl = S.encode_emissions(
             valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
-        assert bool(kflush[lane]) == (fl > 0), lane
+        # eviction counts match the sequential coder's flush_events
+        assert int(nev[lane]) == fl, lane
+        evicted += fl > 0
+        pl, t, f = PE.order_and_pack_lane_slim(
+            ops[:, lane], keys[:, lane], np,
+            max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
+        assert not bool(f)
+        assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s), lane
     # sanity: the construction actually crosses the boundary somewhere
-    assert kflush.any() and not kflush.all()
+    assert evicted and nev.max() >= 1 and not nev.all()
 
 
 def test_pallas_coder_golomb_runs(rng):
