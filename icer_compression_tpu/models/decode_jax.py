@@ -260,6 +260,12 @@ def _run_fused(units, sdata, final=None, defer=False):
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
     from ..ops import wavelet as W
+    from ..ops.encode_jax import _ensure_cache
+
+    # decode-only processes must also land programs in the persistent
+    # compile cache (it was encode-construction-only before: a
+    # decode-first process recompiled every fused program per run)
+    _ensure_cache()
 
     nb = len(sdata)
     padb = -(-(nb + 8) // _STREAM_PAD) * _STREAM_PAD
@@ -655,7 +661,10 @@ def decompress_lanes_batch(streams, config: CodecConfig, dtype=np.uint16,
     right after the async dispatch (pipelining).  ``pack8`` fetches
     pixels 4/word (the decode path's largest transfer) with an on-device
     max check and an exact wide refetch when any pixel exceeds 8 bits;
-    default: on for dtype=uint8, off for uint16."""
+    default: on for dtype=uint8, off for uint16.  The refetch is a full
+    second device pass over the BATCH (the check is batch-global), so
+    leave pack8 off for mixed-depth uint16 content -- it pays off only
+    when >8-bit pixels are rare or absent."""
     return _decode_batch(streams, config, dtype, 1, defer, max_pixels,
                          pack8=pack8)
 

@@ -159,6 +159,15 @@ def compress(image: np.ndarray, config: CodecConfig,
     entropy, threaded over segments); "vectorized" uses the numpy
     data-parallel path (the TPU algorithm prototype).  A custom
     ``encode_plane`` forces the per-plane path.
+
+    Depth note (matches the reference): uint16 inputs code only the
+    BITPLANES_16 = 9 least-significant magnitude bitplanes of the
+    transformed coefficients (icer.h:44-46); wavelet magnitudes above
+    bit 9 -- possible when pixel values approach 2^15 on high-frequency
+    content -- silently lose their MSBs on decode, exactly as
+    lib_icer does.  Round-trips are lossless for typical <= 14-bit
+    content; pinned against the C oracle in
+    tests/test_extremes.py::test_deep_uint16_msb_loss_matches_oracle.
     """
     mag_bits = _mag_bits(image.dtype)
     bitplanes = _bitplanes(mag_bits)

@@ -28,7 +28,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.partition import partition_segments
 from ..core.subbands import dim_low, subband_view
-from ..ops import entropy_jax2, wavelet
+from ..ops import wavelet
 from ..ops.context_model import plane_emissions_lanes
 
 
@@ -93,8 +93,12 @@ class ShardedGrayscaleEncoder:
 
     def __init__(self, mesh, image_w: int, image_h: int, stages: int,
                  filt: int, segments: int, mag_bits: int = 15):
-        # entropy: the production sort-centric coder (ops/entropy_jax2,
-        # the fast XLA formulation; bit-exact, oracle-tested)
+        # entropy: the FLAGSHIP slim pipeline (ops/pallas_entropy
+        # sequential-core kernel + deferred codeword reconstruction +
+        # ordering sort + tree pack -- the same coder the single-chip
+        # fused encoder runs), sharded over the ('data', 'seg') mesh.
+        # On CPU meshes (virtual multi-device tests, dryrun_multichip)
+        # the kernel runs in interpret mode; on TPU meshes it compiles.
         from ..ops.encode_jax import _ensure_cache
         _ensure_cache()
         import jax
@@ -131,7 +135,14 @@ class ShardedGrayscaleEncoder:
             return (wavelet.to_sign_magnitude(img, mag_bits, jnp), ll_mean,
                     overflow)
 
-        def encode_group(img, g, lane_lo, lanes_per_shard):
+        from ..ops import pallas_entropy as PE
+
+        interpret = mesh.devices.flat[0].platform != "tpu"
+        chunk = 256
+
+        def emit_group(img, g, lane_lo, lanes_per_shard):
+            """One image's packed emission words for this shard's lanes:
+            (P * lanes_per_shard, L)."""
             segs = []
             for l in g["lanes"]:
                 sl = jax.lax.slice(img, (l.row, l.col),
@@ -145,44 +156,75 @@ class ShardedGrayscaleEncoder:
                 jnp.asarray(g["sub_codes"]), lane_lo, lanes_per_shard, 0)
             pvalid = jax.lax.dynamic_slice_in_dim(
                 jnp.asarray(g["pix_valid"]), lane_lo, lanes_per_shard, 0)
-            vs, cs, bs = [], [], []
+            ws = []
             for lsb in range(planes):
                 v, c, b = plane_emissions_lanes(batch, codes, pvalid, lsb,
                                                 mag_bits, jnp)
-                vs.append(v)
-                cs.append(c)
-                bs.append(b)
-            valid = jnp.stack(vs)                            # (P, Nl, L)
-            ctx = jnp.stack(cs)
-            bit = jnp.stack(bs)
-            enc1 = lambda v, c, b: entropy_jax2.encode_emissions_sorted(
-                v, c, b, jnp)
-            enc = jax.vmap(jax.vmap(enc1))
-            return enc(valid, ctx, bit)   # payload (P,Nl,cap), total, flush
+                ws.append(PE.pack_emissions(v, c, b, jnp))
+            return jnp.stack(ws).reshape(planes * lanes_per_shard, -1)
+
+        def encode_group(packed, L):
+            """Slim pipeline over (rows, L) packed emission lanes --
+            identical machinery to the single-chip fused encoder's
+            bucket fn: kernel blocks shared across the local batch,
+            ordering sort + record-prefix slice + tree pack."""
+            rows = packed.shape[0]
+            Lk = -(-L // chunk) * chunk
+            Lc = min(Lk, (-(-(3 * L) // 4) + 255) // 256 * 256)
+            cap_bits = ((Lc + 17 * 10 + 255) // 256) * 256
+            if Lk > L:
+                packed = jnp.pad(packed, ((0, 0), (0, Lk - L)))
+            width = min(512, -(-rows // 128) * 128)
+            run = PE.make_encode_lanes_slim(Lk, chunk=chunk, lanes=width,
+                                            interpret=interpret)
+            nblk = -(-rows // width)
+            packed = jnp.pad(packed, ((0, nblk * width - rows), (0, 0)))
+            post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
+                o, k, jnp, max_bits=cap_bits, slice_to=Lc))
+            pls, tts, fls = [], [], []
+            for blk in range(nblk):
+                sl = slice(blk * width, (blk + 1) * width)
+                r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
+                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
+                                                  ev1, ev2)
+                p, t, f = post(ops.T, keys.T)
+                pls.append(p)
+                tts.append(t)
+                fls.append(f | (misc[0] != 0))
+            return (jnp.concatenate(pls)[:rows],
+                    jnp.concatenate(tts)[:rows],
+                    jnp.concatenate(fls)[:rows])
 
         def step(local_images):           # (Bl, H, W) on this device
             seg_idx = jax.lax.axis_index("seg")
             imgs, ll_means, overflows = jax.vmap(transform_one)(local_images)
+            Bl = local_images.shape[0]
             outs = []
             for g in self.groups:
-                lanes_per_shard = len(g["lanes"]) // nseg
-                lane_lo = seg_idx * lanes_per_shard
-
-                def one_image(img, g=g, lane_lo=lane_lo,
-                              lps=lanes_per_shard):
-                    return encode_group(img, g, lane_lo, lps)
-
-                outs.append(jax.vmap(one_image)(imgs))
+                lps = len(g["lanes"]) // nseg
+                lane_lo = seg_idx * lps
+                L = 2 * g["mh"] * g["mw"]
+                packed = jax.vmap(
+                    lambda img, g=g, lane_lo=lane_lo, lps=lps:
+                    emit_group(img, g, lane_lo, lps))(imgs)
+                payload, total, flush = encode_group(
+                    packed.reshape(Bl * planes * lps, -1), L)
+                outs.append((payload.reshape(Bl, planes, lps, -1),
+                             total.reshape(Bl, planes, lps),
+                             flush.reshape(Bl, planes, lps)))
                 # payload: (Bl, P, Nl, cap); totals: (Bl, P, Nl)
             return ll_means, overflows, outs
 
         out_group_spec = (P("data", None, "seg", None),
                           P("data", None, "seg"), P("data", None, "seg"))
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-
+        # axis annotation, and every output here is trivially per-shard
         self._step = jax.jit(shard_map(
             step, mesh=mesh,
             in_specs=P("data", None, None),
             out_specs=(P("data"), P("data"),
                        [out_group_spec] * len(self.groups)),
+            check_vma=False,
         ))
         self._P = P
         self._NamedSharding = NamedSharding

@@ -95,6 +95,16 @@ def main():
             assert all(np.array_equal(d, img) for d in decs)
             print(f"decode B={args.batch} (pack8) warm in "
                   f"{time.time()-t0:.0f} s", flush=True)
+            # the wide (pack8=False) batched program is the exact
+            # fallback for >8-bit pixels in a pack8 serving batch; warm
+            # it too so the first mixed-depth batch doesn't compile at
+            # request time
+            t0 = time.time()
+            decs = decompress_lanes_batch([stream] * args.batch, cfg,
+                                          dtype=np.uint16, pack8=False)
+            assert all(np.array_equal(d, img) for d in decs)
+            print(f"decode B={args.batch} (wide) warm in "
+                  f"{time.time()-t0:.0f} s", flush=True)
 
     if args.quotas:
         for q in (int(x) for x in args.quotas.split(",")):

@@ -42,10 +42,10 @@ def main():
         imgs[0] = img
         enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt, cfg.segments,
                                   15, batch=B, entropy="slim")
-        # serving-mode transfer trims: 8-bit sources upload as uint8
-        # (the transform widens on device) and pixels fetch 4/word with
-        # an exact wide fallback (pack8)
-        imgs_up = imgs.astype(np.uint8) if imgs.max() < 256 else imgs
+        # serving-mode transfer trims ride encode_batch's auto-uint8
+        # upload path (same path bench.py exercises) and the pack8
+        # pixel fetch with its exact wide fallback
+        imgs_up = imgs
 
         def finish(res):
             streams = []

@@ -69,33 +69,38 @@ def main():
     args = ap.parse_args()
 
     onchip = os.environ.get("ICER_RUN_ONCHIP") == "1"
+    # (name, cmd, env, weight): the jax lane gets a double slice -- its
+    # per-trial cost is higher than the host lanes' and the soak target
+    # is >= 1000 jax trials (compiles are excluded from its clock)
     sections = [
-        ("gray", [sys.executable, "tests/fuzz_oracle.py"], {}),
-        ("color", [sys.executable, "tests/fuzz_color_oracle.py"], {}),
+        ("gray", [sys.executable, "tests/fuzz_oracle.py"], {}, 1),
+        ("color", [sys.executable, "tests/fuzz_color_oracle.py"], {}, 1),
         # JAX_PLATFORMS=cpu keeps the CPU section independent of the
         # accelerator backend entirely (axon init hangs when the TPU
         # tunnel is down, even for CPU-device work)
         ("jax", [sys.executable, "tests/fuzz_jax.py"],
-         {"ICER_FUZZ_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"}),
+         {"ICER_FUZZ_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"}, 2),
     ]
     if onchip:
         sections.append(
             ("jax-chip", [sys.executable, "tests/fuzz_jax.py"],
              {"ICER_FUZZ_DECODE_BACKEND": "pallas",
-              "ICER_FUZZ_PLATFORM": "device"}))
-    per = max(30, args.duration // len(sections))
+              "ICER_FUZZ_PLATFORM": "device"}, 1))
+    wsum = sum(s[3] for s in sections)
+    per = max(30, args.duration // wsum)
 
     summary = {"started": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                "duration_budget_s": args.duration, "sections": {}}
     print(f"fuzz_all: {len(sections)} sections x {per}s", flush=True)
-    for name, cmd, env in sections:
-        full = cmd + [str(per)]
+    for name, cmd, env, weight in sections:
+        full = cmd + [str(per * weight)]
         if args.seed is not None:
             full.append(str(args.seed))
         # generous timeout: compile time (jax sections) is outside the
         # harness's own duration accounting
         summary["sections"][name] = run_section(
-            name, full, env, timeout=per + (1200 if "jax" in name else 120))
+            name, full, env,
+            timeout=per * weight + (1200 if "jax" in name else 120))
 
     total_trials = sum(s["trials"] or 0 for s in summary["sections"].values())
     total_fail = sum(s["failures"] or 0 for s in summary["sections"].values())

@@ -64,3 +64,25 @@ def test_vectorized_backend_matches_native(rng):
     cfg = CodecConfig(stages=2, filt=1, segments=3, byte_quota=None)
     assert (G.compress(img, cfg, backend="native")
             == G.compress(img, cfg, backend="vectorized"))
+
+
+def test_deep_uint16_msb_loss_matches_oracle(oracle, rng):
+    """>9-bitplane uint16 content: magnitudes above the BITPLANES_16 = 9
+    coded planes silently lose their MSBs -- a reference behavior
+    (icer.h:44-46), pinned here byte- and pixel-exactly against the C
+    oracle so nobody mistakes it for a codec bug (round-2 test authors
+    did)."""
+    # 12-bit noise: transformed magnitudes pass bit 9 (MSB loss) while
+    # staying clear of the int16 DWT overflow check (full-scale noise
+    # correctly raises INTEGER_OVERFLOW instead, like the reference)
+    img = rng.integers(0, 1 << 12, (64, 64)).astype(np.uint16)
+    cfg = CodecConfig(stages=3, filt=0, segments=4,
+                      byte_quota=64 * 64 * 4)
+    _, cstream = oracle.compress_u16(img, 3, 0, 4, 64 * 64 * 4)
+    stream = G.compress(img, cfg)
+    assert stream == cstream
+    _, cdec = oracle.decompress_u16(cstream, 3, 0, 4, 64 * 64 * 4)
+    dec = np.asarray(G.decompress(stream, cfg))
+    assert np.array_equal(dec, cdec)
+    # and the behavior IS lossy here: the MSB loss is real
+    assert not np.array_equal(dec, img)
