@@ -228,6 +228,38 @@ def main():
                         out.extend(hold())
                         return out
 
+                    # trace-derived per-program device time: immune to
+                    # co-tenant host noise, the stable round-over-round
+                    # comparison metric (VERDICT r2 item 5)
+                    try:
+                        import glob
+                        import shutil
+                        import jax
+
+                        tdir = "/tmp/icer_bench_trace"
+                        shutil.rmtree(tdir, ignore_errors=True)
+                        with jax.profiler.trace(tdir):
+                            enc.encode_batch(imgs)
+                            decompress_lanes_batch(streams, cfg,
+                                                   dtype=np.uint16,
+                                                   pack8=True)
+                        sys.path.insert(0, os.path.join(REPO, "scripts"))
+                        from trace_modules import parse as _parse_mods
+                        mods = []
+                        for _pn, ms, _ops in _parse_mods(tdir):
+                            mods += [d / 1e9 for (_s, d, _n) in ms]
+                        # one encode + one decode module, in issue order
+                        if len(mods) >= 2:
+                            detail["device"] = {
+                                "encode_ms_per_img": round(mods[0] / B, 2),
+                                "decode_ms_per_img": round(mods[1] / B, 2),
+                                "note": ("XLA module self-time from a "
+                                         "jax.profiler capture at B="
+                                         f"{B}"),
+                            }
+                    except Exception as e:  # noqa: BLE001
+                        detail["device_error"] = f"{type(e).__name__}: {e}"
+
                     pstreams = encode_pipe()   # warm + verify
                     decs_p = decode_pipe()
                     pok = (ok

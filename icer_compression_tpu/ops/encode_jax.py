@@ -520,9 +520,14 @@ class JaxGrayscaleEncoder:
             rpad = nblk * lanes - n
             packed = jnp.pad(packed, ((0, rpad), (0, 0)))
 
-            post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
-                o, k, jnp, max_bits=cap_bits, slice_to=Lc,
-                return_words=True))
+            if run.fused_key:
+                post = jax.vmap(lambda o: PE.order_and_pack_lane_packed(
+                    o, jnp, max_bits=cap_bits, slice_to=Lc,
+                    return_words=True))
+            else:
+                post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
+                    o, k, jnp, max_bits=cap_bits, slice_to=Lc,
+                    return_words=True))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * lanes, (blk + 1) * lanes)
@@ -530,14 +535,19 @@ class JaxGrayscaleEncoder:
                 # real rows, rounded up to the 8-row sublane tile
                 # (unaligned row slices force relayout copies)
                 m = min(lanes, -(-(n - blk * lanes) // 8) * 8)
-                r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
-                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
-                                                  ev1, ev2)
-                p, t, f = post(ops.T[:m], keys.T[:m])
+                if run.fused_key:
+                    rec, fstate, misc, ev = run(packed[sl].T)
+                    ops = PE.slim_sort_operand_packed(rec, fstate, ev, jnp)
+                    p, t, f = post(ops.T[:m])
+                else:
+                    r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
+                    ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
+                                                      ev1, ev2)
+                    p, t, f = post(ops.T[:m], keys.T[:m])
                 pls.append(p)
                 tts.append(t)
-                # in-kernel mid-plane buffer-flush flag ORs into the
-                # host-fallback condition
+                # in-kernel mid-plane fallback flag (eviction side-buffer
+                # overflow) ORs into the host-fallback condition
                 fls.append(f | (misc[0, :m] != 0))
             payload = jnp.concatenate(pls)[:n]
             total = jnp.concatenate(tts)[:n]

@@ -492,7 +492,24 @@ def _evict_flush_code(bs, amin, jax, jnp, lanes):
     return code, nbits, ebin
 
 
-def _slim_step(state, w, jax, jnp, lanes):
+# fused-key record packing (see _slim_step): one int32 carries both the
+# ordering-sort key and the class-packed record, so the ordering sort is
+# a single-operand unstable sort and the kernel writes ONE record word
+# per step.  Layout (non-negative: key's top bit is int32 bit 30):
+#   [30:16] allocation-ordinal key (BIG15 = no record -> sorts last)
+#   [15:11] bin
+#   golomb bins:  [10:1] k, [0] cb
+#   custom bins:  [10:6] k (prefix value), [5:3] nb, [0] cb
+#   uncoded bin:  [0] cb
+# Flush completions need NO marker: a golomb flush is identical to a
+# completion with (k, cb=1) -- or (m-1, cb=0) for the full-run case --
+# and a custom flush is a completion whose k is the flush-bit-extended
+# final prefix VALUE with nb=cb=0 (the output LUT is value-keyed).
+BIG15 = 0x7FFF
+BIGPK = BIG15 << 16
+
+
+def _slim_step(state, w, jax, jnp, lanes, fused_key=False):
     """One emission step of the slim coder.
     state = (zt, bs, alloc, flg, ec).
 
@@ -504,9 +521,13 @@ def _slim_step(state, w, jax, jnp, lanes):
     codeword is CIRC_BUF_SIZE allocations behind) is HANDLED in-kernel --
     the oldest un-popped codeword is always the oldest OPEN one, a
     17-way min over the bin states; its flush-completed record is
-    returned as (ev, eo1, eo2) for the caller's bounded side buffer
-    (``ec`` counts eviction records; past the buffer depth the lane
-    sets ``flg`` and falls back to the exact host path).
+    returned for the caller's bounded side buffer (``ec`` counts
+    eviction records; past the buffer depth the lane sets ``flg`` and
+    falls back to the exact host path).
+
+    With ``fused_key`` (stream length + tail rows < 2**15) the return is
+    (state, out, ev, eout) with out/eout single fused-key record words;
+    otherwise (state, out1, out2, ev, eo1, eo2) as two-word records.
     """
     zt, bs, alloc, flg, ec = state
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
@@ -564,21 +585,60 @@ def _slim_step(state, w, jax, jnp, lanes):
         amin = jnp.minimum(amin, jnp.where(opq > 0, opq - 1, BIG))
     ev = opening & (amin + C.CIRC_BUF_SIZE <= alloc)
 
-    def do_evict(_):
-        ecode, ebits, ebin = _evict_flush_code(bs, amin, jax, jnp, lanes)
-        # pre-reconstructed (tail-marker) record form + evicted-row clear
-        eo1 = jnp.where(ev, 1 | (ecode << 1) | (ebits << 17) | (1 << 22),
-                        0)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
-        bs2 = jnp.where((iota == ebin[None, :]) & ev[None, :], 0, bs)
-        return eo1, bs2
+    if fused_key:
+        def do_evict(_):
+            ek = jnp.zeros((lanes,), jnp.int32)
+            enb = jnp.zeros((lanes,), jnp.int32)
+            ebin = jnp.zeros((lanes,), jnp.int32)
+            for q in range(1, 17):
+                ise = (bs[q, :] & 0x1FFFF) == amin + 1
+                ek = jnp.where(ise, (bs[q, :] >> 17) & 1023, ek)
+                enb = jnp.where(ise, bs[q, :] >> 27, enb)
+                ebin = jnp.where(ise, q, ebin)
+            # golomb flush == completion with (k, cb=1), or the full run
+            # (m-1, cb=0); custom flush == completion whose k is the
+            # flush-extended final prefix value with nb = cb = 0
+            em = jnp.ones((lanes,), jnp.int32)
+            for gb in range(8, 17):
+                em = jnp.where(ebin == gb, _GOL[gb][0], em)
+            gpl = (ebin << 11) | (ek << 1) | jnp.where(ek == em - 1, 0, 1)
+            fvv = jnp.zeros((lanes,), jnp.int32)
+            for b_ in range(1, 8):
+                fb = jnp.zeros((lanes,), jnp.int32)
+                for (pv, pn), (av, an) in C.CUSTOM_FLUSH_BITS[b_].items():
+                    fb = jnp.where((ek == pv) & (enb == pn), av, fb)
+                fvv = jnp.where(ebin == b_, fb, fvv)
+            final = (ek | (fvv << enb)) & 31
+            cpl = (ebin << 11) | (final << 6)
+            pl = jnp.where(ebin >= 8, gpl, cpl)
+            eo = jnp.where(ev, (amin << 16) | pl, BIGPK)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
+            bs2 = jnp.where((iota == ebin[None, :]) & ev[None, :], 0, bs)
+            return eo, bs2
 
-    # evictions are rare (a handful per noisy lane); the scalar cond
-    # skips the ~150-op flush-code construction on non-evicting steps
-    eo1, bs = jax.lax.cond(jnp.any(ev), do_evict,
-                           lambda _: (jnp.zeros((lanes,), jnp.int32), bs),
-                           0)
-    eo2 = jnp.where(ev, amin, BIG)
+        # evictions are rare (a handful per noisy lane); the scalar cond
+        # skips the flush-pack construction on non-evicting steps
+        eout, bs = jax.lax.cond(
+            jnp.any(ev), do_evict,
+            lambda _: (jnp.full((lanes,), BIGPK, jnp.int32), bs), 0)
+    else:
+        def do_evict(_):
+            ecode, ebits, ebin = _evict_flush_code(bs, amin, jax, jnp,
+                                                   lanes)
+            # pre-reconstructed (tail-marker) record + evicted-row clear
+            eo1 = jnp.where(ev,
+                            1 | (ecode << 1) | (ebits << 17) | (1 << 22),
+                            0)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
+            bs2 = jnp.where((iota == ebin[None, :]) & ev[None, :], 0, bs)
+            return eo1, bs2
+
+        # evictions are rare (a handful per noisy lane); the scalar cond
+        # skips the ~150-op flush-code construction on non-evicting steps
+        eo1, bs = jax.lax.cond(
+            jnp.any(ev), do_evict,
+            lambda _: (jnp.zeros((lanes,), jnp.int32), bs), 0)
+        eo2 = jnp.where(ev, amin, BIG)
     flg = flg | (ev & (ec >= _NEV)).astype(jnp.int32)
     ec = ec + ev.astype(jnp.int32)
     op1 = jnp.where(newly, alloc + 1, op1)
@@ -610,6 +670,12 @@ def _slim_step(state, w, jax, jnp, lanes):
     bs = wr17(bs, bn,
               jnp.where(complete, 0, op1 | (newk << 17) | (nb2 << 27)), v)
 
+    if fused_key:
+        gpl = (bn << 11) | (k << 1) | cb
+        cpl = (bn << 11) | (k << 6) | ((nb & 7) << 3) | cb
+        pl = jnp.where(isg, gpl, jnp.where(isc, cpl, cb))
+        out = jnp.where(complete, ((op1 - 1) << 16) | pl, BIGPK)
+        return (zt, bs, alloc, flg, ec), out, ev, eout
     # nb is only meaningful for custom bins (<= 4); golomb bins keep
     # incrementing it through long runs, so mask to the 3-bit field --
     # unmasked it would overflow into the tail-marker bit the ordering
@@ -623,19 +689,27 @@ def _slim_step(state, w, jax, jnp, lanes):
 
 
 def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
-                           lanes: int = LANES):
-    """Slim-kernel factory: fn(packed) -> (rec1, rec2, fstate, misc).
+                           lanes: int = LANES, fused_key=None):
+    """Slim-kernel factory.
 
-    packed: (L, lanes) int32 emission words (valid | ctx<<1 | bit<<6).
-    rec1/rec2: (L, lanes) completion records (see packing table above;
-    rec2 is the record's allocation index, BIG when none completes);
+    packed input: (L, lanes) int32 emission words (valid|ctx<<1|bit<<6).
+
+    Fused-key mode (default whenever L + 17 + _NEV < 2**15, i.e. every
+    512-class bucket): fn(packed) -> (rec, fstate, misc, ev) where rec
+    (L, lanes) and ev (_NEV, lanes) are single fused-key record words
+    (see BIG15 packing table above) -- ONE record write per step and a
+    single-operand ordering sort downstream.  Feed rec/fstate/ev to
+    slim_sort_operand_packed().
+
+    Legacy mode (fused_key=False, required for lanes longer than 15-bit
+    keys): fn(packed) -> (rec1, rec2, fstate, misc, ev1, ev2) with rec2
+    the allocation-index key (BIG when no completion); feed to
+    slim_sort_operands().
+
     fstate: (17, lanes) final packed bin state for the end-of-plane
     flush; misc: (8, lanes) with row 0 = fallback flag (eviction
     side-buffer overflow: lane needs the exact host path), row 1 = total
-    codewords allocated, row 2 = eviction count; ev1/ev2: (_NEV, lanes)
-    mid-plane eviction records in the same (op, key) form as the tail
-    rows.  Feed rec1/rec2/fstate/ev1/ev2 to slim_sort_operands() for the
-    ordering sort's (ops, keys) streams.
+    codewords allocated, row 2 = eviction count.
     """
     import jax
     import jax.numpy as jnp
@@ -643,10 +717,18 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
     from jax.experimental.pallas import tpu as pltpu
 
     assert L % chunk == 0 and lanes % 128 == 0 and L < (1 << 17)
+    if fused_key is None:
+        fused_key = L + 17 + _NEV < (1 << 15)
+    assert not fused_key or L + 17 + _NEV < (1 << 15)
     ngrid = L // chunk
 
-    def kernel(in_ref, r1_ref, r2_ref, fs_ref, mo_ref, ev1_ref, ev2_ref,
-               zt_s, bs_s, ms_s, e1_s, e2_s):
+    def kernel(in_ref, *refs):
+        if fused_key:
+            (rc_ref, fs_ref, mo_ref, ev_ref,
+             zt_s, bs_s, ms_s, e1_s) = refs
+        else:
+            (r1_ref, r2_ref, fs_ref, mo_ref, ev1_ref, ev2_ref,
+             zt_s, bs_s, ms_s, e1_s, e2_s) = refs
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -654,25 +736,34 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
             zt_s[:] = jnp.full((17, lanes), 4 | (2 << 16), jnp.int32)
             bs_s[:] = jnp.zeros((17, lanes), jnp.int32)
             ms_s[:] = jnp.zeros((8, lanes), jnp.int32)
-            e1_s[:] = jnp.zeros((_NEV, lanes), jnp.int32)
-            e2_s[:] = jnp.full((_NEV, lanes), BIG, jnp.int32)
+            if fused_key:
+                e1_s[:] = jnp.full((_NEV, lanes), BIGPK, jnp.int32)
+            else:
+                e1_s[:] = jnp.zeros((_NEV, lanes), jnp.int32)
+                e2_s[:] = jnp.full((_NEV, lanes), BIG, jnp.int32)
 
         iota_ev = jax.lax.broadcasted_iota(jnp.int32, (_NEV, lanes), 0)
 
         def body(i, state):
             w = in_ref[i, :]
-            state, o1, o2, ev, eo1, eo2 = _slim_step(state, w, jax, jnp,
-                                                     lanes)
-            r1_ref[i, :] = o1
-            r2_ref[i, :] = o2
+            if fused_key:
+                state, out, ev, eout = _slim_step(state, w, jax, jnp,
+                                                  lanes, fused_key=True)
+                rc_ref[i, :] = out
+            else:
+                state, o1, o2, ev, eout, eo2 = _slim_step(state, w, jax,
+                                                          jnp, lanes)
+                r1_ref[i, :] = o1
+                r2_ref[i, :] = o2
 
             # bounded eviction side rows (rare: guarded store)
             @pl.when(jnp.any(ev))
             def _():
                 idx = state[4] - ev.astype(jnp.int32)  # pre-step count
                 wm = (iota_ev == idx[None, :]) & ev[None, :]
-                e1_s[:] = jnp.where(wm, eo1[None, :], e1_s[:])
-                e2_s[:] = jnp.where(wm, eo2[None, :], e2_s[:])
+                e1_s[:] = jnp.where(wm, eout[None, :], e1_s[:])
+                if not fused_key:
+                    e2_s[:] = jnp.where(wm, eo2[None, :], e2_s[:])
 
             return state
 
@@ -688,40 +779,51 @@ def make_encode_lanes_slim(L: int, chunk: int = 512, interpret=False,
         def _():
             fs_ref[:] = bs
             mo_ref[:] = ms_s[:]
-            ev1_ref[:] = e1_s[:]
-            ev2_ref[:] = e2_s[:]
+            if fused_key:
+                ev_ref[:] = e1_s[:]
+            else:
+                ev1_ref[:] = e1_s[:]
+                ev2_ref[:] = e2_s[:]
+
+    n_rec = 1 if fused_key else 2
+    n_ev = 1 if fused_key else 2
 
     def run_impl(packed):
-        r1, r2, fs, mo, ev1, ev2 = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(ngrid,),
-            out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * 2
+            out_shape=[jax.ShapeDtypeStruct((L, lanes), jnp.int32)] * n_rec
             + [jax.ShapeDtypeStruct((17, lanes), jnp.int32),
                jax.ShapeDtypeStruct((8, lanes), jnp.int32)]
-            + [jax.ShapeDtypeStruct((_NEV, lanes), jnp.int32)] * 2,
+            + [jax.ShapeDtypeStruct((_NEV, lanes), jnp.int32)] * n_ev,
             in_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[pl.BlockSpec((chunk, lanes), lambda g: (g, 0),
-                                    memory_space=pltpu.VMEM)] * 2
+                                    memory_space=pltpu.VMEM)] * n_rec
             + [pl.BlockSpec((17, lanes), lambda g: (0, 0),
                             memory_space=pltpu.VMEM),
                pl.BlockSpec((8, lanes), lambda g: (0, 0),
                             memory_space=pltpu.VMEM)]
             + [pl.BlockSpec((_NEV, lanes), lambda g: (0, 0),
-                            memory_space=pltpu.VMEM)] * 2,
+                            memory_space=pltpu.VMEM)] * n_ev,
             scratch_shapes=[pltpu.VMEM((17, lanes), jnp.int32)] * 2
             + [pltpu.VMEM((8, lanes), jnp.int32)]
-            + [pltpu.VMEM((_NEV, lanes), jnp.int32)] * 2,
+            + [pltpu.VMEM((_NEV, lanes), jnp.int32)] * n_ev,
             interpret=interpret,
         )(packed)
-        return r1, r2, fs, mo, ev1, ev2
+        return tuple(outs)
 
     if interpret:
         def run(packed):
             with jax.default_device(jax.devices("cpu")[0]):
                 return run_impl(packed)
-        return run
-    return jax.jit(run_impl)
+    else:
+        jitted = jax.jit(run_impl)
+
+        def run(packed):
+            return jitted(packed)
+    run.fused_key = fused_key
+    return run
 
 
 def pack_emissions(valid, ctx, bit, xp):
@@ -754,6 +856,107 @@ def slim_sort_operands(r1, r2, fstate, jnp, ev1=None, ev2=None):
     ops = [r1, tail_op] + ([ev1] if ev1 is not None else [])
     keys = [r2, tail_key] + ([ev2] if ev2 is not None else [])
     return jnp.concatenate(ops), jnp.concatenate(keys)
+
+
+def slim_sort_operand_packed(rec, fstate, ev, jnp):
+    """Fused-key kernel outputs -> ONE (L+17+_NEV, lanes) sort operand.
+
+    Appends the 17 end-of-plane flush rows in fused-key record form
+    (golomb flush == completion with (k, cb=1) / full-run (m-1, cb=0);
+    custom flush == completion whose k is the flush-extended final
+    prefix value, nb = cb = 0 -- no marker bit needed, the post-sort
+    reconstruction treats them as ordinary completions) and the kernel's
+    eviction side rows, which are already in that form."""
+    lanes = fstate.shape[-1]
+    fop1 = fstate & 0x1FFFF
+    fk = (fstate >> 17) & 1023
+    fnb = fstate >> 27
+    tail = jnp.full((17, lanes), BIGPK, jnp.int32)
+    for b in range(1, 17):
+        k = fk[b]
+        nb = fnb[b]
+        if b >= 8:
+            m = _GOL[b][0]
+            pl = (b << 11) | (k << 1) | jnp.where(k == m - 1, 0, 1)
+        else:
+            fv = jnp.zeros((lanes,), jnp.int32)
+            for (pv, pn), (av, an) in C.CUSTOM_FLUSH_BITS[b].items():
+                fv = jnp.where((k == pv) & (nb == pn), av, fv)
+            final = (k | (fv << nb)) & 31
+            pl = (b << 11) | (final << 6)
+        row = jnp.where(fop1[b] > 0, ((fop1[b] - 1) << 16) | pl, BIGPK)
+        tail = tail.at[b].set(row)
+    return jnp.concatenate([rec, tail, ev])
+
+
+def slim_decode_packed(w, xp):
+    """Post-sort reconstruction of fused-key records -> (code, nbits).
+
+    Same math as slim_decode_op over the fused-key field layout; flush
+    rows decode as ordinary completions (see slim_sort_operand_packed).
+    Rows must be masked by the caller's record-valid flags."""
+    bn = (w >> 11) & 31
+    isg = bn >= 8
+    isc = (bn >= 1) & (bn <= 7)
+    k = xp.where(isg, (w >> 1) & 1023, (w >> 6) & 31)
+    cb = w & 1
+    nb = xp.where(isc, (w >> 3) & 7, 0)
+
+    m_e = xp.ones(bn.shape, xp.int32)
+    l_e = xp.ones(bn.shape, xp.int32)
+    i_e = xp.zeros(bn.shape, xp.int32)
+    for gb in range(8, 17):
+        m, l, ii = _GOL[gb]
+        m_e = xp.where(bn == gb, m, m_e)
+        l_e = xp.where(bn == gb, l, l_e)
+        i_e = xp.where(bn == gb, ii, i_e)
+    kz = k + (cb == 0)
+    g_run_done = (cb == 0) & (kz >= m_e)
+    adj = xp.where(k < i_e, k, k + i_e)
+    gl = l_e + (k >= i_e)
+    g_code = xp.where(g_run_done, 1, _bitrev16(adj, gl, xp))
+    g_bits = xp.where(g_run_done, 1, gl)
+
+    val = (k | (cb << nb)) & 31
+    ccode = xp.zeros(bn.shape, xp.int32)
+    cbits = xp.zeros(bn.shape, xp.int32)
+    for bb in range(1, 8):
+        s = bn == bb
+        ccode = xp.where(s, _plookup(_COUT[bb], val, xp), ccode)
+        cbits = xp.where(s, _plookup(_COBITS[bb], val, xp), cbits)
+
+    code = xp.where(isg, g_code, xp.where(isc, ccode, cb))
+    nbits = xp.where(isg, g_bits, xp.where(isc, cbits, 1))
+    return code, nbits
+
+
+def order_and_pack_lane_packed(ops, xp, max_bits=None, slice_to=None,
+                               return_words=False):
+    """One fused-key record lane -> (payload, total bits, overflow flag).
+
+    The ordering sort is a SINGLE-operand unstable sort (the key rides
+    bits 30:16 of the record word; BIG15 rows sort last in some order,
+    which is immaterial -- they're masked).  Codeword reconstruction
+    runs on the sliced sorted prefix, like order_and_pack_lane_slim."""
+    from . import entropy_jax2 as E2
+
+    if xp is np:
+        s = np.sort(ops, axis=-1)
+    else:
+        s = xp.sort(ops, axis=-1, stable=False)
+    skey = xp.right_shift(s, 16) & BIG15 if xp is np else (s >> 16)
+    over = xp.zeros((), dtype=bool)
+    if slice_to is not None and slice_to < s.shape[-1]:
+        over = skey[slice_to] != BIG15
+        skey = skey[:slice_to]
+        s = s[:slice_to]
+    rv = skey != BIG15
+    c2, n2 = slim_decode_packed(s, xp)
+    payload, total, over2 = E2.pack_records_tree(c2, n2, rv, xp,
+                                                 max_bits=max_bits,
+                                                 with_overflow=True,
+                                                 return_words=return_words)
+    return payload, total, over | over2
 
 
 def slim_decode_op(p2, xp):

@@ -179,15 +179,25 @@ class ShardedGrayscaleEncoder:
                                             interpret=interpret)
             nblk = -(-rows // width)
             packed = jnp.pad(packed, ((0, nblk * width - rows), (0, 0)))
-            post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
-                o, k, jnp, max_bits=cap_bits, slice_to=Lc))
+            if run.fused_key:
+                post = jax.vmap(lambda o: PE.order_and_pack_lane_packed(
+                    o, jnp, max_bits=cap_bits, slice_to=Lc))
+            else:
+                post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
+                    o, k, jnp, max_bits=cap_bits, slice_to=Lc))
             pls, tts, fls = [], [], []
             for blk in range(nblk):
                 sl = slice(blk * width, (blk + 1) * width)
-                r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
-                ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
-                                                  ev1, ev2)
-                p, t, f = post(ops.T, keys.T)
+                if run.fused_key:
+                    rec, fstate, misc, ev = run(packed[sl].T)
+                    ops = PE.slim_sort_operand_packed(rec, fstate, ev,
+                                                      jnp)
+                    p, t, f = post(ops.T)
+                else:
+                    r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
+                    ops, keys = PE.slim_sort_operands(r1, r2, fstate,
+                                                      jnp, ev1, ev2)
+                    p, t, f = post(ops.T, keys.T)
                 pls.append(p)
                 tts.append(t)
                 fls.append(f | (misc[0] != 0))

@@ -43,10 +43,10 @@ def main():
 
         @jax.jit
         def summed(p, run=run):
-            r1, r2, fs, mo, ev1, ev2 = run(p)
-            return ((r1 % 97).sum() + (r2 % 89).sum() + fs.sum()
-                     + mo.sum(),
-                    (r1[:, :128] % 97).sum() + (r2[:, :128] % 89).sum())
+            outs = run(p)
+            rec, fs, mo = outs[0], outs[-3], outs[-2]
+            return ((rec % 97).sum() + fs.sum() + mo.sum(),
+                    (rec[:, :128] % 97).sum())
 
         t0 = time.time()
         chk, chk128 = (np.asarray(x) for x in summed(packed))

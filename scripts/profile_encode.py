@@ -94,18 +94,17 @@ def main():
                 rpad = nblk * lanes - n
                 packed = jnp.pad(packed, ((0, rpad), (0, 0)))
                 cap_bits = ((3 * Lc // 2 + 17 * 10 + 255) // 256) * 256
-                post = jax.vmap(lambda o, k: PE.order_and_pack_lane_slim(
-                    o, k, jnp, max_bits=cap_bits,
+                post = jax.vmap(lambda o: PE.order_and_pack_lane_packed(
+                    o, jnp, max_bits=cap_bits,
                     return_words=True))
                 for blk in range(nblk):
                     sl = slice(blk * lanes, (blk + 1) * lanes)
-                    r1, r2, fstate, misc, ev1, ev2 = run(packed[sl].T)
+                    rec, fstate, misc, ev = run(packed[sl].T)
                     if depth == 4:
-                        acc += r1.sum() + r2.sum() + fstate.sum()
+                        acc += rec.sum() + fstate.sum()
                         continue
-                    ops, keys = PE.slim_sort_operands(r1, r2, fstate, jnp,
-                                                      ev1, ev2)
-                    p, t, f = post(ops.T, keys.T)
+                    ops = PE.slim_sort_operand_packed(rec, fstate, ev, jnp)
+                    p, t, f = post(ops.T)
                     acc += p.astype(jnp.int32).sum() + t.sum()
             return padded(acc)
 

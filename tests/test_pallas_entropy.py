@@ -50,10 +50,12 @@ def test_pallas_coder_matches_sequential(rng, tiled):
         assert (bytes(payload[lane][: (nb + 7) // 8]), nb) == (pl_s, nb_s)
 
 
-def test_slim_coder_matches_sequential(rng):
+@pytest.mark.parametrize("fused", [True, False])
+def test_slim_coder_matches_sequential(rng, fused):
     """Slim kernel (packed IO, deferred codeword construction, in-kernel
-    alloc indices + buffer-flush flag) + slim_records +
-    order_and_pack_lane_slim vs the sequential reference coder."""
+    alloc indices) + ordering sort + pack vs the sequential reference
+    coder, in both record formats (fused-key single word / legacy
+    two-word)."""
     L = 256
     LANES = 128
     ctx = rng.integers(0, 18, (L, LANES)).astype(np.int32)
@@ -66,18 +68,29 @@ def test_slim_coder_matches_sequential(rng):
     ctx[:, -4:] = 0
     bit[:, -4:] = 0
 
-    run = PE.make_encode_lanes_slim(L, chunk=64, interpret=True, lanes=LANES)
+    run = PE.make_encode_lanes_slim(L, chunk=64, interpret=True,
+                                    lanes=LANES, fused_key=fused)
     with jax.default_device(jax.devices("cpu")[0]):
-        r1, r2, fs, mo, ev1, ev2 = run(
-            jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
-        ops, keys = map(np.asarray,
-                        PE.slim_sort_operands(r1, r2, fs, jnp, ev1, ev2))
+        outs = run(jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
+        if fused:
+            rec, fs, mo, ev = outs
+            ops = np.asarray(PE.slim_sort_operand_packed(rec, fs, ev, jnp))
+            nrec = (ops >> 16 != PE.BIG15).sum(axis=0)
+        else:
+            r1, r2, fs, mo, ev1, ev2 = outs
+            ops, keys = map(np.asarray, PE.slim_sort_operands(
+                r1, r2, fs, jnp, ev1, ev2))
+            nrec = (keys != PE.BIG).sum(axis=0)
         kflush = np.asarray(mo[0]) != 0
         nalloc = np.asarray(mo[1])
+    mb = ((3 * L // 2 + 170 + 255) // 256) * 256
     for lane in list(range(0, LANES, 17)) + [126, 127]:
-        pl, t, f = PE.order_and_pack_lane_slim(
-            ops[:, lane], keys[:, lane], np,
-            max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
+        if fused:
+            pl, t, f = PE.order_and_pack_lane_packed(ops[:, lane], np,
+                                                     max_bits=mb)
+        else:
+            pl, t, f = PE.order_and_pack_lane_slim(
+                ops[:, lane], keys[:, lane], np, max_bits=mb)
         pl_s, nb_s, fl = S.encode_emissions(
             valid[:, lane] != 0, ctx[:, lane], bit[:, lane])
         assert bool(kflush[lane]) == (fl > 0)
@@ -86,7 +99,7 @@ def test_slim_coder_matches_sequential(rng):
         assert not bool(f)
         assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s)
         # the allocation counter counts every real record (incl. tails)
-        assert int(nalloc[lane]) == int((keys[:, lane] != PE.BIG).sum())
+        assert int(nalloc[lane]) == int(nrec[lane])
 
 
 def test_slim_kernel_buffer_eviction(rng):
@@ -113,11 +126,11 @@ def test_slim_kernel_buffer_eviction(rng):
 
     run = PE.make_encode_lanes_slim(L, chunk=128, interpret=True,
                                     lanes=LANES)
+    assert run.fused_key
     with jax.default_device(jax.devices("cpu")[0]):
-        r1, r2, fs, mo, ev1, ev2 = run(
+        rec, fs, mo, ev = run(
             jnp.asarray(PE.pack_emissions(valid, ctx, bit, np)))
-        ops, keys = map(np.asarray,
-                        PE.slim_sort_operands(r1, r2, fs, jnp, ev1, ev2))
+        ops = np.asarray(PE.slim_sort_operand_packed(rec, fs, ev, jnp))
         kflush = np.asarray(mo[0]) != 0
         nev = np.asarray(mo[2])
     assert not kflush.any()          # side buffer never overflows here
@@ -128,8 +141,8 @@ def test_slim_kernel_buffer_eviction(rng):
         # eviction counts match the sequential coder's flush_events
         assert int(nev[lane]) == fl, lane
         evicted += fl > 0
-        pl, t, f = PE.order_and_pack_lane_slim(
-            ops[:, lane], keys[:, lane], np,
+        pl, t, f = PE.order_and_pack_lane_packed(
+            ops[:, lane], np,
             max_bits=((3 * L // 2 + 170 + 255) // 256) * 256)
         assert not bool(f)
         assert (bytes(pl[: (int(t) + 7) // 8]), int(t)) == (pl_s, nb_s), lane
