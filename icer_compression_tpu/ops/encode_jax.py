@@ -230,6 +230,7 @@ class JaxGrayscaleEncoder:
         # rows in lane_keys order.
         n = self.n_lanes
         self._row_off = np.empty(n, np.int64)
+        self._row_capb = np.empty(n, np.int64)
         r = 0
         off = 0
         for b in self.buckets:
@@ -248,6 +249,7 @@ class JaxGrayscaleEncoder:
                             base = off + band[pi] + img_i * N * cb
                             for li in range(N):
                                 self._row_off[r] = base + li * cb
+                                self._row_capb[r] = cb
                                 r += 1
                     off += band[-1]
             else:
@@ -258,9 +260,38 @@ class JaxGrayscaleEncoder:
                     * len(self.groups[gi]["lanes"]) for gi in b["groups"])
                 for k in range(rows_b):
                     self._row_off[r] = off + k * capb
+                    self._row_capb[r] = capb
                     r += 1
                 off += rows_b * capb
         assert r == n
+        # Compacted payload fetch: every lane's payload cap (and hence
+        # row offset) is a multiple of the 32-byte / 8-word tile, so the
+        # device program can gather each lane's ACTUAL payload tiles
+        # into a dense blob sized by a static budget -- caps pad the
+        # full layout ~2x over real streams, and the fetch is the encode
+        # path's largest transfer.  A batch whose true tile total
+        # exceeds the budget sets an overflow count in the meta row and
+        # the host refetches through the full-layout program (exact,
+        # rare; lazily compiled).
+        assert (self._row_off % 32 == 0).all() \
+            and (self._row_capb % 32 == 0).all()
+        self._tile_off = (self._row_off // 32).astype(np.int32)
+        self._cap_tiles = (self._row_capb // 32).astype(np.int32)
+        total_cap_tiles = int(off // 32)
+        factor = float(os.environ.get("ICER_FETCH_BUDGET", "0.62"))
+        # compaction only pays when the full layout exceeds the 1 MiB
+        # fetch floor (small geometries pad to it regardless, and skipping
+        # them avoids double-compiling tiny test programs); the floor is
+        # env-overridable so tests can exercise the path on small shapes
+        floor_w = int(os.environ.get("ICER_COMPACT_FLOOR", str(1 << 18)))
+        self._compact = (os.environ.get("ICER_COMPACT_FETCH", "1") != "0"
+                         and factor < 1.0
+                         and total_cap_tiles * 8 > floor_w)
+        self._budget_tiles = min(
+            total_cap_tiles,
+            -(-int(factor * total_cap_tiles) // 8) * 8)
+        self._total_cap_tiles = total_cap_tiles
+        self._fused_full = None     # lazy full-layout fallback program
         self._siblings: dict[int, JaxGrayscaleEncoder] = {}
         self._transform = jax.jit(self._transform_fn)
 
@@ -574,7 +605,7 @@ class JaxGrayscaleEncoder:
 
         return fn
 
-    def _make_fused_fn(self):
+    def _make_fused_fn(self, compact=None):
         jnp = self.jnp
         emit_fns = [
             self._make_emit_fn(g, cut) if cut[0] < cut[1] else None
@@ -620,14 +651,48 @@ class JaxGrayscaleEncoder:
             # device (uint8 stacks/concats force costly relayouts on TPU)
             # and the host reinterprets the little-endian words as the
             # byte stream.
-            meta = jnp.concatenate([
-                nbits, flush,
-                ll_mean.astype(jnp.int32),
-                overflow.astype(jnp.int32),
-            ])
-            out = jnp.concatenate(
-                [meta] + [p.astype(jnp.int32).reshape(-1)
-                          for p in payloads])
+            pw = jnp.concatenate([p.astype(jnp.int32).reshape(-1)
+                                  for p in payloads])
+            do_compact = self._compact if compact is None else compact
+            if do_compact:
+                # Gather each lane's ACTUAL payload tiles (8-word rows of
+                # the caps-padded layout) into a dense budget-sized blob:
+                # the fetch is the encode path's largest transfer and the
+                # caps pad ~2x over real streams.  lane_of(o) = index of
+                # the last lane whose exclusive-cumsum tile offset <= o
+                # (one tiny scatter-add + cumsum); the row gather itself
+                # is one contiguous 32-byte copy per tile
+                # (scripts/probe_gather.py).
+                BT = self._budget_tiles
+                tiles = jnp.clip((nbits + 255) >> 8, 0,
+                                 jnp.asarray(self._cap_tiles))   # (n,)
+                toff = jnp.cumsum(tiles) - tiles            # exclusive
+                total = toff[-1] + tiles[-1]
+                mark = jnp.zeros((BT,), jnp.int32).at[
+                    jnp.clip(toff, 0, BT - 1)].add(1)
+                lane_of = jnp.cumsum(mark) - 1              # (BT,)
+                src = (jnp.asarray(self._tile_off)[lane_of]
+                       + jnp.arange(BT, dtype=jnp.int32)
+                       - toff[lane_of])
+                pt = pw.reshape(-1, 8)
+                dense = pt[jnp.clip(src, 0, pt.shape[0] - 1)]
+                meta = jnp.concatenate([
+                    nbits, flush,
+                    ll_mean.astype(jnp.int32),
+                    overflow.astype(jnp.int32),
+                    total[None].astype(jnp.int32),
+                ])
+                padm = (-meta.shape[0]) % 8    # 32B-align the dense blob
+                out = jnp.concatenate([
+                    meta, jnp.zeros((padm,), jnp.int32),
+                    dense.reshape(-1)])
+            else:
+                meta = jnp.concatenate([
+                    nbits, flush,
+                    ll_mean.astype(jnp.int32),
+                    overflow.astype(jnp.int32),
+                ])
+                out = jnp.concatenate([meta, pw])
             # Single >=1MiB output: tiny fetches stall on tunnel-attached
             # TPUs (see __init__).
             if out.shape[0] < (1 << 18):
@@ -715,11 +780,13 @@ class JaxGrayscaleEncoder:
         return self.encode_batch(image[None])[0]
 
     def _unpack_batch(self, out: np.ndarray, images: np.ndarray,
-                      spec=None):
+                      spec=None, compact=None):
         n = self.n_lanes
         B = self.batch
-        meta_bytes = 4 * (2 * n + 2 * B)
-        meta = out[:meta_bytes].view(np.int32)
+        compact = self._compact if compact is None else compact
+        mw = 2 * n + 2 * B + (1 if compact else 0)
+        meta_bytes = 4 * (-(-mw // 8) * 8 if compact else mw)
+        meta = out[:4 * mw].view(np.int32)
         nbits = meta[:n]
         flush = meta[n:2 * n]
         ll_means = meta[2 * n:2 * n + B]
@@ -731,8 +798,30 @@ class JaxGrayscaleEncoder:
             if int(ll_means[i]) > (1 << self.mag_bits) - 1:
                 raise IcerError(IcerStatus.INTEGER_OVERFLOW, "ll mean")
 
-        # per-lane payload rows at their static offsets (see __init__)
-        row_off = meta_bytes + self._row_off
+        if compact:
+            total_tiles = int(meta[2 * n + 2 * B])
+            if total_tiles > self._budget_tiles:
+                # the batch's true payload exceeded the fetch budget:
+                # refetch through the full-layout program (exact; lazily
+                # compiled -- a rare content class pays one compile)
+                if self._fused_full is None:
+                    self._fused_full = self.jax.jit(
+                        self._make_fused_fn(compact=False))
+                up = images
+                if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
+                        and up.max() < 256:
+                    up = up.astype(np.uint8)
+                out = np.asarray(
+                    self._fused_full(self.jnp.asarray(up))).view(np.uint8)
+                return self._unpack_batch(out, images, spec,
+                                          compact=False)
+            tiles = np.clip((nbits.astype(np.int64) + 255) >> 8, 0,
+                            self._cap_tiles)
+            toff = np.cumsum(tiles) - tiles
+            row_off = meta_bytes + toff * 32
+        else:
+            # per-lane payload rows at their static offsets (__init__)
+            row_off = meta_bytes + self._row_off
 
         tables: list[dict[tuple, tuple[bytes, int]]] = [
             {} for _ in range(B)]

@@ -121,3 +121,35 @@ def test_compress_yuv_jax_quota_classes(rng):
                               byte_quota=quota)
             assert (compress_yuv_jax(*chans, cfg)
                     == compress_yuv(*chans, cfg)), quota
+
+
+def test_encode_batch_compact_fetch_and_refetch(rng, monkeypatch):
+    """Compacted payload fetch (device tile gather sized by a static
+    budget) and its overflow refetch through the full-layout program are
+    both byte-exact.  The floor override lets the path run on a small
+    geometry; a 5% budget forces the overflow on the second encoder."""
+    from icer_compression_tpu.ops.encode_jax import JaxGrayscaleEncoder
+
+    monkeypatch.setenv("ICER_COMPACT_FLOOR", "0")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        imgs = np.stack([
+            make_test_image(40, 40, rng, dtype=np.uint16),
+            make_test_image(40, 40, rng, dtype=np.uint16, noise=200),
+        ])
+        cfg = CodecConfig(stages=2, filt=0, segments=3,
+                          byte_quota=40 * 40 * 2)
+        refs = [G.compress(imgs[i], cfg) for i in range(2)]
+
+        enc = JaxGrayscaleEncoder(40, 40, 2, 0, 3, 15, entropy="sorted",
+                                  batch=2)
+        assert enc._compact
+        for i, (table, ll) in enumerate(enc.encode_batch(imgs)):
+            assert _stream_from_table(table, ll, 40, 40, cfg) == refs[i]
+
+        monkeypatch.setenv("ICER_FETCH_BUDGET", "0.05")
+        enc2 = JaxGrayscaleEncoder(40, 40, 2, 0, 3, 15, entropy="sorted",
+                                   batch=2)
+        for i, (table, ll) in enumerate(enc2.encode_batch(imgs)):
+            assert _stream_from_table(table, ll, 40, 40, cfg) == refs[i]
+        assert enc2._fused_full is not None  # the refetch actually ran
