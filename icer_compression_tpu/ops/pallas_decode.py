@@ -269,11 +269,21 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         # add, replacing the former (17, LANES) bn_idx state and its
         # select/write chains; tile_body clamps ages at CIRC_BUF_SIZE
         # (the test is >=) so the 13-bit field cannot wrap.
-        def decode_bit(st, ctx, act, cat3):
+        def sel_rows(st, cc, lo, hi):
+            out = jnp.zeros((LANES,), jnp.int32)
+            for k in range(lo, hi):
+                out = jnp.where(cc == k, st[k, :], out)
+            return out
+
+        def decode_bit(st, ctx, act, cat3, zlo=0, zhi=12):
+            # zlo/zhi bound the context-counter select/write chains:
+            # magnitude bits only touch contexts 0..11, the (cond-gated)
+            # sign pass only 12..16 -- splitting the 17-row chains saves
+            # ~25 vector ops on every magnitude bit
             (zt, nl, pos, erri) = st
             err = erri != 0
             m = act & ~err
-            ztc = sel17(zt, ctx)
+            ztc = sel_rows(zt, ctx, zlo, zhi)
             zc0 = ztc & 511
             tc0 = jax.lax.shift_right_logical(ztc, 9)
             zc = jnp.where(cat3, 1, zc0)
@@ -399,6 +409,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             err = err | (err2_i != 0)
             erri = jnp.where(err, 1, erri).astype(jnp.int32)
             pos = jnp.where(okany, pos + adv, pos)
+
             # one decoded word: every bin's stack ages by one (the write
             # below resets the refilled bin's age to zero)
             nl = nl + jnp.where(okany, jnp.int32(1) << 19, 0)[None, :]
@@ -516,8 +527,20 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 # access becomes a fixed vreg row read/write instead of an
                 # 8/10-way select chain -- the single largest per-bit op
                 # count in this kernel (~130 vector ops/pixel).
-                iota24 = jax.lax.broadcasted_iota(jnp.int32, (24, LANES), 0)
-                iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+                #
+                # In-loop writebacks are REGISTER-CARRIED: the only
+                # updated rows any later pixel reads are the PREVIOUS
+                # column's significance/sign (cs_t[j+7] / cg_t[j+7] =
+                # last iteration's cs_row/cg_row), so those ride scalar
+                # rows and the 8 updated rows write back ONCE per tile
+                # as a stacked block -- the former per-pixel one-hot
+                # strip selects (iota24/iota8 where-chains) were ~112
+                # vreg ops/pixel, more than decode_bit itself.
+                prev_cs = cs_t[7, :]
+                prev_cg = cg_t[7, :]
+                cs_rows = []
+                cg_rows = []
+                seg_rows = []
                 for j in range(8):
                     c = t * 8 + j
                     act = (r < h_l) & (c < w_l)
@@ -532,8 +555,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                            + (mq >= 4) + (mq >= 8))
 
                     # neighbor counts from buffers (index j+8 == column
-                    # c relative to the loaded 24-row strips)
-                    hc = cs_t[j + 7, :] + cp_t[j + 9, :]
+                    # c relative to the loaded 24-row strips; the c-1
+                    # column's updated rows are the carried prev_*)
+                    hc = prev_cs + cp_t[j + 9, :]
                     vc = as_t[j + 8, :] + bp_t[j + 8, :]
                     dc = (as_t[j + 7, :] + bp_t[j + 7, :]
                           + as_t[j + 9, :] + bp_t[j + 9, :])
@@ -566,13 +590,14 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     sgn_act = ok & (cat == 0) & (bit == 1)
 
                     def sign_pass(st):
-                        sh = (2 + cg_t[j + 7, :] + pg_t[j + 9, :])
+                        sh = (2 + prev_cg + pg_t[j + 9, :])
                         sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
                         sh2 = jnp.where(is_hl, sv, sh)
                         sv2 = jnp.where(is_hl, sh, sv)
                         sctx, pred = _sign_formula(sh2, sv2, jnp)
                         st, agree = decode_bit(st, sctx, sgn_act,
-                                               sgn_act & ~sgn_act)
+                                               sgn_act & ~sgn_act,
+                                               zlo=12, zhi=17)
                         return st + (agree, pred)
 
                     res = jax.lax.cond(
@@ -591,21 +616,17 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     # already-significant keep their prev-plane sign
                     cg_row = jnp.where(ok2, -actual, cg_t[j + 8, :])
 
-                    # write back pixel + buffer columns (24-row strips,
-                    # column c is index j+8).  One-hot row masks: value
-                    # scatter/dynamic_update_slice do not lower to Mosaic,
-                    # and iota==const stays a vector op in the jaxpr
-                    cs_t = jnp.where(iota24 == (j + 8), cs_row[None, :],
-                                     cs_t)
-                    cg_t = jnp.where(iota24 == (j + 8), cg_row[None, :],
-                                     cg_t)
-                    seg_tile = jnp.where(iota8 == j,
-                                         jnp.where(ok, newv, v)[None, :],
-                                         seg_tile)
+                    # carry this column's updated rows to the next pixel;
+                    # the strip blocks write back once per tile below
+                    prev_cs = cs_row
+                    prev_cg = cg_row
+                    cs_rows.append(cs_row)
+                    cg_rows.append(cg_row)
+                    seg_rows.append(jnp.where(ok, newv, v))
 
-                out_ref[pl.ds(base, 8), :] = seg_tile
-                buf_ref[1, pl.ds(t * 8, 24), :] = cs_t
-                buf_ref[5, pl.ds(t * 8, 24), :] = cg_t
+                out_ref[pl.ds(base, 8), :] = jnp.stack(seg_rows)
+                buf_ref[1, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cs_rows)
+                buf_ref[5, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cg_rows)
                 # saturate bin ages at CIRC_BUF_SIZE (the staleness test
                 # is >=): ages grow <= 16 per tile, so a per-tile clamp
                 # keeps the 12-bit field from ever wrapping

@@ -182,3 +182,75 @@ def test_pallas_decode_multitile(rng):
     out = np.asarray(out).reshape(Hmax, Wpad, n)
     assert not np.asarray(err).any()
     assert np.array_equal(out, ref)
+
+
+def test_pallas_decode_skewed_bin16(rng):
+    """A long all-zero plane adapts a context's counters to the maximum
+    skew, reaching entropy bin 16 -- a regression pin for the binary
+    -search bin selection (its 4 levels cover counts 0..15; the 16th
+    cutoff needs the final bn==15 test)."""
+    n = PD.LANES
+    Hmax, Wpad = 32, 32        # 1024 px: bin 16 needs ~750+ same-ctx zeros
+    mag_bits = 7
+    lsb_v = 1
+    h = np.full(n, Hmax, np.int32)
+    w = np.full(n, Wpad, np.int32)
+    subband = np.tile(np.arange(4, dtype=np.int32), n // 4)
+
+    full = np.zeros((Hmax, Wpad, n), np.int32)   # all-insignificant
+    # a couple of mixed lanes so not every lane is the skewed case
+    for lane in (5, 77):
+        mg = rng.integers(0, 1 << mag_bits, (Hmax, Wpad))
+        sg = rng.integers(0, 2, (Hmax, Wpad))
+        full[:, :, lane] = mg | (sg << mag_bits)
+
+    payloads = [_encode_plane(full[:, :, lane], int(subband[lane]),
+                              lsb_v, mag_bits) for lane in range(n)]
+
+    magmask = (1 << mag_bits) - 1
+    seg0 = (full & magmask & ~((1 << (lsb_v + 1)) - 1)).astype(np.int32)
+    sig_above = (seg0 & magmask) != 0
+    seg0 |= np.where(sig_above, full & (1 << mag_bits), 0)
+
+    maxb = max(len(p) for p, _ in payloads) + 8
+    data = np.zeros((n, maxb), np.uint8)
+    readable = np.zeros(n, np.int64)
+    ebits = np.zeros(n, np.int64)
+    for lane, (p, nb) in enumerate(payloads):
+        data[lane, :len(p)] = np.frombuffer(bytes(p), np.uint8)
+        readable[lane] = len(p)
+        ebits[lane] = nb
+    ref = seg0.copy()
+    dec = DL.LaneDecoders(data, readable, ebits)
+    ok_ref = DL.decode_plane_lanes(ref, h, w, subband,
+                                   np.full(n, lsb_v, np.int32),
+                                   np.full(n, mag_bits, np.int32), dec,
+                                   np.ones(n, bool))
+    assert ok_ref.all()
+
+    NW = max(16, ((maxb + 3) // 4 + 7) // 8 * 8)
+    wbytes = np.zeros((NW * 4, n), np.uint8)
+    for lane in range(n):
+        wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
+    words = (wbytes[0::4].astype(np.int64)
+             | (wbytes[1::4].astype(np.int64) << 8)
+             | (wbytes[2::4].astype(np.int64) << 16)
+             | (wbytes[3::4].astype(np.int64) << 24))
+    words = (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    geom = np.zeros((8, n), np.int32)
+    geom[0] = h
+    geom[1] = w
+    geom[2] = subband
+    geom[3] = lsb_v
+    geom[4] = mag_bits
+    geom[5] = 1
+    geom[6] = ebits
+    geom[7] = readable * 8
+
+    run = PD.make_decode_plane_pallas(Hmax * Wpad, Wpad, NW,
+                                      interpret=True)
+    out, err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
+                         jnp.asarray(seg0.reshape(Hmax * Wpad, n)))
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out).reshape(Hmax, Wpad, n), ref)
