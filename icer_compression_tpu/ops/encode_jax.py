@@ -499,10 +499,12 @@ class JaxGrayscaleEncoder:
         Lk = -(-Lb // chunk) * chunk
         Lc = min(Lk, (-(-(3 * Lb) // 4) + 255) // 256 * 256)
         # Lane-block width: wider rows are ~free per step (ALU-latency-
-        # bound serial chain, measured flat 128..1024 lanes), so batch
-        # mode widens the blocks to absorb all images' lanes.
-        width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) \
-            or min(2048, 512 * self.batch)
+        # bound serial chain, measured flat 128..1024 lanes and only
+        # mildly super-linear to 3072), so the block absorbs ALL the
+        # bucket's lanes up to a 3072 cap -- one sequential pass per
+        # bucket instead of ceil(rows/2048) (B=14 on-chip A/B: 2 blocks
+        # at 2048 -> 1 at 3072 took ~9% off the fused encode wall).
+        width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) or 3072
         # payload cap ~1 bit per compacted emission slot (+ flush slack):
         # covers every real stream comfortably (boat.512's densest lane
         # runs 0.91 b/slot); adversarial expansion beyond it lands in the
