@@ -232,7 +232,6 @@ def main():
                     # co-tenant host noise, the stable round-over-round
                     # comparison metric (VERDICT r2 item 5)
                     try:
-                        import glob
                         import shutil
                         import jax
 
@@ -248,8 +247,12 @@ def main():
                         mods = []
                         for _pn, ms, _ops in _parse_mods(tdir):
                             mods += [d / 1e9 for (_s, d, _n) in ms]
-                        # one encode + one decode module, in issue order
-                        if len(mods) >= 2:
+                        # exactly one encode + one decode module in issue
+                        # order; a refetch (fetch-budget overflow / pack8
+                        # wide fallback) adds modules and breaks the
+                        # attribution, so report nothing rather than a
+                        # wrong number
+                        if len(mods) == 2:
                             detail["device"] = {
                                 "encode_ms_per_img": round(mods[0] / B, 2),
                                 "decode_ms_per_img": round(mods[1] / B, 2),
@@ -257,6 +260,10 @@ def main():
                                          "jax.profiler capture at B="
                                          f"{B}"),
                             }
+                        else:
+                            detail["device_error"] = (
+                                f"{len(mods)} modules in trace (refetch "
+                                "fallback ran?); skipping attribution")
                     except Exception as e:  # noqa: BLE001
                         detail["device_error"] = f"{type(e).__name__}: {e}"
 

@@ -752,9 +752,9 @@ class JaxGrayscaleEncoder:
                 if self._spec_wanted else None)
         if defer:
             return lambda: self._unpack_batch(
-                np.asarray(dev).view(np.uint8), images, spec)
+                np.asarray(dev).view(np.uint8), images, spec, up=up)
         return self._unpack_batch(np.asarray(dev).view(np.uint8), images,
-                                  spec)
+                                  spec, up=up)
 
     def _speculative_transforms(self, images):
         from ..backend import native_backend
@@ -782,7 +782,7 @@ class JaxGrayscaleEncoder:
         return self.encode_batch(image[None])[0]
 
     def _unpack_batch(self, out: np.ndarray, images: np.ndarray,
-                      spec=None, compact=None):
+                      spec=None, compact=None, up=None):
         n = self.n_lanes
         B = self.batch
         compact = self._compact if compact is None else compact
@@ -805,14 +805,17 @@ class JaxGrayscaleEncoder:
             if total_tiles > self._budget_tiles:
                 # the batch's true payload exceeded the fetch budget:
                 # refetch through the full-layout program (exact; lazily
-                # compiled -- a rare content class pays one compile)
+                # compiled -- a rare content class pays one compile).
+                # ``up`` is the EXACT array the primary pass uploaded,
+                # so a pinned upload_dtype carries through unchanged.
                 if self._fused_full is None:
                     self._fused_full = self.jax.jit(
                         self._make_fused_fn(compact=False))
-                up = images
-                if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
-                        and up.max() < 256:
-                    up = up.astype(np.uint8)
+                if up is None:
+                    up = images
+                    if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
+                            and up.max() < 256:
+                        up = up.astype(np.uint8)
                 out = np.asarray(
                     self._fused_full(self.jnp.asarray(up))).view(np.uint8)
                 return self._unpack_batch(out, images, spec,

@@ -105,13 +105,14 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     loop) persists in the err output across rounds.  One device round
     trip for a whole bucket's decode.
 
-    Stream windows may be WORD-ALIGNED: geom row 5 packs the active flag
-    (bit 0) with the window's byte misalignment (bits 1-2) -- the lane's
-    payload starts at bit position (misalign * 8) inside the window, and
-    the decoder's initial bit position starts there.  Callers that build
+    Stream windows may be TILE-ALIGNED: geom row 5 packs the active flag
+    (bit 0) with the window's byte misalignment (bits 1-5, 0..31 bytes:
+    windows start at the enclosing 8-word tile) -- the lane's payload
+    starts at bit position (misalign * 8) inside the window, and the
+    decoder's initial bit position starts there.  Callers that build
     byte-exact windows just pass active (misalign 0).  This lets the
-    fused assembly gather one aligned word per window row instead of two
-    words plus a byte-shift combine.
+    fused assembly gather whole 8-word tile rows (one contiguous copy
+    per index) instead of serialized per-word gathers.
     """
     import jax
     import jax.numpy as jnp

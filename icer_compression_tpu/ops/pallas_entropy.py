@@ -474,8 +474,10 @@ def _evict_flush_code(bs, amin, jax, jnp, lanes):
     gcode = jnp.where(ek == m_e - 1, 1, _bitrev16(adj, gl, jnp))
     gbits = jnp.where(ek == m_e - 1, 1, gl)
     # custom bins: append the flush bits, then the output LUT
-    # (icer_encoding.c:168-181)
-    fv = jnp.zeros((lanes,), jnp.int32)
+    # (icer_encoding.c:168-181).  NOTE the flush rules live in four
+    # packings (here, _tail_flush, the fused do_evict in _slim_step,
+    # and slim_sort_operand_packed's tail loop) -- a rule change must
+    # touch all four; each is pinned by the eviction/flush tests.
     ccode = jnp.zeros((lanes,), jnp.int32)
     cbits = jnp.zeros((lanes,), jnp.int32)
     for b in range(1, 8):
@@ -486,7 +488,6 @@ def _evict_flush_code(bs, amin, jax, jnp, lanes):
         final = (ek | (fb << enb)) & 31
         ccode = jnp.where(s, _plookup(_COUT[b], final, jnp), ccode)
         cbits = jnp.where(s, _plookup(_COBITS[b], final, jnp), cbits)
-        fv = jnp.where(s, fb, fv)
     code = jnp.where(ebin >= 8, gcode, ccode)
     nbits = jnp.where(ebin >= 8, gbits, cbits)
     return code, nbits, ebin

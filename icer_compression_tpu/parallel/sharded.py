@@ -106,8 +106,12 @@ class ShardedGrayscaleEncoder:
         from jax.sharding import NamedSharding, PartitionSpec as P
         try:
             from jax import shard_map
+            # pallas_call out_shapes carry no varying-mesh-axis
+            # annotation, and every output here is trivially per-shard
+            smap_kwargs = {"check_vma": False}
         except ImportError:          # pre-0.8 JAX
             from jax.experimental.shard_map import shard_map
+            smap_kwargs = {"check_rep": False}
 
         self.jax, self.jnp = jax, jnp
         self.mesh = mesh
@@ -227,14 +231,12 @@ class ShardedGrayscaleEncoder:
 
         out_group_spec = (P("data", None, "seg", None),
                           P("data", None, "seg"), P("data", None, "seg"))
-        # check_vma=False: pallas_call out_shapes carry no varying-mesh-
-        # axis annotation, and every output here is trivially per-shard
         self._step = jax.jit(shard_map(
             step, mesh=mesh,
             in_specs=P("data", None, None),
             out_specs=(P("data"), P("data"),
                        [out_group_spec] * len(self.groups)),
-            check_vma=False,
+            **smap_kwargs,
         ))
         self._P = P
         self._NamedSharding = NamedSharding
@@ -259,6 +261,12 @@ class ShardedGrayscaleEncoder:
             raise IcerError(IcerStatus.INTEGER_OVERFLOW,
                             "wavelet transform (sharded batch)")
         ll_means = _host(ll_means)
+        if (ll_means > (1 << self.mag_bits) - 1).any():
+            # mirror of encode_jax._unpack_batch / grayscale.py: an LL
+            # mean past the magnitude field cannot be stored in headers
+            from ..core.status import IcerError, IcerStatus
+            raise IcerError(IcerStatus.INTEGER_OVERFLOW,
+                            "ll mean (sharded batch)")
         B = images.shape[0]
         tables = [dict() for _ in range(B)]
         flush_lanes = []
