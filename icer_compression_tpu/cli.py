@@ -3,8 +3,13 @@
 --segments, --size, --color/--grayscale; bitstreams interoperate with the
 reference binaries at matching parameters.
 
-Extra over the reference: --backend {auto,native,jax,numpy} to select the encode
-compute path (native host runtime, TPU XLA pipeline, or numpy), and --time to print phase timings.
+Extra over the reference: --backend {auto,native,jax,numpy} to select the
+encode compute path (native host runtime, TPU XLA pipeline, or numpy),
+--time for phase timings, and the serving-mode batch operations
+(batch-compress / batch-decompress: B same-geometry images per fused
+device program, K batches in flight -- the pipelined throughput mode as
+a CLI front-end; on CPU-only hosts the decode kernels run in interpret
+mode, slow but exact).
 """
 
 from __future__ import annotations
@@ -37,9 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="icer-tpu",
         description="TPU-native ICER progressive wavelet image codec")
-    p.add_argument("operation", choices=["compress", "decompress"])
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("operation",
+                   choices=["compress", "decompress",
+                            "batch-compress", "batch-decompress"])
+    p.add_argument("input",
+                   help="input file; for batch operations a glob pattern "
+                        "or directory of same-geometry images/streams")
+    p.add_argument("output",
+                   help="output file; for batch operations an output "
+                        "directory")
     p.add_argument("-s", "--stages", type=int, default=4)
     p.add_argument("-f", "--filter", default="A")
     p.add_argument("-g", "--segments", type=int, default=6)
@@ -56,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(progressive preview: the ICER stream is "
                         "priority-ordered, so any prefix decodes to a "
                         "coarser image; 0 = whole stream)")
+    p.add_argument("--batch-size", type=int, default=14, metavar="B",
+                   help="batch operations: images per device program "
+                        "(default 14)")
+    p.add_argument("--pipeline", type=int, default=4, metavar="K",
+                   help="batch operations: device batches kept in "
+                        "flight (default 4; 1 disables pipelining)")
     return p
 
 
@@ -163,10 +180,160 @@ def cmd_decompress(args) -> int:
     return 0
 
 
+def _expand_inputs(spec: str, default_glob: str) -> list[str]:
+    import glob as globmod
+    import os
+    if os.path.isdir(spec):
+        return sorted(globmod.glob(os.path.join(spec, default_glob)))
+    return sorted(globmod.glob(spec))
+
+
+def cmd_batch_compress(args) -> int:
+    """Serving-mode encode of a set of same-geometry grayscale images:
+    B images per fused device program with K batches in flight (the
+    bench.py tpu_pipelined mode as a CLI front-end).  Mixed geometries
+    group by shape; each group gets its own encoder."""
+    import os
+
+    from .core.packets import (build_packets_grayscale,
+                               rearrange_order_grayscale, sort_packets)
+    from .models.grayscale import (allocate_from_table, assemble_stream,
+                                   _bitplanes, _mag_bits)
+    from .ops.encode_jax import JaxGrayscaleEncoder
+
+    paths = _expand_inputs(args.input, "*.png")
+    if not paths:
+        print(f"error: no inputs match {args.input}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+    B = max(1, args.batch_size)
+    K = max(1, args.pipeline)
+    filt = _parse_filter(args.filter)
+    t0 = time.time()
+    groups: dict[tuple, list[tuple[str, np.ndarray]]] = {}
+    for path in paths:
+        arr, _ = load_image(path, force_color=False)
+        img = arr.astype(np.uint16)
+        groups.setdefault(img.shape, []).append((path, img))
+
+    total_px = total_bytes = nimg = 0
+    for (h, w), items in groups.items():
+        quota = args.size if args.size > 0 else h * w
+        cfg = CodecConfig(stages=args.stages, filt=filt,
+                          segments=args.segments, byte_quota=quota)
+        mag_bits = _mag_bits(np.uint16)
+        bitplanes = _bitplanes(mag_bits)
+        enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt,
+                                  cfg.segments, mag_bits,
+                                  batch=min(B, len(items)))
+        order = rearrange_order_grayscale(bitplanes)
+
+        def finish(res, chunk):
+            for (table, ll), (path, _img) in zip(res, chunk):
+                packets = sort_packets(build_packets_grayscale(
+                    w, h, cfg.stages, ll, bitplanes))
+                nsegs = {(p.decomp_level, p.subband_type): cfg.segments
+                         for p in packets}
+                t = {(0,) + k: v for k, v in table.items()}
+                e = allocate_from_table(packets, t, cfg.byte_quota,
+                                        nsegs, w, h)
+                stream = assemble_stream(e, order)
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out = os.path.join(args.output, stem + ".icer")
+                with open(out, "wb") as f:
+                    f.write(stream)
+                nonlocal_totals[0] += len(stream)
+
+        nonlocal_totals = [0]
+        chunks = [items[i:i + B] for i in range(0, len(items), B)]
+        pending: list[tuple] = []   # (collector, chunk)
+        for chunk in chunks:
+            imgs = np.stack([im for _, im in chunk])
+            hold = enc.encode_batch(imgs, defer=True)
+            pending.append((hold, chunk))
+            if len(pending) >= K:
+                hd, ch = pending.pop(0)
+                finish(hd(), ch)
+        for hd, ch in pending:
+            finish(hd(), ch)
+        total_px += h * w * len(items)
+        total_bytes += nonlocal_totals[0]
+        nimg += len(items)
+    dt = time.time() - t0
+    print(f"batch-compressed {nimg} images -> {args.output} "
+          f"({total_bytes} bytes, {100.0 * total_bytes / (2 * total_px):.1f}"
+          "% of raw)")
+    if args.time:
+        print(f"encode time: {dt:.3f}s ({total_px / dt / 1e6:.2f} MP/s)")
+    return 0
+
+
+def cmd_batch_decompress(args) -> int:
+    """Serving-mode decode of a set of .icer streams (grayscale): the
+    lane-batched fused decoder with K batches in flight; outputs PNGs."""
+    import os
+
+    from .models.decode_jax import decompress_lanes_batch
+
+    paths = _expand_inputs(args.input, "*.icer")
+    if not paths:
+        print(f"error: no inputs match {args.input}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+    B = max(1, args.batch_size)
+    K = max(1, args.pipeline)
+    cfg = CodecConfig(stages=args.stages, filt=_parse_filter(args.filter),
+                      segments=args.segments)
+    t0 = time.time()
+    groups: dict[tuple, list[tuple[str, bytes]]] = {}
+    for path in paths:
+        data = open(path, "rb").read()
+        if args.prefix > 0:
+            data = data[:args.prefix]
+        dims = get_image_dimensions(data)
+        if dims is None:
+            print(f"warning: no valid segments in {path}; skipped",
+                  file=sys.stderr)
+            continue
+        groups.setdefault(dims, []).append((path, data))
+
+    def save(imgs, chunk):
+        for img, (path, _d) in zip(imgs, chunk):
+            arr = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            save_image(os.path.join(args.output, stem + ".png"), arr)
+
+    nimg = total_px = 0
+    for (w, h), items in groups.items():
+        chunks = [items[i:i + B] for i in range(0, len(items), B)]
+        pending = []
+        for chunk in chunks:
+            hold = decompress_lanes_batch([d for _, d in chunk], cfg,
+                                          dtype=np.uint16, defer=True,
+                                          pack8=True)
+            pending.append((hold, chunk))
+            if len(pending) >= K:
+                hd, ch = pending.pop(0)
+                save(hd(), ch)
+        for hd, ch in pending:
+            save(hd(), ch)
+        nimg += len(items)
+        total_px += w * h * len(items)
+    dt = time.time() - t0
+    print(f"batch-decompressed {nimg} streams -> {args.output}")
+    if args.time:
+        print(f"decode time: {dt:.3f}s ({total_px / dt / 1e6:.2f} MP/s)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.operation == "compress":
         return cmd_compress(args)
+    if args.operation == "batch-compress":
+        return cmd_batch_compress(args)
+    if args.operation == "batch-decompress":
+        return cmd_batch_decompress(args)
     return cmd_decompress(args)
 
 

@@ -273,8 +273,13 @@ def _run_fused(units, sdata, final=None, defer=False):
     raw = sdata.tobytes() + b"\0" * ((-nb) % 4)
     sw[: len(raw) // 4] = np.frombuffer(raw, np.int32)
 
-    fkey = ("fused", padb, _BLK) + tuple(u["key"] + u["NWr"]
-                                         for u in units)
+    # CPU backends run the kernels in interpret mode (slow but correct:
+    # pallas TPU kernels don't compile on CPU) -- the batched serving
+    # API works on CPU-only hosts and the default test tier can cover
+    # the fused path without a chip
+    interp = jax.default_backend() == "cpu"
+    fkey = ("fused", padb, _BLK, interp) + tuple(u["key"] + u["NWr"]
+                                                 for u in units)
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
                  final["stages"], final["filt"], final["mag_bits"],
@@ -282,13 +287,14 @@ def _run_fused(units, sdata, final=None, defer=False):
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
-            kkey = u["key"][:4] + (_BLK,)
+            kkey = u["key"][:4] + (_BLK, interp)
             if kkey not in _PALLAS_RUNS:
                 PX, Wpad, NW, R = u["key"][:4]
                 _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
-                    PX, Wpad, NW, nrounds=R, lanes=_BLK)
-        runs = [(_PALLAS_RUNS[u["key"][:4] + (_BLK,)],) + u["key"][2:]
-                + (u["NWr"],) for u in units]
+                    PX, Wpad, NW, nrounds=R, lanes=_BLK,
+                    interpret=interp)
+        runs = [(_PALLAS_RUNS[u["key"][:4] + (_BLK, interp)],)
+                + u["key"][2:] + (u["NWr"],) for u in units]
         shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
         def fused(swords, llv, *arrays):

@@ -92,3 +92,36 @@ def test_cli_decompress_requires_mode(tmp_path, gray_png, capsys):
     comp = tmp_path / "out.icer"
     assert main(["compress", str(src), str(comp), "-G"]) == 0
     assert main(["decompress", str(comp), str(tmp_path / "x.png")]) == 1
+
+
+def test_cli_batch_serving_roundtrip(tmp_path, rng):
+    """batch-compress / batch-decompress: the pipelined serving front-end
+    produces streams byte-exact vs the single-path encoder and decodes
+    pixel-exact vs the host decoder."""
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import CodecConfig
+
+    ind = tmp_path / "in"
+    outd = tmp_path / "enc"
+    decd = tmp_path / "dec"
+    ind.mkdir()
+    imgs = {}
+    for i in range(2):
+        a = make_test_image(40, 48, rng, dtype=np.uint8,
+                            amplitude=180, noise=30)
+        imgs[f"img{i}"] = a
+        Image.fromarray(a, "L").save(ind / f"img{i}.png")
+    assert main(["batch-compress", str(ind), str(outd),
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=40 * 48)
+    for k, a in imgs.items():
+        want = G.compress(a.astype(np.uint16), cfg)
+        assert (outd / f"{k}.icer").read_bytes() == want, k
+    assert main(["batch-decompress", str(outd), str(decd),
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    for k in imgs:
+        d = np.asarray(Image.open(decd / f"{k}.png"))
+        want = np.clip(np.asarray(G.decompress(
+            (outd / f"{k}.icer").read_bytes(), cfg, dtype=np.uint16)),
+            0, 255).astype(np.uint8)
+        assert np.array_equal(d, want), k

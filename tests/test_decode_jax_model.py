@@ -65,3 +65,25 @@ def test_unpack_fused_pack8_roundtrip():
     assert np.array_equal(out, px.reshape(B, h, w))
     blob[0] = 300   # a >8-bit pixel: unpack must signal the wide refetch
     assert _unpack_fused(blob, [], final) is None
+
+
+def test_fused_batched_decode_cpu_interpret(rng):
+    """decompress_lanes_batch runs on CPU-only hosts via interpret-mode
+    kernels (auto-selected by backend) and matches the host decoder
+    pixel-exactly, including a quota-truncated stream."""
+    from conftest import make_test_image
+    from icer_compression_tpu.models.decode_jax import (
+        decompress_lanes_batch)
+    from icer_compression_tpu.models import grayscale as G
+
+    img = make_test_image(32, 24, rng)
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=32 * 24 * 4)
+    s = G.compress(img, cfg)
+    cfg_t = CodecConfig(stages=2, filt=0, segments=2, byte_quota=400)
+    st = G.compress(img, cfg_t)
+    host = [np.asarray(G.decompress(x, c, dtype=np.uint16))
+            for x, c in ((s, cfg), (st, cfg_t))]
+    fused = decompress_lanes_batch([s, s], cfg, dtype=np.uint16)
+    assert all(np.array_equal(np.asarray(f), host[0]) for f in fused)
+    ft = decompress_lanes_batch([st], cfg_t, dtype=np.uint16)
+    assert np.array_equal(np.asarray(ft[0]), host[1])
