@@ -189,10 +189,12 @@ def _expand_inputs(spec: str, default_glob: str) -> list[str]:
 
 
 def cmd_batch_compress(args) -> int:
-    """Serving-mode encode of a set of same-geometry grayscale images:
-    B images per fused device program with K batches in flight (the
-    bench.py tpu_pipelined mode as a CLI front-end).  Mixed geometries
-    group by shape; each group gets its own encoder."""
+    """Serving-mode encode of a set of same-geometry images: B images
+    per fused device program with K batches in flight (the bench.py
+    tpu_pipelined mode as a CLI front-end).  Mixed geometries group by
+    shape; each group gets its own encoder.  With --color, the 3B YUV
+    channel canvases of each batch fold into one device program
+    (models.color.compress_yuv_batch)."""
     import os
 
     from .core.packets import (build_packets_grayscale,
@@ -210,6 +212,8 @@ def cmd_batch_compress(args) -> int:
     K = max(1, args.pipeline)
     filt = _parse_filter(args.filter)
     t0 = time.time()
+    if args.color:
+        return _batch_compress_color(args, paths, B, K, filt, t0)
     groups: dict[tuple, list[tuple[str, np.ndarray]]] = {}
     for path in paths:
         arr, _ = load_image(path, force_color=False)
@@ -268,12 +272,64 @@ def cmd_batch_compress(args) -> int:
     return 0
 
 
-def cmd_batch_decompress(args) -> int:
-    """Serving-mode decode of a set of .icer streams (grayscale): the
-    lane-batched fused decoder with K batches in flight; outputs PNGs."""
+def _batch_compress_color(args, paths, B, K, filt, t0) -> int:
     import os
 
-    from .models.decode_jax import decompress_lanes_batch
+    from .models.color import compress_yuv_batch
+
+    groups: dict[tuple, list[tuple[str, tuple]]] = {}
+    for path in paths:
+        arr, _ = load_image(path, force_color=True)
+        yuv = tuple(c.astype(np.uint16) for c in rgb_to_ycbcr(arr))
+        groups.setdefault(yuv[0].shape, []).append((path, yuv))
+
+    total_px = total_bytes = nimg = 0
+    for (h, w), items in groups.items():
+        quota = args.size if args.size > 0 else h * w * 3
+        cfg = CodecConfig(stages=args.stages, filt=filt,
+                          segments=args.segments, byte_quota=quota)
+
+        def save(streams, chunk):
+            nonlocal total_bytes
+            for stream, (path, _yuv) in zip(streams, chunk):
+                stem = os.path.splitext(os.path.basename(path))[0]
+                with open(os.path.join(args.output, stem + ".icer"),
+                          "wb") as f:
+                    f.write(stream)
+                total_bytes += len(stream)
+
+        chunks = [items[i:i + B] for i in range(0, len(items), B)]
+        pending = []
+        for chunk in chunks:
+            hold = compress_yuv_batch([c[1][0] for c in chunk],
+                                      [c[1][1] for c in chunk],
+                                      [c[1][2] for c in chunk],
+                                      cfg, defer=True)
+            pending.append((hold, chunk))
+            if len(pending) >= K:
+                hd, ch = pending.pop(0)
+                save(hd(), ch)
+        for hd, ch in pending:
+            save(hd(), ch)
+        total_px += h * w * len(items)
+        nimg += len(items)
+    dt = time.time() - t0
+    print(f"batch-compressed {nimg} color images -> {args.output} "
+          f"({total_bytes} bytes, "
+          f"{100.0 * total_bytes / (6 * total_px):.1f}% of raw)")
+    if args.time:
+        print(f"encode time: {dt:.3f}s ({total_px / dt / 1e6:.2f} MP/s)")
+    return 0
+
+
+def cmd_batch_decompress(args) -> int:
+    """Serving-mode decode of a set of .icer streams: the lane-batched
+    fused decoder with K batches in flight; outputs PNGs.  With --color
+    all 3B channel canvases of a batch decode in one device program."""
+    import os
+
+    from .models.decode_jax import (decompress_lanes_batch,
+                                    decompress_yuv_lanes_batch)
 
     paths = _expand_inputs(args.input, "*.icer")
     if not paths:
@@ -299,18 +355,24 @@ def cmd_batch_decompress(args) -> int:
 
     def save(imgs, chunk):
         for img, (path, _d) in zip(imgs, chunk):
-            arr = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+            if args.color:
+                y, u, v = img
+                arr = ycbcr_to_rgb(np.asarray(y), np.asarray(u),
+                                   np.asarray(v))
+            else:
+                arr = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
             stem = os.path.splitext(os.path.basename(path))[0]
             save_image(os.path.join(args.output, stem + ".png"), arr)
 
+    decode = (decompress_yuv_lanes_batch if args.color
+              else decompress_lanes_batch)
     nimg = total_px = 0
     for (w, h), items in groups.items():
         chunks = [items[i:i + B] for i in range(0, len(items), B)]
         pending = []
         for chunk in chunks:
-            hold = decompress_lanes_batch([d for _, d in chunk], cfg,
-                                          dtype=np.uint16, defer=True,
-                                          pack8=True)
+            hold = decode([d for _, d in chunk], cfg,
+                          dtype=np.uint16, defer=True, pack8=True)
             pending.append((hold, chunk))
             if len(pending) >= K:
                 hd, ch = pending.pop(0)

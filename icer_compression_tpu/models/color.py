@@ -225,6 +225,63 @@ def compress_yuv_jax(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     return assemble_stream(encoded, order)
 
 
+def compress_yuv_batch(ys, us, vs, config: CodecConfig,
+                       defer: bool = False):
+    """Batched color compression on the TPU pipeline (serving mode).
+
+    ``ys``/``us``/``vs``: B same-geometry channel canvases each (arrays
+    or lists of (h, w)).  All 3B canvases encode in ONE fused device
+    program -- channels fold into the batch axis, exactly like the
+    sharded color encoder (parallel/sharded.ShardedColorEncoder) -- and
+    rate allocation + stream assembly run host-side per image.  Returns
+    one stream per image, bit-identical to compress_yuv.  With ``defer``
+    returns a zero-arg collector (pipelining), like encode_batch.
+    """
+    from .grayscale import _JAX_ENCODERS, allocate_from_table
+    from ..ops.encode_jax import JaxGrayscaleEncoder
+
+    ys, us, vs = (np.stack(c) for c in (ys, us, vs))
+    if not (ys.shape == us.shape == vs.shape
+            and ys.dtype == us.dtype == vs.dtype):
+        raise IcerError(IcerStatus.INVALID_INPUT, "channel mismatch")
+    B, h, w = ys.shape
+    mag_bits = _mag_bits(ys.dtype)
+    bitplanes = _bitplanes(mag_bits)
+    quota = config.byte_quota
+
+    key = (w, h, config.stages, config.filt, config.segments, mag_bits,
+           3 * B)
+    enc = _JAX_ENCODERS.get(key)
+    if enc is None:
+        enc = JaxGrayscaleEncoder(w, h, config.stages, config.filt,
+                                  config.segments, mag_bits, batch=3 * B)
+        _JAX_ENCODERS[key] = enc
+
+    stacked = np.concatenate([ys, us, vs])      # channel-major (3B, h, w)
+    res = enc.encode_batch(stacked, defer=defer)
+    order = (rearrange_order_color_uint8(bitplanes) if mag_bits == 7
+             else rearrange_order_color_uint16(bitplanes))
+
+    def finish(results):
+        streams = []
+        for i in range(B):
+            ll_means = [results[c * B + i][1] for c in range(3)]
+            table = {(c,) + k: v for c in range(3)
+                     for k, v in results[c * B + i][0].items()}
+            packets = sort_packets(build_packets_color(
+                w, h, config.stages, ll_means, bitplanes))
+            nsegs = {(p.decomp_level, p.subband_type): config.segments
+                     for p in packets}
+            encoded = allocate_from_table(packets, table, quota, nsegs,
+                                          w, h)
+            streams.append(assemble_stream(encoded, order))
+        return streams
+
+    if defer:
+        return lambda: finish(res())
+    return finish(res)
+
+
 def decompress_yuv(data: bytes, config: CodecConfig, dtype=np.uint16,
                    decode_partition=None, max_pixels: int | None = None,
                    backend: str = "auto"):

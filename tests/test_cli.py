@@ -125,3 +125,43 @@ def test_cli_batch_serving_roundtrip(tmp_path, rng):
             (outd / f"{k}.icer").read_bytes(), cfg, dtype=np.uint16)),
             0, 255).astype(np.uint8)
         assert np.array_equal(d, want), k
+
+
+def test_cli_batch_serving_color(tmp_path, rng):
+    """Color batch serving: streams byte-exact vs compress_yuv, decodes
+    match the single-path color decoder within the RGB<->YCbCr macro
+    loss bound."""
+    from icer_compression_tpu.models import color as CL
+    from icer_compression_tpu.models.grayscale import CodecConfig
+    from icer_compression_tpu.utils.colorspace import rgb_to_ycbcr
+
+    ind = tmp_path / "in"
+    outd = tmp_path / "enc"
+    decd = tmp_path / "dec"
+    ind.mkdir()
+    rgbs = {}
+    for i in range(2):
+        a = np.stack([make_test_image(32, 40, rng, dtype=np.uint8,
+                                      amplitude=150, noise=40)
+                      for _ in range(3)], axis=-1)
+        rgbs[f"c{i}"] = a
+        Image.fromarray(a, "RGB").save(ind / f"c{i}.png")
+    assert main(["batch-compress", str(ind), str(outd), "-c",
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    cfg = CodecConfig(stages=2, filt=0, segments=2,
+                      byte_quota=32 * 40 * 3)
+    for k, a in rgbs.items():
+        y, u, v = (c.astype(np.uint16) for c in rgb_to_ycbcr(a))
+        assert (outd / f"{k}.icer").read_bytes() == CL.compress_yuv(
+            y, u, v, cfg), k
+    assert main(["batch-decompress", str(outd), str(decd), "-c",
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    from icer_compression_tpu.utils.colorspace import ycbcr_to_rgb
+    for k in rgbs:
+        d = np.asarray(Image.open(decd / f"{k}.png").convert("RGB"))
+        # the quota truncates (lossy); exactness target is the
+        # single-path color decoder, not the original pixels
+        y, u, v = CL.decompress_yuv((outd / f"{k}.icer").read_bytes(),
+                                    cfg, dtype=np.uint16)
+        want = ycbcr_to_rgb(np.asarray(y), np.asarray(u), np.asarray(v))
+        assert np.array_equal(d, want), k

@@ -76,3 +76,26 @@ def test_color_rgb_roundtrip_quality(rng):
     assert np.array_equal(np.asarray(dv), v)
     back = ycbcr_to_rgb(np.asarray(dy), np.asarray(du), np.asarray(dv))
     assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 8
+
+
+def test_compress_yuv_batch_matches_single(rng):
+    """Batched color serving encode (3B channel canvases in one fused
+    program) is bit-identical to compress_yuv per image, lossless and
+    quota-truncated."""
+    jax = pytest.importorskip("jax")
+    from conftest import make_test_image
+    from icer_compression_tpu.models.color import compress_yuv_batch
+
+    h, w = 40, 32
+    B = 2
+    ys = [make_test_image(h, w, rng) for _ in range(B)]
+    us = [make_test_image(h, w, rng, amplitude=120) for _ in range(B)]
+    vs = [make_test_image(h, w, rng, amplitude=90) for _ in range(B)]
+    cpu = jax.devices("cpu")[0]
+    for quota in (h * w * 6, 900):
+        cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=quota)
+        with jax.default_device(cpu):
+            streams = compress_yuv_batch(ys, us, vs, cfg)
+        for i in range(B):
+            assert streams[i] == CL.compress_yuv(ys[i], us[i], vs[i],
+                                                 cfg), (quota, i)
