@@ -21,9 +21,10 @@ every mode checks bit-exactness while timing (encoded stream sha-pinned
 to the reference encoder's output, decode reproduces the pixels).
 
 Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
-(default 14 = two full 126-lane decode blocks; 0 skips the batched
-mode), ICER_BENCH_SKIP_TPU=1 (hosts without a usable accelerator;
-native numbers only),
+(default 21: decode lane blocks fill exactly -- 3x126 + 4x126 -- and
+the encode buckets still fit single 3072-lane kernel blocks; 0 skips
+the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts without a usable
+accelerator; native numbers only),
 ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
 mode is skipped, default 900).
 """
@@ -137,7 +138,7 @@ def main():
             if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
                 candidates.append((tpu["MPs"], "tpu single-image"))
 
-            B = int(os.environ.get("ICER_BENCH_BATCH", "14"))
+            B = int(os.environ.get("ICER_BENCH_BATCH", "21"))
             if B > 1 and warm_enc + warm_dec < budget:
                 from icer_compression_tpu.models.decode_jax import (
                     decompress_lanes_batch)
