@@ -66,8 +66,23 @@ _RHIT = {b: _pack(list(DL._CHIT[b]), 4) for b in range(1, 8)}
 _RVAL = {b: _pack(list(DL._CVAL[b]), 8) for b in range(1, 8)}
 _RBITS = {b: _pack(list(DL._CBITS[b]), 4) for b in range(1, 8)}
 
+# combined custom-refill LUT for the sublane-parallel lookup: entry =
+# hit(4b) | in_bits(4b) | in_val(8b), keyed (bin-1)*32 + look5, packed
+# two 16-bit entries per int32 word -> 112 words
+_CPACK = np.zeros(7 * 32, np.int64)
+for _b in range(1, 8):
+    for _lk in range(32):
+        _CPACK[(_b - 1) * 32 + _lk] = (int(DL._CHIT[_b][_lk])
+                                       | (int(DL._CBITS[_b][_lk]) << 4)
+                                       | (int(DL._CVAL[_b][_lk]) << 8))
+_CPACK2 = (_CPACK[0::2] | (_CPACK[1::2] << 16)).astype(
+    np.uint32).view(np.int32)                       # (112,)
+
 # golomb (m, l, i) packed per bin: m 10b | l 4b | i 10b (default bin: 1,1,0)
 _GOLPK = [(m & 1023) | (l << 10) | (i << 14) for (m, l, i) in _GOL]
+_GOLPK_NP = np.asarray([_GOLPK[b] if b >= 8 else (1 | (1 << 10))
+                        for b in range(17)], np.int32)
+_CUT_NP = np.asarray(_CUT, np.int32)                 # (16,)
 
 
 def _plookup(packed, idx, jnp):
@@ -129,11 +144,22 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
 
     multi = nrounds is not None
 
-    def kernel(words_ref, geom_ref, *refs):
+    # constant LUT block (one VMEM input, read once per round): rows
+    # 0..15 the bin cutoff ladder, 16..32 packed golomb params, 33..144
+    # the combined custom-refill LUT (hit|bits<<4|val<<8, 2 entries/word)
+    _LUTS = np.zeros((152, LANES), np.int32)
+    _LUTS[0:16] = _CUT_NP[:, None]
+    _LUTS[16:33] = _GOLPK_NP[:, None]
+    _LUTS[33:145] = _CPACK2[:, None]
+
+    def kernel(words_ref, geom_ref, luts_ref, *refs):
         if multi:
             out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
         else:
             seg_ref, out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
+        cutc = luts_ref[0:16, :]
+        golc = luts_ref[16:33, :]
+        cpkc = luts_ref[33:145, :]
         # buf_ref: (8, NBUF, LANES) scratch: rolling row buffers
         #   0 above_sig_lsb  1 cur_sig_lsb  2 cur_sig_prev  3 below_sig_prev
         #   4 above_sgn_lsb  5 cur_sgn_lsb  6 cur_sgn_prev  7 below_sgn_prev
@@ -171,15 +197,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         else:
             out_ref[:] = seg_ref[:]
 
-        def sel17(st, cc):
-            out = jnp.zeros((LANES,), jnp.int32)
-            for k in range(17):
-                out = jnp.where(cc == k, st[k, :], out)
-            return out
-
-        def wr17(st, cc, vals, mask):
-            m = (iota17 == cc[None, :]) & mask[None, :]
-            return jnp.where(m, vals[None, :], st)
+        # State selects/writes run in SUBLANE-PARALLEL form: a (17, LANES)
+        # one-hot mask (3 vregs) feeds one masked reduce per select and
+        # one masked where per write, instead of 17-deep chains of
+        # one-vreg compare+select steps (~12 vector ops vs ~34).
+        def selrows(mask, st):
+            return jnp.sum(jnp.where(mask, st, 0), axis=0)
 
         # ---- stream access: per-lane 512-bit ring ---------------------
         # Each lane holds words [rbase, rbase+16) of its stream in two
@@ -238,21 +261,17 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             ring_ref[16, :] = jnp.where(shift, rbase + 8, rbase)
 
         def ring_look11(pos):
-            r0 = ring_ref[0:8, :]
-            r1 = ring_ref[8:16, :]
+            # two (16, LANES) masked reduces over the ring block replace
+            # the former 16-way one-vreg select chains (2 x ~48 vector
+            # ops -> ~20)
+            ring = ring_ref[0:16, :]
             rbase = ring_ref[16, :]
             wi = (pos >> 5) - rbase    # 0..14 by the sweep invariant
             off = pos & 31
-
-            def rsel(k):
-                out = jnp.zeros((LANES,), jnp.int32)
-                for q in range(8):
-                    out = jnp.where(k == q, r0[q, :], out)
-                    out = jnp.where(k == 8 + q, r1[q, :], out)
-                return out
-
-            w0 = rsel(wi)
-            w1 = rsel(wi + 1)
+            io16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+            wi16 = wi[None, :]
+            w0 = selrows(io16 == wi16, ring)
+            w1 = selrows(io16 == wi16 + 1, ring)
             lo = jax.lax.shift_right_logical(w0, off)
             hi = jnp.where(off == 0, 0,
                            jax.lax.shift_left(w1, (32 - off) & 31))
@@ -270,21 +289,15 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         # add, replacing the former (17, LANES) bn_idx state and its
         # select/write chains; tile_body clamps ages at CIRC_BUF_SIZE
         # (the test is >=) so the 13-bit field cannot wrap.
-        def sel_rows(st, cc, lo, hi):
-            out = jnp.zeros((LANES,), jnp.int32)
-            for k in range(lo, hi):
-                out = jnp.where(cc == k, st[k, :], out)
-            return out
-
         def decode_bit(st, ctx, act, cat3, zlo=0, zhi=12):
-            # zlo/zhi bound the context-counter select/write chains:
+            # zlo/zhi bound the context-counter select/write rows:
             # magnitude bits only touch contexts 0..11, the (cond-gated)
-            # sign pass only 12..16 -- splitting the 17-row chains saves
-            # ~25 vector ops on every magnitude bit
+            # sign pass only 12..16
             (zt, nl, pos, erri) = st
             err = erri != 0
             m = act & ~err
-            ztc = sel_rows(zt, ctx, zlo, zhi)
+            ictx = iota17 == ctx[None, :]
+            ztc = selrows(ictx[zlo:zhi], zt[zlo:zhi])
             zc0 = ztc & 511
             tc0 = jax.lax.shift_right_logical(ztc, 9)
             zc = jnp.where(cat3, 1, zc0)
@@ -292,11 +305,13 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             inv = zc < (tc >> 1)
             zeff = jnp.where(inv, tc - zc, zc)
             comp = zeff * 65536
-            bn = jnp.zeros((LANES,), jnp.int32)
-            for q in range(16):
-                bn = bn + (comp >= tc * _CUT[q])
+            # bin selection: ONE (16, LANES) compare against the cutoff
+            # ladder (2 vregs) replaces 16 one-vreg mult+compare+add steps
+            bn = jnp.sum((comp[None, :] >= tc[None, :] * cutc).astype(
+                jnp.int32), axis=0)
 
-            nlb = sel17(nl, bn)
+            ibn = iota17 == bn[None, :]
+            nlb = selrows(ibn, nl)
             sn = nlb & 2047
             low_old = jax.lax.shift_right_logical(nlb, 11) & 255
             age = jax.lax.shift_right_logical(nlb, 19)
@@ -321,18 +336,24 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 first = (look & 1) != 0
 
                 def golomb_parse(_):
-                    pe = jnp.full((LANES,), 1 | (1 << 10),
-                                  jnp.int32)  # m=1,l=1,i=0
-                    for gb in range(8, 17):
-                        pe = jnp.where(bn == gb, _GOLPK[gb], pe)
+                    pe = selrows(ibn, golc)  # packed (m, l, i); bins < 8
+                    #                          hold the harmless default
                     m_e = pe & 1023
                     l_e = jax.lax.shift_right_logical(pe, 10) & 15
                     i_e = jax.lax.shift_right_logical(pe, 14)
-                    kl = jnp.zeros((LANES,), jnp.int32)
-                    for i in range(1, 11):
-                        kl = jnp.where(l_e >= i,
-                                       (kl << 1) | ((look >> (i - 1)) & 1),
-                                       kl)
+                    # kl = reverse of the low l_e bits of look: closed-form
+                    # 16-bit bit reversal (4 swap rounds) + top-bits shift
+                    # replaces the former 10-step shift-in build loop
+                    v = look
+                    v = ((jax.lax.shift_right_logical(v, 1) & 0x5555)
+                         | ((v & 0x5555) << 1))
+                    v = ((jax.lax.shift_right_logical(v, 2) & 0x3333)
+                         | ((v & 0x3333) << 2))
+                    v = ((jax.lax.shift_right_logical(v, 4) & 0x0F0F)
+                         | ((v & 0x0F0F) << 4))
+                    v = ((jax.lax.shift_right_logical(v, 8) & 0x00FF)
+                         | ((v & 0x00FF) << 8))
+                    kl = jax.lax.shift_right_logical(v, 16 - l_e)
                     # the (l_e+1)-bit reversed prefix is the l_e-bit one
                     # with the next lookahead bit appended (bit l_e is a
                     # vector shift, not another 11-step build loop)
@@ -367,17 +388,20 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 look5 = look & 31
 
                 def custom_parse(_):
-                    hit = jnp.zeros((LANES,), jnp.int32)
-                    ival = jnp.zeros((LANES,), jnp.int32)
-                    ibits = jnp.zeros((LANES,), jnp.int32)
-                    for bb in range(1, 8):
-                        s = bn == bb
-                        hit = jnp.where(s, _plookup(_RHIT[bb], look5, jnp),
-                                        hit)
-                        ival = jnp.where(s, _plookup(_RVAL[bb], look5, jnp),
-                                         ival)
-                        ibits = jnp.where(s, _plookup(_RBITS[bb], look5,
-                                                      jnp), ibits)
+                    # one (112, LANES) masked fetch of the combined packed
+                    # LUT (hit | bits<<4 | val<<8, two entries per word)
+                    # replaces 7 bins x 3 packed-word select chains
+                    key = (jnp.clip(bn - 1, 0, 6) << 5) | look5
+                    io112 = jax.lax.broadcasted_iota(jnp.int32,
+                                                     (112, LANES), 0)
+                    wsel = jax.lax.shift_right_logical(key, 1)
+                    word = selrows(io112 == wsel[None, :], cpkc)
+                    ent = jnp.where((key & 1) != 0,
+                                    jax.lax.shift_right_logical(word, 16),
+                                    word) & 0xFFFF
+                    hit = ent & 15
+                    ival = jax.lax.shift_right_logical(ent, 8)
+                    ibits = jax.lax.shift_right_logical(ent, 4) & 15
                     return hit, ival, ibits
 
                 hit, ival, ibits = jax.lax.cond(
@@ -430,9 +454,9 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             cleared = low_now & ~jnp.where(n1 < 5,
                                            jax.lax.shift_left(
                                                jnp.int32(1), n1c), 0)
-            nl = wr17(nl, bn,
-                      n1 | jax.lax.shift_left(cleared, 11)
-                      | jax.lax.shift_left(age_now, 19), m2)
+            nlw = (n1 | jax.lax.shift_left(cleared, 11)
+                   | jax.lax.shift_left(age_now, 19))
+            nl = jnp.where(ibn & m2[None, :], nlw[None, :], nl)
             bit = jnp.where(m2, bitv ^ inv.astype(jnp.int32), 0)
 
             # counter update (skipped for the fixed cat-3 pseudo-context)
@@ -442,7 +466,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             resc = tc2 >= C.CONTEXT_RESCALING_CAP
             tc2 = jnp.where(resc, tc2 >> 1, tc2)
             zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
-            zt = wr17(zt, ctx, zc2 | jax.lax.shift_left(tc2, 9), mu)
+            ztw = zc2 | jax.lax.shift_left(tc2, 9)
+            zt = jnp.where(ictx & mu[None, :], ztw[None, :], zt)
             return (zt, nl, pos, erri), bit
 
         # ---- row buffer fills ---------------------------------------
@@ -664,6 +689,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         pos_ref[0, :] = st[2]
 
     def run_impl(words, geom, seg=None):
+        luts = jnp.asarray(_LUTS)
         if multi:
             call = pl.pallas_call(
                 kernel,
@@ -675,6 +701,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     pl.BlockSpec((NW, LANES), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, LANES), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((152, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
                 out_specs=[
                     pl.BlockSpec((PX, LANES), lambda g: (0, 0),
@@ -687,20 +715,20 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                 pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
-            out, err, pos = call(words, geom)
+            out, err, pos = call(words, geom, luts)
         else:
             call = pl.pallas_call(
                 kernel,
                 out_shape=[jax.ShapeDtypeStruct((PX, LANES), jnp.int32),
                            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
                            jax.ShapeDtypeStruct((1, LANES), jnp.int32)],
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
                 scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
                                 pltpu.VMEM((17, LANES), jnp.int32)],
                 interpret=interpret,
             )
-            out, err, pos = call(words, geom, seg)
+            out, err, pos = call(words, geom, luts, seg)
         return out, err[0], pos[0]
 
     if interpret:

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""On-chip A/B microbench for the decode plane kernel alone.
+
+Builds ONE real bucket's kernel inputs from a boat-image stream (via the
+production _prep_bucket path), fills a 128-lane block with B copies, and
+times the multi-round kernel in isolation: steady-state best-of-N with
+forced materialization, reported as us per lock-step kernel step
+(R * Hmax * ntiles * 8 pixels).  Pixel output is checksummed so kernel
+rewrites can be verified bit-identical on chip before the full pipeline
+A/B.
+
+Usage: python scripts/bench_decode_kernel.py [side] [--interpret]
+  side: image side (default 512; smaller = faster compiles)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    side = int(args[0]) if args else 512
+    interpret = "--interpret" in sys.argv
+
+    from PIL import Image
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import (CodecConfig,
+                                                       _bitplanes, _mag_bits)
+    from icer_compression_tpu.models.decode_jax import (_plan_lanes,
+                                                        _prep_bucket,
+                                                        _round_nw)
+    from icer_compression_tpu.core.header import scan_bytestream
+    from icer_compression_tpu.ops import pallas_decode as PD
+    from icer_compression_tpu.ops.encode_jax import _ensure_cache
+
+    img = np.asarray(Image.open("tests/data/boat.512.png").convert("L"))
+    img = img[:side, :side].astype(np.uint16)
+    h, w = img.shape
+    cfg = CodecConfig(stages=4, filt=0, segments=6, byte_quota=h * w)
+    stream = G.compress(img, cfg)
+    sdata = np.frombuffer(stream, np.uint8)
+    mag_bits = _mag_bits(np.uint16)
+    bitplanes = _bitplanes(mag_bits)
+
+    found = scan_bytestream(stream, with_offsets=True, with_payload=False)
+    table = {}
+    for hdr, _p, off in found:
+        table[(0, hdr.decomp_level, hdr.subband_type, hdr.segment_number,
+               hdr.lsb)] = (off, hdr.data_length)
+
+    # biggest bucket (stage-1 subbands)
+    buckets = _plan_lanes(w, h, cfg)
+    lanes = max(buckets, key=lambda b: max(t["h"] * t["w"] for t in b))
+    n1 = len(lanes)
+    reps = -(-128 // n1)          # tile copies to fill the 128-lane block
+    n = n1 * reps
+    Hmax = max(t["h"] for t in lanes)
+    Wmax = max(t["w"] for t in lanes)
+    hh = np.tile([t["h"] for t in lanes], reps).astype(np.int32)
+    ww = np.tile([t["w"] for t in lanes], reps).astype(np.int32)
+    sb = np.tile([t["subband"] for t in lanes], reps).astype(np.int32)
+
+    per_round = []
+    round_maxb = []
+    for rnd in range(bitplanes):
+        lsb = bitplanes - 1 - rnd
+        offs = np.full(n, -1, np.int64)
+        ebits = np.zeros(n, np.int64)
+        for i in range(n):
+            t = lanes[i % n1]
+            ent = table.get((0, t["stage"], t["subband"], t["seg"], lsb))
+            if ent is not None:
+                offs[i], ebits[i] = ent
+        per_round.append((lsb, offs, ebits))
+        have = offs >= 0
+        mb = 8
+        if have.any():
+            mb = min(int(len(stream) - offs[have].min()),
+                     int(ebits.max() // 8 + 4096))
+        round_maxb.append(max(8, mb))
+
+    units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round, mag_bits,
+                         sdata, round_maxb)
+    u = units[0]
+    PX, Wpad, NW, R, m = u["key"]
+    ntiles = Wpad // 8
+    steps = R * Hmax * ntiles * 8
+    print(f"bucket: n1={n1} x{reps} lanes, Hmax={Hmax} Wpad={Wpad} "
+          f"R={R} NW={NW} -> {steps} kernel steps x {m} lanes", flush=True)
+
+    import jax
+    import jax.numpy as jnp
+    _ensure_cache()
+    run = PD.make_decode_plane_pallas(PX, Wpad, NW, nrounds=R,
+                                      interpret=interpret)
+
+    # host-side window assembly (the pipeline does this on device; here
+    # the kernel runs alone so the input is pre-materialized)
+    NWr = u["NWr"]
+    raw = sdata.tobytes() + b"\0" * ((-len(sdata)) % 4)
+    swords = np.frombuffer(raw, np.int32)
+    sw8 = np.zeros((-(-len(swords) // 8), 8), np.int32)
+    sw8.reshape(-1)[: len(swords)] = swords
+    limit = len(sw8) - 1
+    words = np.zeros((R * NW, 128), np.int32)
+    for r in range(R):
+        nt = NWr[r] // 8
+        idx = (u["offs"][r] >> 5)[None, :] + np.arange(nt)[:, None]
+        rows = sw8[np.clip(idx, 0, limit)]           # (nt, m, 8)
+        wr = rows.transpose(0, 2, 1).reshape(NWr[r], m)
+        words[r * NW: r * NW + NWr[r], :m] = wr
+    geom = np.zeros((R * 8, 128), np.int32)
+    geom[:, :m] = u["geom"]
+
+    jwords = jnp.asarray(words)
+    jgeom = jnp.asarray(geom)
+
+    @jax.jit
+    def summed(wo, ge):
+        out, err, pos = run(wo, ge)
+        return (out.astype(jnp.uint32) * (
+            1 + jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0))).sum() \
+            + err.sum() + pos.sum()
+
+    t0 = time.time()
+    chk = np.asarray(summed(jwords, jgeom))
+    print(f"first call (compile+run): {time.time()-t0:.1f} s, "
+          f"checksum {int(chk) & 0xFFFFFFFF:#x}", flush=True)
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(summed(jwords, jgeom))
+        ts.append(time.time() - t0)
+    best = min(ts)
+    print(f"best of 5: {best*1e3:.1f} ms  ({best/steps*1e6:.3f} us/step, "
+          f"{steps} steps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
