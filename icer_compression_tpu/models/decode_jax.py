@@ -143,9 +143,28 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 
 
 _PALLAS_RUNS: dict = {}
-# lane-block width for the fused decode paths (multiple of 128); wider
-# blocks amortize the kernel's serial chain across more segments
-_BLK = int(os.environ.get("ICER_DECODE_LANES", "128"))
+# lane-block width CAP for the fused decode paths (multiple of 128).
+# Wider blocks amortize the kernel's per-step stall cost -- the decode
+# kernel is latency-bound, not issue-bound: 512 lanes measured ~2.4x the
+# per-lane throughput of 128 (scripts/bench_decode_kernel.py) once the
+# coefficient canvas streams through HBM instead of sitting in VMEM.
+# The actual width per bucket adapts down to the lane count and to the
+# scoped-VMEM budget (_block_width).
+_BLK = int(os.environ.get("ICER_DECODE_LANES", "512"))
+
+
+def _block_width(n: int, NW: int, Wpad: int) -> int:
+    """Lane-block width for a bucket: the largest multiple of 128 up to
+    _BLK that fits the kernel's scoped-VMEM budget (double-buffered
+    words block + row buffers + canvas window + LUTs), never more than
+    the bucket's padded lane count."""
+    NBUF = Wpad + 16
+    per_lane = (2 * NW + 8 * NBUF + 4 * Wpad + 152 + 64) * 4
+    budget = 14 * 1024 * 1024
+    cap = _BLK
+    while cap > 128 and cap * per_lane > budget:
+        cap -= 128
+    return min(cap, -(-n // 128) * 128)
 
 
 def _round_nw(mb: int) -> int:
@@ -208,13 +227,16 @@ def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, round_maxb,
         geom_r[r, 7] = readable_bits
 
     units = []
-    for blk in range(0, n, _BLK):
-        idx = np.arange(blk, min(blk + _BLK, n))
+    blk = _block_width(n, NW, Wpad)
+    for b0 in range(0, n, blk):
+        idx = np.arange(b0, min(b0 + blk, n))
         m = len(idx)
         # no coefficient canvas here: every decode starts from zeros and
-        # the multi-round kernel zeroes its output block at round 0
+        # the multi-round kernel zeroes its canvas window at round 0
         units.append({
             "key": (PX, Wpad, NW, R, m),
+            # a runt tail block shrinks to its own padded width
+            "blk": min(blk, -(-m // 128) * 128),
             "NWr": NWr,
             "offs": np.ascontiguousarray(offs_r[:, idx]),
             "geom": np.ascontiguousarray(
@@ -278,8 +300,8 @@ def _run_fused(units, sdata, final=None, defer=False):
     # API works on CPU-only hosts and the default test tier can cover
     # the fused path without a chip
     interp = jax.default_backend() == "cpu"
-    fkey = ("fused", padb, _BLK, interp) + tuple(u["key"] + u["NWr"]
-                                                 for u in units)
+    fkey = ("fused", padb, interp) + tuple(u["key"] + (u["blk"],)
+                                           + u["NWr"] for u in units)
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
                  final["stages"], final["filt"], final["mag_bits"],
@@ -287,14 +309,14 @@ def _run_fused(units, sdata, final=None, defer=False):
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
-            kkey = u["key"][:4] + (_BLK, interp)
+            kkey = u["key"][:4] + (u["blk"], interp)
             if kkey not in _PALLAS_RUNS:
                 PX, Wpad, NW, R = u["key"][:4]
                 _PALLAS_RUNS[kkey] = PD.make_decode_plane_pallas(
-                    PX, Wpad, NW, nrounds=R, lanes=_BLK,
+                    PX, Wpad, NW, nrounds=R, lanes=u["blk"],
                     interpret=interp)
-        runs = [(_PALLAS_RUNS[u["key"][:4] + (_BLK, interp)],)
-                + u["key"][2:] + (u["NWr"],) for u in units]
+        runs = [(_PALLAS_RUNS[u["key"][:4] + (u["blk"], interp)],)
+                + u["key"][2:] + (u["NWr"], u["blk"]) for u in units]
         shapes = [(u["Hmax"], u["Wpad"]) for u in units]
 
         def fused(swords, llv, *arrays):
@@ -305,7 +327,7 @@ def _run_fused(units, sdata, final=None, defer=False):
             swt = swords.reshape(-1, 8)
             limit_t = swt.shape[0] - 1
             outs = []
-            for i, (run, NW, R, m, NWr) in enumerate(runs):
+            for i, (run, NW, R, m, NWr, blk) in enumerate(runs):
                 offs, ge = arrays[2 * i:2 * i + 2]
                 # one tile-aligned row gather per round, sized to the
                 # round's worst payload; rows beyond NWr pad to the
@@ -322,7 +344,7 @@ def _run_fused(units, sdata, final=None, defer=False):
                         wr = jnp.pad(wr, ((0, NW - NWr[r]), (0, 0)))
                     parts.append(wr)
                 wds = jnp.concatenate(parts)                # (R*NW, m)
-                pad = ((0, 0), (0, _BLK - m))
+                pad = ((0, 0), (0, blk - m))
                 out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad))
                 outs.append(out[:, :m])
 

@@ -134,6 +134,11 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import os as _os
+    _ABL = _os.environ.get("ICER_DECODE_ABLATE", "")  # cost-probe only:
+    #   "norefill" / "nosign" / "stub" disable kernel stages (WRONG
+    #   results; used by scripts/bench_decode_kernel.py share probes)
+
     LANES = lanes            # shadows the module default for the closure
     assert LANES % 128 == 0
     assert Wpad % 8 == 0 and PX % Wpad == 0
@@ -154,7 +159,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
 
     def kernel(words_ref, geom_ref, luts_ref, *refs):
         if multi:
-            out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
+            (out_ref, err_ref, pos_ref, buf_ref, ring_ref, win_ref,
+             dsem) = refs
         else:
             seg_ref, out_ref, err_ref, pos_ref, buf_ref, ring_ref = refs
         cutc = luts_ref[0:16, :]
@@ -190,12 +196,57 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, LANES), 0)
 
         if multi:
-            @pl.when(g == 0)
-            def _():
-                # every fused decode starts from a zero coefficient canvas
-                out_ref[:] = jnp.zeros((PX, LANES), jnp.int32)
+            # The coefficient canvas STREAMS through HBM: out lives in
+            # ANY memory space (VMEM at wide lane blocks would be PX *
+            # LANES * 4 bytes -- 5.8 MB per 128 lanes for the 512^2
+            # stage-1 bucket, the former lane-width ceiling) and a 4-slot
+            # rolling row window in VMEM holds rows [r, r+2].  Access is
+            # strictly row-sequential, so one synchronous DMA read +
+            # write per row suffices (~Wpad*LANES*4 bytes each, ~2% of a
+            # row's compute time; no double buffering needed).  Round 0
+            # starts from a zero canvas: the freshly loaded slot is
+            # zeroed instead of shipping a zeros block.
+            def _slot(r):
+                return (r & 3) * Wpad
+
+            def canvas_tile(r, t):
+                return win_ref[pl.ds(_slot(r) + t * 8, 8), :]
+
+            def canvas_tile_write(r, t, vals):
+                win_ref[pl.ds(_slot(r) + t * 8, 8), :] = vals
+
+            def canvas_load(r):
+                dma = pltpu.make_async_copy(
+                    out_ref.at[pl.ds(r * Wpad, Wpad), :],
+                    win_ref.at[pl.ds(_slot(r), Wpad), :], dsem.at[0])
+                dma.start()
+                dma.wait()
+
+                @pl.when(g == 0)
+                def _():
+                    win_ref[pl.ds(_slot(r), Wpad), :] = jnp.zeros(
+                        (Wpad, LANES), jnp.int32)
+
+            def canvas_store(r):
+                dma = pltpu.make_async_copy(
+                    win_ref.at[pl.ds(_slot(r), Wpad), :],
+                    out_ref.at[pl.ds(r * Wpad, Wpad), :], dsem.at[1])
+                dma.start()
+                dma.wait()
         else:
             out_ref[:] = seg_ref[:]
+
+            def canvas_tile(r, t):
+                return out_ref[pl.ds(r * Wpad + t * 8, 8), :]
+
+            def canvas_tile_write(r, t, vals):
+                out_ref[pl.ds(r * Wpad + t * 8, 8), :] = vals
+
+            def canvas_load(r):
+                pass
+
+            def canvas_store(r):
+                pass
 
         # State selects/writes run in SUBLANE-PARALLEL form: a (17, LANES)
         # one-hot mask (3 vregs) feeds one masked reduce per select and
@@ -294,6 +345,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             # magnitude bits only touch contexts 0..11, the (cond-gated)
             # sign pass only 12..16
             (zt, nl, pos, erri) = st
+            if _ABL == "stub":
+                return st, jnp.zeros((LANES,), jnp.int32)
             err = erri != 0
             m = act & ~err
             ictx = iota17 == ctx[None, :]
@@ -429,7 +482,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 return z, z, z, z, z
 
             okany_i, adv, new_n, new_low, err2_i = jax.lax.cond(
-                jnp.any(need), do_refill, no_refill, pos, erri)
+                jnp.bool_(False) if _ABL == "norefill" else jnp.any(need),
+                do_refill, no_refill, pos, erri)
             okany = okany_i != 0
             err = err | (err2_i != 0)
             erri = jnp.where(err, 1, erri).astype(jnp.int32)
@@ -480,8 +534,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             plane = prev
 
             def tilefill(t, _):
-                px = r * Wpad + t * 8
-                rows = out_ref[pl.ds(px, 8), :]
+                rows = canvas_tile(r, t)
                 mag = rows & magmask[None, :]
                 s = ((jax.lax.shift_right_logical(mag, plane[None, :]))
                      != 0).astype(jnp.int32)
@@ -508,11 +561,13 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         pos_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
         for b in range(8):
             zero_row(b)
+        canvas_load(jnp.int32(0))
         fill_row(2, 6, 0)              # cur @ prev
         copy_row(1, 2)                 # cur @ lsb starts == cur @ prev
         copy_row(5, 6)
 
         if Hmax > 1:
+            canvas_load(jnp.int32(1))
             fill_row(3, 7, 1)          # below @ prev
 
         tz = jnp.zeros((LANES,), jnp.int32)
@@ -531,8 +586,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             def tile_body(t, st):
                 # ring top-up once per 8-pixel tile (see ring_sweep)
                 ring_sweep(st[2])
-                base = r * Wpad + t * 8
-                seg_tile = out_ref[pl.ds(base, 8), :]
+                seg_tile = canvas_tile(r, t)
                 # 24-row strips starting at the aligned tile base: the
                 # column window [c-1, c+1] lives at strip rows j+7..j+9
                 # (column c of the buffers is index 8 + c).  Aligned
@@ -627,7 +681,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         return st + (agree, pred)
 
                     res = jax.lax.cond(
-                        jnp.any(sgn_act), sign_pass,
+                        jnp.bool_(False) if _ABL == "nosign"
+                        else jnp.any(sgn_act), sign_pass,
                         lambda st: st + (jnp.zeros((LANES,), jnp.int32),
                                          jnp.zeros((LANES,), jnp.int32)),
                         st)
@@ -650,7 +705,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     cg_rows.append(cg_row)
                     seg_rows.append(jnp.where(ok, newv, v))
 
-                out_ref[pl.ds(base, 8), :] = jnp.stack(seg_rows)
+                canvas_tile_write(r, t, jnp.stack(seg_rows))
                 buf_ref[1, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cs_rows)
                 buf_ref[5, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cg_rows)
                 # saturate bin ages at CIRC_BUF_SIZE (the staleness test
@@ -664,6 +719,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 return (zt, nl, pos, erri)
 
             st = jax.lax.fori_loop(0, ntiles, tile_body, st)
+            canvas_store(r)
 
             # rotate row buffers for row r+1
             copy_row(0, 1)
@@ -672,6 +728,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             copy_row(6, 7)
             copy_row(1, 2)
             copy_row(5, 6)
+
+            # prefetch row r+2 for fill_row; past the last row, reload
+            # the already-stored row r-2 instead (same window slot, never
+            # read again) so the DMA stays unconditional
+            canvas_load(jnp.where(r + 2 < Hmax, r + 2,
+                                  jnp.maximum(r - 2, 0)))
 
             @pl.when(r + 2 < Hmax)
             def _():
@@ -705,14 +767,15 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     pl.BlockSpec((152, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
                 out_specs=[
-                    pl.BlockSpec((PX, LANES), lambda g: (0, 0),
-                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec((1, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
                 scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
-                                pltpu.VMEM((17, LANES), jnp.int32)],
+                                pltpu.VMEM((17, LANES), jnp.int32),
+                                pltpu.VMEM((4 * Wpad, LANES), jnp.int32),
+                                pltpu.SemaphoreType.DMA((2,))],
                 interpret=interpret,
             )
             out, err, pos = call(words, geom, luts)

@@ -9,8 +9,9 @@ forced materialization, reported as us per lock-step kernel step
 rewrites can be verified bit-identical on chip before the full pipeline
 A/B.
 
-Usage: python scripts/bench_decode_kernel.py [side] [--interpret]
+Usage: python scripts/bench_decode_kernel.py [side] [lanes] [--interpret]
   side: image side (default 512; smaller = faster compiles)
+  lanes: lane-block width (default 128; multiple of 128)
 """
 
 import sys
@@ -24,6 +25,7 @@ import numpy as np  # noqa: E402
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     side = int(args[0]) if args else 512
+    lanes = int(args[1]) if len(args) > 1 else 128
     interpret = "--interpret" in sys.argv
 
     from PIL import Image
@@ -54,15 +56,15 @@ def main():
 
     # biggest bucket (stage-1 subbands)
     buckets = _plan_lanes(w, h, cfg)
-    lanes = max(buckets, key=lambda b: max(t["h"] * t["w"] for t in b))
-    n1 = len(lanes)
-    reps = -(-128 // n1)          # tile copies to fill the 128-lane block
+    bkt = max(buckets, key=lambda b: max(t["h"] * t["w"] for t in b))
+    n1 = len(bkt)
+    reps = -(-lanes // n1)        # tile copies to fill the lane block
     n = n1 * reps
-    Hmax = max(t["h"] for t in lanes)
-    Wmax = max(t["w"] for t in lanes)
-    hh = np.tile([t["h"] for t in lanes], reps).astype(np.int32)
-    ww = np.tile([t["w"] for t in lanes], reps).astype(np.int32)
-    sb = np.tile([t["subband"] for t in lanes], reps).astype(np.int32)
+    Hmax = max(t["h"] for t in bkt)
+    Wmax = max(t["w"] for t in bkt)
+    hh = np.tile([t["h"] for t in bkt], reps).astype(np.int32)
+    ww = np.tile([t["w"] for t in bkt], reps).astype(np.int32)
+    sb = np.tile([t["subband"] for t in bkt], reps).astype(np.int32)
 
     per_round = []
     round_maxb = []
@@ -71,7 +73,7 @@ def main():
         offs = np.full(n, -1, np.int64)
         ebits = np.zeros(n, np.int64)
         for i in range(n):
-            t = lanes[i % n1]
+            t = bkt[i % n1]
             ent = table.get((0, t["stage"], t["subband"], t["seg"], lsb))
             if ent is not None:
                 offs[i], ebits[i] = ent
@@ -96,7 +98,7 @@ def main():
     import jax.numpy as jnp
     _ensure_cache()
     run = PD.make_decode_plane_pallas(PX, Wpad, NW, nrounds=R,
-                                      interpret=interpret)
+                                      interpret=interpret, lanes=lanes)
 
     # host-side window assembly (the pipeline does this on device; here
     # the kernel runs alone so the input is pre-materialized)
@@ -106,14 +108,14 @@ def main():
     sw8 = np.zeros((-(-len(swords) // 8), 8), np.int32)
     sw8.reshape(-1)[: len(swords)] = swords
     limit = len(sw8) - 1
-    words = np.zeros((R * NW, 128), np.int32)
+    words = np.zeros((R * NW, lanes), np.int32)
     for r in range(R):
         nt = NWr[r] // 8
         idx = (u["offs"][r] >> 5)[None, :] + np.arange(nt)[:, None]
         rows = sw8[np.clip(idx, 0, limit)]           # (nt, m, 8)
         wr = rows.transpose(0, 2, 1).reshape(NWr[r], m)
         words[r * NW: r * NW + NWr[r], :m] = wr
-    geom = np.zeros((R * 8, 128), np.int32)
+    geom = np.zeros((R * 8, lanes), np.int32)
     geom[:, :m] = u["geom"]
 
     jwords = jnp.asarray(words)
