@@ -67,9 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(progressive preview: the ICER stream is "
                         "priority-ordered, so any prefix decodes to a "
                         "coarser image; 0 = whole stream)")
-    p.add_argument("--batch-size", type=int, default=14, metavar="B",
+    p.add_argument("--batch-size", type=int, default=21, metavar="B",
                    help="batch operations: images per device program "
-                        "(default 14)")
+                        "(default 21: at 6 segments the decode kernel's "
+                        "128-lane blocks fill exactly with no runt block)")
     p.add_argument("--pipeline", type=int, default=4, metavar="K",
                    help="batch operations: device batches kept in "
                         "flight (default 4; 1 disables pipelining)")

@@ -111,8 +111,12 @@ def test_cli_batch_serving_roundtrip(tmp_path, rng):
                             amplitude=180, noise=30)
         imgs[f"img{i}"] = a
         Image.fromarray(a, "L").save(ind / f"img{i}.png")
+    # no --batch-size: exercises the default (21, the tuned serving batch;
+    # the encoder clamps to min(B, n_images))
+    from icer_compression_tpu.cli import build_parser
+    assert build_parser().get_default("batch_size") == 21
     assert main(["batch-compress", str(ind), str(outd),
-                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+                 "-s", "2", "-g", "2"]) == 0
     cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=40 * 48)
     for k, a in imgs.items():
         want = G.compress(a.astype(np.uint16), cfg)
