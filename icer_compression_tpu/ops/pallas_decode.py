@@ -138,6 +138,15 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     _ABL = _os.environ.get("ICER_DECODE_ABLATE", "")  # cost-probe only:
     #   "norefill" / "nosign" / "stub" disable kernel stages (WRONG
     #   results; used by scripts/bench_decode_kernel.py share probes)
+    # Zero-tile fast path (exact): a tile where EVERY lane's 8 pixels are
+    # inactive or decode a zero bit as category 0 skips the sequential
+    # pixel walk -- contexts/bins batch-verify vectorized over the tile,
+    # counters/stacks batch-update, canvas/sign state provably untouched.
+    # MSB plane rounds are ~100% such tiles (scripts/probe_zerotile.py:
+    # 31% of all tile-steps at B=21).  Disabled under ablation probes so
+    # stage shares measure the slow path.
+    _FAST = (_os.environ.get("ICER_DECODE_FAST", "1") != "0"
+             and not _ABL)
 
     LANES = lanes            # shadows the module default for the closure
     assert LANES % 128 == 0
@@ -603,6 +612,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 pg_t = buf_ref[6, pl.ds(t * 8, 24), :]
                 bg_t = buf_ref[7, pl.ds(t * 8, 24), :]
 
+                zt0, nl0, pos_0, err_0 = st
+
                 # The pixel loop is UNROLLED (static j): every strip
                 # access becomes a fixed vreg row read/write instead of an
                 # 8/10-way select chain -- the single largest per-bit op
@@ -616,102 +627,236 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 # as a stacked block -- the former per-pixel one-hot
                 # strip selects (iota24/iota8 where-chains) were ~112
                 # vreg ops/pixel, more than decode_bit itself.
-                prev_cs = cs_t[7, :]
-                prev_cg = cg_t[7, :]
-                cs_rows = []
-                cg_rows = []
-                seg_rows = []
-                for j in range(8):
-                    c = t * 8 + j
-                    act = (r < h_l) & (c < w_l)
+                def slow_tile(args):
+                    st = args
+                    prev_cs = cs_t[7, :]
+                    prev_cg = cg_t[7, :]
+                    cs_rows = []
+                    cg_rows = []
+                    seg_rows = []
+                    for j in range(8):
+                        c = t * 8 + j
+                        act = (r < h_l) & (c < w_l)
 
-                    v = seg_tile[j, :]
-                    mag = v & magmask
-                    # cat = clip(msb - lsb, 0, 3) via the shifted
-                    # magnitude: three compares instead of a 16-step
-                    # msb count
-                    mq = jax.lax.shift_right_logical(mag, lsb)
-                    cat = ((mq >= 2).astype(jnp.int32)
-                           + (mq >= 4) + (mq >= 8))
+                        v = seg_tile[j, :]
+                        mag = v & magmask
+                        # cat = clip(msb - lsb, 0, 3) via the shifted
+                        # magnitude: three compares instead of a 16-step
+                        # msb count
+                        mq = jax.lax.shift_right_logical(mag, lsb)
+                        cat = ((mq >= 2).astype(jnp.int32)
+                               + (mq >= 4) + (mq >= 8))
 
-                    # neighbor counts from buffers (index j+8 == column
-                    # c relative to the loaded 24-row strips; the c-1
-                    # column's updated rows are the carried prev_*)
-                    hc = prev_cs + cp_t[j + 9, :]
-                    vc = as_t[j + 8, :] + bp_t[j + 8, :]
-                    dc = (as_t[j + 7, :] + bp_t[j + 7, :]
-                          + as_t[j + 9, :] + bp_t[j + 9, :])
-                    hh = jnp.where(is_hl, vc, hc)
-                    vv = jnp.where(is_hl, hc, vc)
-                    # closed-form context tables (context_model.py
-                    # formulas, verified exhaustively vs the constants)
-                    ctx_ll = _ctx_ll_formula(jnp.minimum(hh, 2),
-                                             jnp.minimum(vv, 2), dc, jnp)
-                    ctx_hh = _ctx_hh_formula(hh + vv, dc, jnp)
-                    ctx0 = jnp.where(is_hh, ctx_hh, ctx_ll)
-                    ctx = jnp.where(
-                        cat == 0, ctx0,
-                        jnp.where(cat == 1,
-                                  jnp.where(hc + vc == 0, 9, 10), 11))
-                    cat3 = cat == 3
-                    ctx = jnp.where(cat3, 0, ctx)
+                        # neighbor counts from buffers (index j+8 == column
+                        # c relative to the loaded 24-row strips; the c-1
+                        # column's updated rows are the carried prev_*)
+                        hc = prev_cs + cp_t[j + 9, :]
+                        vc = as_t[j + 8, :] + bp_t[j + 8, :]
+                        dc = (as_t[j + 7, :] + bp_t[j + 7, :]
+                              + as_t[j + 9, :] + bp_t[j + 9, :])
+                        hh = jnp.where(is_hl, vc, hc)
+                        vv = jnp.where(is_hl, hc, vc)
+                        # closed-form context tables (context_model.py
+                        # formulas, verified exhaustively vs the constants)
+                        ctx_ll = _ctx_ll_formula(jnp.minimum(hh, 2),
+                                                 jnp.minimum(vv, 2), dc, jnp)
+                        ctx_hh = _ctx_hh_formula(hh + vv, dc, jnp)
+                        ctx0 = jnp.where(is_hh, ctx_hh, ctx_ll)
+                        ctx = jnp.where(
+                            cat == 0, ctx0,
+                            jnp.where(cat == 1,
+                                      jnp.where(hc + vc == 0, 9, 10), 11))
+                        cat3 = cat == 3
+                        ctx = jnp.where(cat3, 0, ctx)
 
-                    st, bit = decode_bit(st, ctx, act, cat3)
-                    err = st[3] != 0
-                    ok = act & ~err
-                    newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
-                                     v)
-                    # significance update for newly-significant pixels
-                    cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 8, :])
+                        st, bit = decode_bit(st, ctx, act, cat3)
+                        err = st[3] != 0
+                        ok = act & ~err
+                        newv = jnp.where(ok, v | jax.lax.shift_left(bit, lsb),
+                                         v)
+                        # significance update for newly-significant pixels
+                        cs_row = jnp.where(ok & (cat == 0), bit, cs_t[j + 8, :])
 
-                    # sign pass -- skipped entirely (scalar cond) when no
-                    # lane's pixel became significant this step: a
-                    # decode_bit with an all-false act mask is a no-op
-                    sgn_act = ok & (cat == 0) & (bit == 1)
+                        # sign pass -- skipped entirely (scalar cond) when no
+                        # lane's pixel became significant this step: a
+                        # decode_bit with an all-false act mask is a no-op
+                        sgn_act = ok & (cat == 0) & (bit == 1)
 
-                    def sign_pass(st):
-                        sh = (2 + prev_cg + pg_t[j + 9, :])
-                        sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
-                        sh2 = jnp.where(is_hl, sv, sh)
-                        sv2 = jnp.where(is_hl, sh, sv)
-                        sctx, pred = _sign_formula(sh2, sv2, jnp)
-                        st, agree = decode_bit(st, sctx, sgn_act,
-                                               sgn_act & ~sgn_act,
-                                               zlo=12, zhi=17)
-                        return st + (agree, pred)
+                        def sign_pass(st):
+                            sh = (2 + prev_cg + pg_t[j + 9, :])
+                            sv = (2 + ag_t[j + 8, :] + bg_t[j + 8, :])
+                            sh2 = jnp.where(is_hl, sv, sh)
+                            sv2 = jnp.where(is_hl, sh, sv)
+                            sctx, pred = _sign_formula(sh2, sv2, jnp)
+                            st, agree = decode_bit(st, sctx, sgn_act,
+                                                   sgn_act & ~sgn_act,
+                                                   zlo=12, zhi=17)
+                            return st + (agree, pred)
 
-                    res = jax.lax.cond(
-                        jnp.bool_(False) if _ABL == "nosign"
-                        else jnp.any(sgn_act), sign_pass,
-                        lambda st: st + (jnp.zeros((LANES,), jnp.int32),
-                                         jnp.zeros((LANES,), jnp.int32)),
-                        st)
-                    st, agree, pred = res[:4], res[4], res[5]
-                    err = st[3] != 0
-                    ok2 = sgn_act & ~err
-                    actual = (agree ^ pred) & 1
-                    newv = jnp.where(
-                        ok2, newv | jax.lax.shift_left(actual, mag_bits),
-                        newv)
-                    # sign buffer update: newly significant -> -actual;
-                    # already-significant keep their prev-plane sign
-                    cg_row = jnp.where(ok2, -actual, cg_t[j + 8, :])
+                        res = jax.lax.cond(
+                            jnp.bool_(False) if _ABL == "nosign"
+                            else jnp.any(sgn_act), sign_pass,
+                            lambda st: st + (jnp.zeros((LANES,), jnp.int32),
+                                             jnp.zeros((LANES,), jnp.int32)),
+                            st)
+                        st, agree, pred = res[:4], res[4], res[5]
+                        err = st[3] != 0
+                        ok2 = sgn_act & ~err
+                        actual = (agree ^ pred) & 1
+                        newv = jnp.where(
+                            ok2, newv | jax.lax.shift_left(actual, mag_bits),
+                            newv)
+                        # sign buffer update: newly significant -> -actual;
+                        # already-significant keep their prev-plane sign
+                        cg_row = jnp.where(ok2, -actual, cg_t[j + 8, :])
 
-                    # carry this column's updated rows to the next pixel;
-                    # the strip blocks write back once per tile below
-                    prev_cs = cs_row
-                    prev_cg = cg_row
-                    cs_rows.append(cs_row)
-                    cg_rows.append(cg_row)
-                    seg_rows.append(jnp.where(ok, newv, v))
+                        # carry this column's updated rows to the next pixel;
+                        # the strip blocks write back once per tile below
+                        prev_cs = cs_row
+                        prev_cg = cg_row
+                        cs_rows.append(cs_row)
+                        cg_rows.append(cg_row)
+                        seg_rows.append(jnp.where(ok, newv, v))
 
-                canvas_tile_write(r, t, jnp.stack(seg_rows))
-                buf_ref[1, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cs_rows)
-                buf_ref[5, pl.ds(t * 8 + 8, 8), :] = jnp.stack(cg_rows)
+                    zt_b, nl_b, pos_b, err_b = st
+                    return (zt_b, nl_b, pos_b, err_b,
+                            jnp.stack(seg_rows), jnp.stack(cs_rows),
+                            jnp.stack(cg_rows))
+
+                if _FAST:
+                    # ---- zero-tile fast path --------------------------
+                    # Predicate stage 1 (cheap, ~10 ops): every active
+                    # pixel of every lane has mag >> lsb == 0, i.e. is
+                    # category 0 AND decodes bit 0 -- then the tile
+                    # changes no canvas/significance/sign state and no
+                    # sign events fire.  Stage 2 (under a scalar cond)
+                    # verifies exactly that the slow walk would (a) never
+                    # refill (stack depth covers the tile's per-bin
+                    # demand, no staleness), (b) never invert (inv == 0
+                    # for every evolved counter state), (c) never rescale
+                    # (tc + k + 1 < cap), and (d) pop only zero bits --
+                    # and, when true, applies the counter / stack-depth
+                    # batch updates in closed form.
+                    col8 = t * 8 + iota8L
+                    act8 = ((col8 < w_l[None, :])
+                            & ((r < h_l) & (err_0 == 0))[None, :])
+                    magt = seg_tile & magmask[None, :]
+                    mqt = jax.lax.shift_right_logical(magt, lsb[None, :])
+                    zeroish = ~jnp.any(act8 & (mqt != 0))
+
+                    def sh_dn(x, d):
+                        # out[j] = x[j - d], zero-filled (static shift)
+                        return jnp.concatenate(
+                            [jnp.zeros((d, LANES), jnp.int32), x[:8 - d]],
+                            axis=0)
+
+                    def full_check(_):
+                        csm1 = cs_t[7:15, :]
+                        cpp1 = cp_t[9:17, :]
+                        as0 = as_t[7:15, :]
+                        as1 = as_t[8:16, :]
+                        as2 = as_t[9:17, :]
+                        bp0 = bp_t[7:15, :]
+                        bp1 = bp_t[8:16, :]
+                        bp2 = bp_t[9:17, :]
+                        hc = csm1 + cpp1
+                        vc = as1 + bp1
+                        dc = as0 + bp0 + as2 + bp2
+                        hh = jnp.where(is_hl[None, :], vc, hc)
+                        vv = jnp.where(is_hl[None, :], hc, vc)
+                        ctx_ll = _ctx_ll_formula(jnp.minimum(hh, 2),
+                                                 jnp.minimum(vv, 2), dc,
+                                                 jnp)
+                        ctx_hh = _ctx_hh_formula(hh + vv, dc, jnp)
+                        ctx = jnp.where(is_hh[None, :], ctx_hh, ctx_ll)
+                        ctx = jnp.where(act8, ctx, 31)
+                        # same-ctx predecessors inside the tile: the
+                        # counters a pixel sees are the row state plus one
+                        # (t+1, z+1) step per earlier same-ctx pixel
+                        k8 = jnp.zeros((8, LANES), jnp.int32)
+                        for d in range(1, 8):
+                            k8 = k8 + ((ctx == sh_dn(ctx, d))
+                                       & (iota8L >= d)).astype(jnp.int32)
+                        ztc = jnp.zeros((8, LANES), jnp.int32)
+                        for cc in range(9):       # cat-0 contexts: 0..8
+                            ztc = jnp.where(ctx == cc, zt0[cc][None, :],
+                                            ztc)
+                        zc0 = ztc & 511
+                        tc0 = jax.lax.shift_right_logical(ztc, 9)
+                        tcp = tc0 + k8
+                        zcp = zc0 + k8
+                        bad = act8 & ((zcp < (tcp >> 1))
+                                      | (tcp + 1
+                                         >= C.CONTEXT_RESCALING_CAP))
+                        comp = zcp << 16
+                        bn = jnp.zeros((8, LANES), jnp.int32)
+                        for q in range(16):
+                            bn = bn + (comp >= tcp * _CUT[q]).astype(
+                                jnp.int32)
+                        bnm = jnp.where(act8, bn, 31)
+                        k2 = jnp.zeros((8, LANES), jnp.int32)
+                        for d in range(1, 8):
+                            k2 = k2 + ((bnm == sh_dn(bnm, d))
+                                       & (iota8L >= d)).astype(jnp.int32)
+                        nlv = jnp.zeros((8, LANES), jnp.int32)
+                        for b in range(17):
+                            nlv = jnp.where(bnm == b, nl0[b][None, :],
+                                            nlv)
+                        n_b = nlv & 2047
+                        low_b = jax.lax.shift_right_logical(nlv, 11) & 255
+                        age_b = jax.lax.shift_right_logical(nlv, 19)
+                        navail = n_b - k2
+                        idxb = jnp.clip(navail - 1, 0, 31)
+                        bitv = jnp.where(
+                            navail - 1 < 5,
+                            jax.lax.shift_right_logical(low_b, idxb) & 1,
+                            0)
+                        bad = bad | (act8 & ((navail < 1)
+                                             | (age_b >= C.CIRC_BUF_SIZE)
+                                             | (bitv != 0)))
+                        ok = (~jnp.any(bad)).astype(jnp.int32)
+                        # batch updates: zero bits -> each context row
+                        # gains (z + cnt, t + cnt); each bin row pops
+                        # cnt bits (low's popped bits are zero, so the
+                        # slow path's clear is a no-op; ages unchanged
+                        # because nothing refills)
+                        zt2 = zt0
+                        for cc in range(9):
+                            cnt = jnp.sum((act8 & (ctx == cc)).astype(
+                                jnp.int32), axis=0)
+                            zt2 = jnp.where(iota17 == cc,
+                                            zt2 + (cnt + (cnt << 9)
+                                                   )[None, :], zt2)
+                        nl2 = nl0
+                        for b in range(1, 17):
+                            d_b = jnp.sum((act8 & (bnm == b)).astype(
+                                jnp.int32), axis=0)
+                            nl2 = jnp.where(iota17 == b,
+                                            nl2 - d_b[None, :], nl2)
+                        return ok, zt2, nl2
+
+                    def no_check(_):
+                        return jnp.zeros((), jnp.int32), zt0, nl0
+
+                    ok_i, zt_f, nl_f = jax.lax.cond(zeroish, full_check,
+                                                    no_check, 0)
+
+                    def fast_tile(args):
+                        return (zt_f, nl_f, pos_0, err_0, seg_tile,
+                                cs_t[8:16, :], cg_t[8:16, :])
+
+                    res = jax.lax.cond(ok_i != 0, fast_tile, slow_tile,
+                                       (zt0, nl0, pos_0, err_0))
+                else:
+                    res = slow_tile((zt0, nl0, pos_0, err_0))
+
+                canvas_tile_write(r, t, res[4])
+                buf_ref[1, pl.ds(t * 8 + 8, 8), :] = res[5]
+                buf_ref[5, pl.ds(t * 8 + 8, 8), :] = res[6]
                 # saturate bin ages at CIRC_BUF_SIZE (the staleness test
                 # is >=): ages grow <= 16 per tile, so a per-tile clamp
                 # keeps the 12-bit field from ever wrapping
-                zt, nl, pos, erri = st
+                zt, nl, pos, erri = res[:4]
                 nl = jnp.where(
                     nl >= jnp.int32((C.CIRC_BUF_SIZE + 1) << 19),
                     (nl & ((1 << 19) - 1))

@@ -58,7 +58,7 @@ def main():
     buckets = _plan_lanes(w, h, cfg)
     bkt = max(buckets, key=lambda b: max(t["h"] * t["w"] for t in b))
     n1 = len(bkt)
-    reps = -(-lanes // n1)        # tile copies to fill the lane block
+    reps = max(1, lanes // n1)    # tile copies to fill the lane block
     n = n1 * reps
     Hmax = max(t["h"] for t in bkt)
     Wmax = max(t["w"] for t in bkt)

@@ -12,6 +12,9 @@ Sections (the budget is split evenly across the ones that run):
                (tests/fuzz_color_oracle.py)
   jax       -- fixed-geometry fuzz of the XLA pipeline (fused encoder +
                lane-batched decoder) on the CPU backend (tests/fuzz_jax.py)
+  sharded   -- random-content fuzz of the sharded (multi-device) encoder
+               on a virtual 8-device CPU mesh vs the host reference path
+               (tests/fuzz_sharded.py)
   jax-chip  -- same harness on the attached accelerator with the pallas
                decoder; only when ICER_RUN_ONCHIP=1 (compiles are paid
                once per geometry but still cost minutes on a remote chip)
@@ -74,7 +77,13 @@ def main():
     # is >= 1000 jax trials (compiles are excluded from its clock)
     sections = [
         ("gray", [sys.executable, "tests/fuzz_oracle.py"], {}, 1),
-        ("color", [sys.executable, "tests/fuzz_color_oracle.py"], {}, 1),
+        # color carries double weight: its per-trial cost is 3 channels +
+        # two decoders and the soak target is >= 5000 color trials
+        ("color", [sys.executable, "tests/fuzz_color_oracle.py"], {}, 2),
+        # the sharded encoder is a default-tier production path: fuzz it
+        # on a virtual CPU mesh vs the host reference path
+        ("sharded", [sys.executable, "tests/fuzz_sharded.py"],
+         {"JAX_PLATFORMS": "cpu"}, 1),
         # JAX_PLATFORMS=cpu keeps the CPU section independent of the
         # accelerator backend entirely (axon init hangs when the TPU
         # tunnel is down, even for CPU-device work)

@@ -69,9 +69,13 @@ while time.time() - t0 < dur:
     dec = o.decompress_yuv_u8 if u8 else o.decompress_yuv_u16
     _, (cy, cu, cv) = dec(cs, st, f, g, h * w * 16)
     my = decompress_yuv(cs, cfg, dtype=dt)
-    ml = decompress_yuv_lanes(cs, cfg, dtype=dt)
     if not all(np.array_equal(a, b) for a, b in zip(my, (cy, cu, cv))):
         bad += 1; print("DEC MISMATCH", (h, w, st, g, f)); continue
-    if not all(np.array_equal(a, b) for a, b in zip(ml, my)):
-        bad += 1; print("LANE DEC MISMATCH", (h, w, st, g, f))
+    # the lane-batched decoder costs ~3 s/trial on host (it is built for
+    # wide device batches); sampling it every 6th trial keeps the soak's
+    # trial rate while still exercising it hundreds of times per run
+    if trials % 6 == 0:
+        ml = decompress_yuv_lanes(cs, cfg, dtype=dt)
+        if not all(np.array_equal(a, b) for a, b in zip(ml, my)):
+            bad += 1; print("LANE DEC MISMATCH", (h, w, st, g, f))
 print(f"color fuzz: {trials} trials, {bad} failures")
