@@ -811,15 +811,104 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                             navail - 1 < 5,
                             jax.lax.shift_right_logical(low_b, idxb) & 1,
                             0)
-                        bad = bad | (act8 & ((navail < 1)
-                                             | (age_b >= C.CIRC_BUF_SIZE)
-                                             | (bitv != 0)))
-                        ok = (~jnp.any(bad)).astype(jnp.int32)
+                        # ONE refill per lane is tolerated (a zero-run
+                        # tile refills its dominant golomb bin every
+                        # m bits, so an all-lane no-refill conjunction
+                        # almost never holds): the dry demands must all
+                        # belong to one bin, fit a single parsed
+                        # codeword, and pop only zero bits from it.
+                        dry = act8 & (navail < 1)
+                        hasR = jnp.any(dry, axis=0)             # (L,)
+                        hasR_i = hasR.astype(jnp.int32)
+                        bad = bad | (act8 & ~dry & (bitv != 0))
+                        bad = bad | (act8 & (age_b + hasR_i[None, :]
+                                             >= C.CIRC_BUF_SIZE))
+                        bR = jnp.max(jnp.where(dry, bnm, 0), axis=0)
+                        lane_bad = jnp.any(dry & (bnm != bR[None, :]),
+                                           axis=0)
+                        cnt_post = jnp.sum(dry.astype(jnp.int32), axis=0)
+                        # parse the refill codeword at pos (the ring
+                        # covers 11 lookahead bits; a fast tile consumes
+                        # at most one codeword, well inside the sweep
+                        # invariant).  Mirrors decode_bit's do_refill
+                        # with bin := bR.
+                        look = ring_look11(pos_0)
+                        isg = bR >= 8
+                        isc = (bR >= 1) & (bR <= 7)
+                        first = (look & 1) != 0
+                        pe = selrows(iota17 == bR[None, :], golc)
+                        m_e = pe & 1023
+                        l_e = jax.lax.shift_right_logical(pe, 10) & 15
+                        i_e = jax.lax.shift_right_logical(pe, 14)
+                        v = look
+                        v = ((jax.lax.shift_right_logical(v, 1) & 0x5555)
+                             | ((v & 0x5555) << 1))
+                        v = ((jax.lax.shift_right_logical(v, 2) & 0x3333)
+                             | ((v & 0x3333) << 2))
+                        v = ((jax.lax.shift_right_logical(v, 4) & 0x0F0F)
+                             | ((v & 0x0F0F) << 4))
+                        v = ((jax.lax.shift_right_logical(v, 8) & 0x00FF)
+                             | ((v & 0x00FF) << 8))
+                        kl = jax.lax.shift_right_logical(v, 16 - l_e)
+                        klong = (kl << 1) | (
+                            jax.lax.shift_right_logical(look, l_e) & 1)
+                        long_needed = (~first) & (kl >= i_e)
+                        gerr = (~first) & ((l_e > ebits)
+                                           | (long_needed
+                                              & (l_e + 1 > ebits)))
+                        adv_g = jnp.where(first, 1,
+                                          jnp.where(long_needed, l_e + 1,
+                                                    l_e))
+                        zeros_g = jnp.where(first, m_e,
+                                            jnp.where(long_needed,
+                                                      klong - i_e, kl))
+                        nn_g = zeros_g + jnp.where(first, 0, 1)
+                        lo_g = jnp.where(first, 0, 1)
+                        look5 = look & 31
+                        key = (jnp.clip(bR - 1, 0, 6) << 5) | look5
+                        io112 = jax.lax.broadcasted_iota(
+                            jnp.int32, (112, LANES), 0)
+                        wsel = jax.lax.shift_right_logical(key, 1)
+                        word = selrows(io112 == wsel[None, :], cpkc)
+                        ent = jnp.where((key & 1) != 0,
+                                        jax.lax.shift_right_logical(
+                                            word, 16), word) & 0xFFFF
+                        hit = ent & 15
+                        ival = jax.lax.shift_right_logical(ent, 8)
+                        ibits2 = jax.lax.shift_right_logical(ent, 4) & 15
+                        cerr = (hit == 0) | (hit >= ebits)
+                        uerr = ebits < 1
+                        adv = jnp.where(isg, adv_g,
+                                        jnp.where(isc, hit, 1))
+                        nn = jnp.where(isg, nn_g,
+                                       jnp.where(isc, ibits2, 1))
+                        lo = jnp.where(isg, lo_g,
+                                       jnp.where(isc, ival, look & 1))
+                        # select on int32, not i1: Mosaic rejects bool
+                        # vector operands in select chains
+                        rerr = jnp.where(isg, gerr.astype(jnp.int32),
+                                         jnp.where(isc,
+                                                   cerr.astype(jnp.int32),
+                                                   uerr.astype(jnp.int32)))
+                        lane_bad = lane_bad | (hasR & ((rerr != 0)
+                                                       | (cnt_post > nn)))
+                        # the refilled bits consumed this tile (new-stack
+                        # indices nn-1 .. nn-cnt_post) must all be zero;
+                        # indices >= 5 read as zero in the consume path
+                        a0 = jnp.clip(nn - cnt_post, 0, 31)
+                        wid = jnp.clip(jnp.minimum(nn, 5) - a0, 0, 5)
+                        consumed = (jax.lax.shift_right_logical(lo, a0)
+                                    & ((jnp.int32(1) << wid) - 1))
+                        lane_bad = lane_bad | (hasR & (consumed != 0))
+                        ok = (~(jnp.any(bad) | jnp.any(lane_bad))
+                              ).astype(jnp.int32)
                         # batch updates: zero bits -> each context row
                         # gains (z + cnt, t + cnt); each bin row pops
-                        # cnt bits (low's popped bits are zero, so the
-                        # slow path's clear is a no-op; ages unchanged
-                        # because nothing refills)
+                        # its demand count (popped bits are zero, so the
+                        # slow path's bit-clear is a no-op); a refilling
+                        # lane ages every bin by one and rewrites bin
+                        # bR's row with the partially-consumed new stack
+                        # at age 0 (exactly decode_bit's refill effects)
                         zt2 = zt0
                         for cc in range(9):
                             cnt = jnp.sum((act8 & (ctx == cc)).astype(
@@ -827,22 +916,27 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                             zt2 = jnp.where(iota17 == cc,
                                             zt2 + (cnt + (cnt << 9)
                                                    )[None, :], zt2)
-                        nl2 = nl0
-                        for b in range(1, 17):
+                        nl2 = nl0 + (hasR_i << 19)[None, :]
+                        for b in range(17):
                             d_b = jnp.sum((act8 & (bnm == b)).astype(
                                 jnp.int32), axis=0)
                             nl2 = jnp.where(iota17 == b,
                                             nl2 - d_b[None, :], nl2)
-                        return ok, zt2, nl2
+                        newrow = (nn - cnt_post) | (lo << 11)   # age 0
+                        mR = (iota17 == bR[None, :]) & hasR[None, :]
+                        nl2 = jnp.where(mR, newrow[None, :], nl2)
+                        pos2 = pos_0 + jnp.where(hasR, adv, 0)
+                        return ok, zt2, nl2, pos2
 
                     def no_check(_):
-                        return jnp.zeros((), jnp.int32), zt0, nl0
+                        return (jnp.zeros((), jnp.int32), zt0, nl0,
+                                pos_0)
 
-                    ok_i, zt_f, nl_f = jax.lax.cond(zeroish, full_check,
-                                                    no_check, 0)
+                    ok_i, zt_f, nl_f, pos_f = jax.lax.cond(
+                        zeroish, full_check, no_check, 0)
 
                     def fast_tile(args):
-                        return (zt_f, nl_f, pos_0, err_0, seg_tile,
+                        return (zt_f, nl_f, pos_f, err_0, seg_tile,
                                 cs_t[8:16, :], cg_t[8:16, :])
 
                     res = jax.lax.cond(ok_i != 0, fast_tile, slow_tile,

@@ -16,6 +16,7 @@ Variants (cumulative pipeline prefixes):
 Usage: python scripts/probe_encode_ablate.py [B] [side]
 """
 
+import os
 import sys
 import time
 from contextlib import contextmanager
@@ -60,6 +61,7 @@ def main():
         """Build the fused program with the tail/kernel stage patched."""
         orig_pack = PE.order_and_pack_lane_packed
         orig_kern = PE.make_encode_lanes_slim
+        orig_operand = PE.slim_sort_operand_packed
 
         def pack_checksum(ops, xp, max_bits=None, slice_to=None,
                           return_words=False):
@@ -78,6 +80,17 @@ def main():
             payload = xp.pad(s[:1] & 0xFF, (0, pw - 1))
             return payload, (s[0] & 1023) + 32, s[0] < -2
 
+        def pack_const(ops, xp, max_bits=None, slice_to=None,
+                       return_words=False):
+            # constant result: lets XLA DCE the sort-operand build +
+            # transpose entirely (kernel stays alive through misc)
+            pw = max_bits // 32
+            return (xp.zeros((pw,), xp.int32), xp.zeros((), xp.int32) + 32,
+                    xp.zeros((), bool))
+
+        def operand_norec(rec, fstate, ev, xp):
+            return rec      # skip the tail/ev concat
+
         def kern_stub(L, chunk=512, interpret=False, lanes=128,
                       fused_key=None):
             def run(packed):
@@ -93,16 +106,21 @@ def main():
         @contextmanager
         def patched():
             try:
-                if variant in ("notail", "nokernel"):
+                if variant in ("notail", "nokernel", "noconcat"):
                     PE.order_and_pack_lane_packed = pack_checksum
                 elif variant == "sortonly":
                     PE.order_and_pack_lane_packed = pack_sortonly
+                elif variant == "fakepost":
+                    PE.order_and_pack_lane_packed = pack_const
+                if variant == "noconcat":
+                    PE.slim_sort_operand_packed = operand_norec
                 if variant == "nokernel":
                     PE.make_encode_lanes_slim = kern_stub
                 yield
             finally:
                 PE.order_and_pack_lane_packed = orig_pack
                 PE.make_encode_lanes_slim = orig_kern
+                PE.slim_sort_operand_packed = orig_operand
 
         with patched():
             enc = JaxGrayscaleEncoder(side, side, 4, 0, 6, 7, entropy="slim",
@@ -126,19 +144,17 @@ def main():
         print(f"{name:10s} compile {comp:6.1f}s  best {t*1e3:8.1f} ms "
               f"({t*1e3/B:6.2f} ms/img)", flush=True)
 
-    timed("full", f_full)
-    for v in ("sortonly", "notail", "nokernel"):
+    if os.environ.get("ICER_ABLATE_FULL", "1") != "0":
+        timed("full", f_full)
+    variants = os.environ.get(
+        "ICER_ABLATE_VARIANTS", "sortonly,notail,nokernel").split(",")
+    for v in variants:
         _, fv = make(v)
         timed(v, fv)
 
-    fu, so, nt, nk = (results[k] for k in
-                      ("full", "sortonly", "notail", "nokernel"))
-    print("\n--- wall-delta decomposition (ms/batch | ms/img) ---")
-    for nm, val in [("decode+pack (full-sortonly)", fu - so),
-                    ("ordering sort (sortonly-notail)", so - nt),
-                    ("slim kernel (notail-nokernel)", nt - nk),
-                    ("transform+emissions+transfers (nokernel)", nk)]:
-        print(f"{nm:42s} {val*1e3:8.1f} | {val*1e3/B:6.2f}", flush=True)
+    print("\n--- walls (ms/batch) ---")  # noqa
+    for k, v in results.items():
+        print(f"{k:12s} {v*1e3:8.1f}", flush=True)
 
 
 

@@ -254,3 +254,105 @@ def test_pallas_decode_skewed_bin16(rng):
                          jnp.asarray(seg0.reshape(Hmax * Wpad, n)))
     assert not np.asarray(err).any()
     assert np.array_equal(np.asarray(out).reshape(Hmax, Wpad, n), ref)
+
+
+def _drive_kernel(full, h, w, subband, lsb_v, mag_bits):
+    """Encode plane lsb_v of every lane, decode via the numpy lane model
+    and the (interpret-mode) pallas kernel, return (ref, out, ok_ref,
+    err)."""
+    n = full.shape[-1]
+    Hmax, Wpad = full.shape[0], full.shape[1]
+    payloads = [_encode_plane(full[:h[lane], :w[lane], lane],
+                              int(subband[lane]), lsb_v, mag_bits)
+                for lane in range(n)]
+    magmask = (1 << mag_bits) - 1
+    seg0 = (full & magmask & ~((1 << (lsb_v + 1)) - 1)).astype(np.int32)
+    sig_above = (seg0 & magmask) != 0
+    seg0 |= np.where(sig_above, full & (1 << mag_bits), 0)
+
+    maxb = max(len(p) for p, _ in payloads) + 8
+    data = np.zeros((n, maxb), np.uint8)
+    readable = np.zeros(n, np.int64)
+    ebits = np.zeros(n, np.int64)
+    for lane, (p, nb) in enumerate(payloads):
+        data[lane, :len(p)] = np.frombuffer(bytes(p), np.uint8)
+        readable[lane] = len(p)
+        ebits[lane] = nb
+    ref = seg0.copy()
+    dec = DL.LaneDecoders(data, readable, ebits)
+    ok_ref = DL.decode_plane_lanes(ref, h, w, subband,
+                                   np.full(n, lsb_v, np.int32),
+                                   np.full(n, mag_bits, np.int32), dec,
+                                   np.ones(n, bool))
+    NW = max(16, ((maxb + 3) // 4 + 7) // 8 * 8)
+    wbytes = np.zeros((NW * 4, n), np.uint8)
+    for lane in range(n):
+        wbytes[:readable[lane], lane] = data[lane, :readable[lane]]
+    words = (wbytes[0::4].astype(np.int64)
+             | (wbytes[1::4].astype(np.int64) << 8)
+             | (wbytes[2::4].astype(np.int64) << 16)
+             | (wbytes[3::4].astype(np.int64) << 24))
+    words = (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    geom = np.zeros((8, n), np.int32)
+    geom[0] = h
+    geom[1] = w
+    geom[2] = subband
+    geom[3] = lsb_v
+    geom[4] = mag_bits
+    geom[5] = 1
+    geom[6] = ebits
+    geom[7] = readable * 8
+    run = PD.make_decode_plane_pallas(Hmax * Wpad, Wpad, NW,
+                                      interpret=True)
+    out, err, _pos = run(jnp.asarray(words), jnp.asarray(geom),
+                         jnp.asarray(seg0.reshape(Hmax * Wpad, n)))
+    return ref, np.asarray(out).reshape(full.shape), ok_ref, np.asarray(err)
+
+
+def test_pallas_decode_zero_tile_fast_path(rng):
+    """EVERY lane all-zero at the tested plane: every tile qualifies for
+    the zero-tile fast path, whose single-refill branch (golomb runs
+    refilling mid-tile, bin adaptation from fresh counters) must be
+    bit-identical to the sequential walk."""
+    n = PD.LANES
+    Hmax, Wpad = 16, 16
+    mag_bits = 7
+    lsb_v = 3
+    h = np.full(n, Hmax, np.int32)
+    w = np.full(n, Wpad, np.int32)
+    subband = np.tile(np.arange(4, dtype=np.int32), n // 4)
+    # sub-plane noise only: mag >> lsb_v == 0 everywhere
+    full = (rng.integers(0, 1 << lsb_v, (Hmax, Wpad, n))
+            | (rng.integers(0, 2, (Hmax, Wpad, n)) << mag_bits)
+            ).astype(np.int32)
+    ref, out, ok_ref, err = _drive_kernel(full, h, w, subband, lsb_v,
+                                          mag_bits)
+    assert ok_ref.all() and not err.any()
+    assert np.array_equal(out, ref)
+
+
+def test_pallas_decode_fast_path_mixed_tiles(rng):
+    """Significance confined to each row's first tile: the second tile
+    of every row is all-lane zeroish with contexts and counters shaped
+    by the first tile's coding (mid-adaptation custom-bin refills, sign
+    neighborhood effects at the tile boundary)."""
+    n = PD.LANES
+    Hmax, Wpad = 16, 16
+    mag_bits = 7
+    lsb_v = 2
+    h = np.full(n, Hmax, np.int32)
+    w = np.full(n, Wpad, np.int32)
+    # uneven widths on some lanes: partial-activity tiles
+    w[::7] = 13
+    subband = np.tile(np.arange(4, dtype=np.int32), n // 4)
+    full = (rng.integers(0, 1 << lsb_v, (Hmax, Wpad, n))
+            | (rng.integers(0, 2, (Hmax, Wpad, n)) << mag_bits)
+            ).astype(np.int32)
+    sig = rng.integers(0, 1 << mag_bits, (Hmax, 8, n))
+    sig = np.where(rng.random((Hmax, 8, n)) < 0.4, sig, 0)
+    full[:, :8, :] = (sig | (rng.integers(0, 2, (Hmax, 8, n)) << mag_bits)
+                      ).astype(np.int32)
+    ref, out, ok_ref, err = _drive_kernel(full, h, w, subband, lsb_v,
+                                          mag_bits)
+    assert ok_ref.all() and not err.any()
+    assert np.array_equal(out, ref)
