@@ -590,6 +590,7 @@ class JaxGrayscaleEncoder:
                      | (total > jnp.asarray(row_caps)))
 
             # flatten with plane-major bands trimmed to each plane's cap
+            _dbg_blob = os.environ.get("ICER_DEBUG_BLOB", "")
             pieces = []
             row0 = 0
             for gi in b["groups"]:
@@ -601,7 +602,14 @@ class JaxGrayscaleEncoder:
                     self.batch, P, N, -1)
                 for pi in range(P):
                     cw = b["plane_capb"][lo + pi] // 4
-                    pieces.append(blk4[:, pi, :, :cw].reshape(-1))
+                    if _dbg_blob == "noflatten":
+                        # cost probe ONLY (wrong blob content): same
+                        # piece lengths, no strided plane slices
+                        pieces.append(jnp.pad(
+                            blk4.reshape(-1)[:1],
+                            (0, self.batch * N * cw - 1)))
+                    else:
+                        pieces.append(blk4[:, pi, :, :cw].reshape(-1))
                 row0 += rows_g
             return jnp.concatenate(pieces), total, flush
 
@@ -656,6 +664,21 @@ class JaxGrayscaleEncoder:
             pw = jnp.concatenate([p.astype(jnp.int32).reshape(-1)
                                   for p in payloads])
             do_compact = self._compact if compact is None else compact
+            if os.environ.get("ICER_DEBUG_BLOB", "") == "nogather":
+                # cost probe ONLY (wrong blob content): identical output
+                # length, contiguous slice instead of the tile gather
+                BT = self._budget_tiles
+                meta = jnp.concatenate([
+                    nbits, flush, ll_mean.astype(jnp.int32),
+                    overflow.astype(jnp.int32),
+                    (nbits.sum())[None].astype(jnp.int32)])
+                padm = (-meta.shape[0]) % 8
+                out = jnp.concatenate([
+                    meta, jnp.zeros((padm,), jnp.int32),
+                    pw[:BT * 8]])
+                if out.shape[0] < (1 << 18):
+                    out = jnp.pad(out, (0, (1 << 18) - out.shape[0]))
+                return out
             if do_compact:
                 # Gather each lane's ACTUAL payload tiles (8-word rows of
                 # the caps-padded layout) into a dense budget-sized blob:

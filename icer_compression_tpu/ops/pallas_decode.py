@@ -146,7 +146,18 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     # 31% of all tile-steps at B=21).  Disabled under ablation probes so
     # stage shares measure the slow path.
     _FAST = (_os.environ.get("ICER_DECODE_FAST", "1") != "0"
-             and not _ABL)
+             and _ABL in ("", "freefast"))
+    # The refill / sign-pass machinery runs UNCONDITIONALLY by default
+    # (internally masked, exact): at 126 lock-step lanes the scalar
+    # any() + scf.if gates fire nearly every step anyway, and the gate
+    # overhead measured 15% of the whole kernel (87.6 -> 74.0 ms on the
+    # 512^2 stage-1 block, checksum-identical).  ICER_DECODE_COND=1
+    # restores the gated form (narrow-lane or sparse-content callers).
+    _UNCOND = (_os.environ.get("ICER_DECODE_COND") != "1"
+               and _ABL != "norefill" and _ABL != "nosign")
+    # debug instrumentation: the pos output carries (fast_tiles |
+    # zeroish_tiles << 16) instead of bit positions (bench-only)
+    _DBG = _os.environ.get("ICER_DECODE_DEBUG") == "1" and _FAST
 
     LANES = lanes            # shadows the module default for the closure
     assert LANES % 128 == 0
@@ -490,9 +501,16 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 z = jnp.zeros((LANES,), jnp.int32)
                 return z, z, z, z, z
 
-            okany_i, adv, new_n, new_low, err2_i = jax.lax.cond(
-                jnp.bool_(False) if _ABL == "norefill" else jnp.any(need),
-                do_refill, no_refill, pos, erri)
+            if _UNCOND and _ABL != "norefill":
+                # no scalar any()+scf.if gate: always run the
+                # (internally masked) refill -- see _UNCOND note
+                okany_i, adv, new_n, new_low, err2_i = do_refill(pos,
+                                                                 erri)
+            else:
+                okany_i, adv, new_n, new_low, err2_i = jax.lax.cond(
+                    jnp.bool_(False) if _ABL == "norefill"
+                    else jnp.any(need),
+                    do_refill, no_refill, pos, erri)
             okany = okany_i != 0
             err = err | (err2_i != 0)
             erri = jnp.where(err, 1, erri).astype(jnp.int32)
@@ -568,6 +586,18 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         # ---- init ---------------------------------------------------
         err_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
         pos_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
+        if _DBG and multi:
+            @pl.when(g == 0)
+            def _():
+                ring_ref[17, :] = jnp.zeros((LANES,), jnp.int32)
+                ring_ref[18, :] = jnp.zeros((LANES,), jnp.int32)
+                ring_ref[19, :] = jnp.zeros((LANES,), jnp.int32)
+                ring_ref[20, :] = jnp.zeros((LANES,), jnp.int32)
+        elif _DBG:
+            ring_ref[17, :] = jnp.zeros((LANES,), jnp.int32)
+            ring_ref[18, :] = jnp.zeros((LANES,), jnp.int32)
+            ring_ref[19, :] = jnp.zeros((LANES,), jnp.int32)
+            ring_ref[20, :] = jnp.zeros((LANES,), jnp.int32)
         for b in range(8):
             zero_row(b)
         canvas_load(jnp.int32(0))
@@ -783,11 +813,24 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                             ztc)
                         zc0 = ztc & 511
                         tc0 = jax.lax.shift_right_logical(ztc, 9)
-                        tcp = tc0 + k8
-                        zcp = zc0 + k8
-                        bad = act8 & ((zcp < (tcp >> 1))
-                                      | (tcp + 1
-                                         >= C.CONTEXT_RESCALING_CAP))
+                        # counters after k8 all-zero updates, in closed
+                        # form INCLUDING one rescale: every hot context
+                        # cycles total 250..500 (cap CONTEXT_RESCALING_CAP
+                        # halves it), so ~any tile at steady state has a
+                        # lane mid-rescale -- rejecting those killed the
+                        # fast path.  At most one rescale fits in a tile
+                        # (250 + 8 < 500); it fires at update s+1 where
+                        # s = cap-1 - total, leaving total = cap/2 exactly
+                        # and zero halved iff it exceeds cap/2.
+                        _half = C.CONTEXT_RESCALING_CAP >> 1
+                        s8 = (C.CONTEXT_RESCALING_CAP - 1) - tc0
+                        resc8 = k8 > s8
+                        rr = k8 - s8 - 1
+                        zmid = zc0 + s8 + 1
+                        zre = jnp.where(zmid > _half, zmid >> 1, zmid)
+                        tcp = jnp.where(resc8, _half + rr, tc0 + k8)
+                        zcp = jnp.where(resc8, zre + rr, zc0 + k8)
+                        bad = act8 & (zcp < (tcp >> 1))
                         comp = zcp << 16
                         bn = jnp.zeros((8, LANES), jnp.int32)
                         for q in range(16):
@@ -836,48 +879,68 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         isg = bR >= 8
                         isc = (bR >= 1) & (bR <= 7)
                         first = (look & 1) != 0
-                        pe = selrows(iota17 == bR[None, :], golc)
-                        m_e = pe & 1023
-                        l_e = jax.lax.shift_right_logical(pe, 10) & 15
-                        i_e = jax.lax.shift_right_logical(pe, 14)
-                        v = look
-                        v = ((jax.lax.shift_right_logical(v, 1) & 0x5555)
-                             | ((v & 0x5555) << 1))
-                        v = ((jax.lax.shift_right_logical(v, 2) & 0x3333)
-                             | ((v & 0x3333) << 2))
-                        v = ((jax.lax.shift_right_logical(v, 4) & 0x0F0F)
-                             | ((v & 0x0F0F) << 4))
-                        v = ((jax.lax.shift_right_logical(v, 8) & 0x00FF)
-                             | ((v & 0x00FF) << 8))
-                        kl = jax.lax.shift_right_logical(v, 16 - l_e)
-                        klong = (kl << 1) | (
-                            jax.lax.shift_right_logical(look, l_e) & 1)
-                        long_needed = (~first) & (kl >= i_e)
-                        gerr = (~first) & ((l_e > ebits)
-                                           | (long_needed
-                                              & (l_e + 1 > ebits)))
-                        adv_g = jnp.where(first, 1,
-                                          jnp.where(long_needed, l_e + 1,
-                                                    l_e))
-                        zeros_g = jnp.where(first, m_e,
-                                            jnp.where(long_needed,
-                                                      klong - i_e, kl))
-                        nn_g = zeros_g + jnp.where(first, 0, 1)
-                        lo_g = jnp.where(first, 0, 1)
-                        look5 = look & 31
-                        key = (jnp.clip(bR - 1, 0, 6) << 5) | look5
-                        io112 = jax.lax.broadcasted_iota(
-                            jnp.int32, (112, LANES), 0)
-                        wsel = jax.lax.shift_right_logical(key, 1)
-                        word = selrows(io112 == wsel[None, :], cpkc)
-                        ent = jnp.where((key & 1) != 0,
-                                        jax.lax.shift_right_logical(
-                                            word, 16), word) & 0xFFFF
-                        hit = ent & 15
-                        ival = jax.lax.shift_right_logical(ent, 8)
-                        ibits2 = jax.lax.shift_right_logical(ent, 4) & 15
-                        cerr = (hit == 0) | (hit >= ebits)
-                        uerr = ebits < 1
+                        zv = jnp.zeros((LANES,), jnp.int32)
+
+                        def golomb_parse(_):
+                            pe = selrows(iota17 == bR[None, :], golc)
+                            m_e = pe & 1023
+                            l_e = jax.lax.shift_right_logical(pe, 10) & 15
+                            i_e = jax.lax.shift_right_logical(pe, 14)
+                            v = look
+                            v = ((jax.lax.shift_right_logical(v, 1)
+                                  & 0x5555) | ((v & 0x5555) << 1))
+                            v = ((jax.lax.shift_right_logical(v, 2)
+                                  & 0x3333) | ((v & 0x3333) << 2))
+                            v = ((jax.lax.shift_right_logical(v, 4)
+                                  & 0x0F0F) | ((v & 0x0F0F) << 4))
+                            v = ((jax.lax.shift_right_logical(v, 8)
+                                  & 0x00FF) | ((v & 0x00FF) << 8))
+                            kl = jax.lax.shift_right_logical(v, 16 - l_e)
+                            klong = (kl << 1) | (
+                                jax.lax.shift_right_logical(look, l_e) & 1)
+                            long_needed = (~first) & (kl >= i_e)
+                            gerr = (~first) & ((l_e > ebits)
+                                               | (long_needed
+                                                  & (l_e + 1 > ebits)))
+                            adv_g = jnp.where(
+                                first, 1,
+                                jnp.where(long_needed, l_e + 1, l_e))
+                            zeros_g = jnp.where(
+                                first, m_e,
+                                jnp.where(long_needed, klong - i_e, kl))
+                            nn_g = zeros_g + jnp.where(first, 0, 1)
+                            lo_g = jnp.where(first, 0, 1)
+                            return adv_g, nn_g, lo_g, gerr.astype(
+                                jnp.int32)
+
+                        adv_g, nn_g, lo_g, gerr_i = jax.lax.cond(
+                            jnp.any(hasR & isg), golomb_parse,
+                            lambda _: (zv, zv, zv, zv), 0)
+
+                        def custom_parse(_):
+                            key = (jnp.clip(bR - 1, 0, 6) << 5) | (
+                                look & 31)
+                            io112 = jax.lax.broadcasted_iota(
+                                jnp.int32, (112, LANES), 0)
+                            wsel = jax.lax.shift_right_logical(key, 1)
+                            word = selrows(io112 == wsel[None, :], cpkc)
+                            ent = jnp.where(
+                                (key & 1) != 0,
+                                jax.lax.shift_right_logical(word, 16),
+                                word) & 0xFFFF
+                            hit = ent & 15
+                            ival = jax.lax.shift_right_logical(ent, 8)
+                            ibits2 = jax.lax.shift_right_logical(ent,
+                                                                 4) & 15
+                            cerr = (hit == 0) | (hit >= ebits)
+                            return hit, ival, ibits2, cerr.astype(
+                                jnp.int32)
+
+                        hit, ival, ibits2, cerr_i = jax.lax.cond(
+                            jnp.any(hasR & isc), custom_parse,
+                            lambda _: (zv, zv, zv, zv), 0)
+
+                        uerr_i = (ebits < 1).astype(jnp.int32)
                         adv = jnp.where(isg, adv_g,
                                         jnp.where(isc, hit, 1))
                         nn = jnp.where(isg, nn_g,
@@ -886,10 +949,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                        jnp.where(isc, ival, look & 1))
                         # select on int32, not i1: Mosaic rejects bool
                         # vector operands in select chains
-                        rerr = jnp.where(isg, gerr.astype(jnp.int32),
-                                         jnp.where(isc,
-                                                   cerr.astype(jnp.int32),
-                                                   uerr.astype(jnp.int32)))
+                        rerr = jnp.where(isg, gerr_i,
+                                         jnp.where(isc, cerr_i, uerr_i))
                         lane_bad = lane_bad | (hasR & ((rerr != 0)
                                                        | (cnt_post > nn)))
                         # the refilled bits consumed this tile (new-stack
@@ -900,8 +961,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         consumed = (jax.lax.shift_right_logical(lo, a0)
                                     & ((jnp.int32(1) << wid) - 1))
                         lane_bad = lane_bad | (hasR & (consumed != 0))
-                        ok = (~(jnp.any(bad) | jnp.any(lane_bad))
-                              ).astype(jnp.int32)
+                        anyb = jnp.any(bad)
+                        anyl = jnp.any(lane_bad)
+                        ok = (~(anyb | anyl)).astype(jnp.int32)
+                        if _DBG:
+                            ok = ok | (anyb.astype(jnp.int32) << 8) | (
+                                anyl.astype(jnp.int32) << 9)
                         # batch updates: zero bits -> each context row
                         # gains (z + cnt, t + cnt); each bin row pops
                         # its demand count (popped bits are zero, so the
@@ -909,19 +974,29 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         # lane ages every bin by one and rewrites bin
                         # bR's row with the partially-consumed new stack
                         # at age 0 (exactly decode_bit's refill effects)
-                        zt2 = zt0
-                        for cc in range(9):
-                            cnt = jnp.sum((act8 & (ctx == cc)).astype(
-                                jnp.int32), axis=0)
-                            zt2 = jnp.where(iota17 == cc,
-                                            zt2 + (cnt + (cnt << 9)
-                                                   )[None, :], zt2)
-                        nl2 = nl0 + (hasR_i << 19)[None, :]
-                        for b in range(17):
-                            d_b = jnp.sum((act8 & (bnm == b)).astype(
-                                jnp.int32), axis=0)
-                            nl2 = jnp.where(iota17 == b,
-                                            nl2 - d_b[None, :], nl2)
+                        # per-row demand counts as (17, L) one-hot sums
+                        # over the tile's 8 pixels (inactive pixels carry
+                        # ctx/bin 31 and match no row); then ALL context
+                        # rows update at once with the vectorized
+                        # one-rescale closed form (cnt == 0 rows are
+                        # identities) -- the former per-row where-chains
+                        # were the fast path's single largest cost
+                        cmat = jnp.zeros((17, LANES), jnp.int32)
+                        dmat = jnp.zeros((17, LANES), jnp.int32)
+                        for j in range(8):
+                            cmat = cmat + (iota17 == ctx[j][None, :])
+                            dmat = dmat + (iota17 == bnm[j][None, :])
+                        z0m = zt0 & 511
+                        t0m = jax.lax.shift_right_logical(zt0, 9)
+                        srm = (C.CONTEXT_RESCALING_CAP - 1) - t0m
+                        rrm = cmat - srm - 1
+                        zmm = z0m + srm + 1
+                        zhm = jnp.where(zmm > _half, zmm >> 1, zmm)
+                        resm = cmat > srm
+                        tfm = jnp.where(resm, _half + rrm, t0m + cmat)
+                        zfm = jnp.where(resm, zhm + rrm, z0m + cmat)
+                        zt2 = zfm | (tfm << 9)
+                        nl2 = nl0 + (hasR_i << 19)[None, :] - dmat
                         newrow = (nn - cnt_post) | (lo << 11)   # age 0
                         mR = (iota17 == bR[None, :]) & hasR[None, :]
                         nl2 = jnp.where(mR, newrow[None, :], nl2)
@@ -932,18 +1007,34 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         return (jnp.zeros((), jnp.int32), zt0, nl0,
                                 pos_0)
 
-                    ok_i, zt_f, nl_f, pos_f = jax.lax.cond(
-                        zeroish, full_check, no_check, 0)
+                    if _ABL == "freefast":
+                        # ceiling probe ONLY (wrong results): every
+                        # zeroish tile is treated as fast with no state
+                        # update -- bounds the best case of this path
+                        ok_i = zeroish.astype(jnp.int32)
+                        zt_f, nl_f, pos_f = zt0, nl0, pos_0
+                    else:
+                        ok_i, zt_f, nl_f, pos_f = jax.lax.cond(
+                            zeroish, full_check, no_check, 0)
 
                     def fast_tile(args):
                         return (zt_f, nl_f, pos_f, err_0, seg_tile,
                                 cs_t[8:16, :], cg_t[8:16, :])
 
-                    res = jax.lax.cond(ok_i != 0, fast_tile, slow_tile,
+                    res = jax.lax.cond((ok_i & 1) != 0, fast_tile,
+                                       slow_tile,
                                        (zt0, nl0, pos_0, err_0))
                 else:
                     res = slow_tile((zt0, nl0, pos_0, err_0))
 
+                if _DBG:
+                    ring_ref[17, :] = ring_ref[17, :] + (ok_i & 1)
+                    ring_ref[18, :] = (ring_ref[18, :]
+                                       + zeroish.astype(jnp.int32))
+                    ring_ref[19, :] = (ring_ref[19, :]
+                                       + ((ok_i >> 8) & 1))
+                    ring_ref[20, :] = (ring_ref[20, :]
+                                       + ((ok_i >> 9) & 1))
                 canvas_tile_write(r, t, res[4])
                 buf_ref[1, pl.ds(t * 8 + 8, 8), :] = res[5]
                 buf_ref[5, pl.ds(t * 8 + 8, 8), :] = res[6]
@@ -987,7 +1078,22 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
 
         st = jax.lax.fori_loop(0, Hmax, row_body, st0)
         err_ref[0, :] = st[3]
-        pos_ref[0, :] = st[2]
+        if _DBG:
+            # counters go out via pos; the cause counts ride err but only
+            # AFTER the last round (multi mode reads err for retirement
+            # at every round start -- clobbering it earlier retires all
+            # lanes and corrupts the decode)
+            pos_ref[0, :] = ring_ref[17, :] | (ring_ref[18, :] << 16)
+            if multi:
+                @pl.when(g == nrounds - 1)
+                def _():
+                    err_ref[0, :] = (ring_ref[19, :]
+                                     | (ring_ref[20, :] << 16))
+            else:
+                err_ref[0, :] = (ring_ref[19, :]
+                                 | (ring_ref[20, :] << 16))
+        else:
+            pos_ref[0, :] = st[2]
 
     def run_impl(words, geom, seg=None):
         luts = jnp.asarray(_LUTS)
@@ -1012,7 +1118,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     pl.BlockSpec((1, LANES), lambda g: (0, 0),
                                  memory_space=pltpu.VMEM)],
                 scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
-                                pltpu.VMEM((17, LANES), jnp.int32),
+                                pltpu.VMEM((21, LANES), jnp.int32),
                                 pltpu.VMEM((4 * Wpad, LANES), jnp.int32),
                                 pltpu.SemaphoreType.DMA((2,))],
                 interpret=interpret,
@@ -1027,7 +1133,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
                 scratch_shapes=[pltpu.VMEM((8, NBUF, LANES), jnp.int32),
-                                pltpu.VMEM((17, LANES), jnp.int32)],
+                                pltpu.VMEM((21, LANES), jnp.int32)],
                 interpret=interpret,
             )
             out, err, pos = call(words, geom, luts, seg)

@@ -128,6 +128,15 @@ def main():
             1 + jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0))).sum() \
             + err.sum() + pos.sum()
 
+    if __import__("os").environ.get("ICER_DECODE_DEBUG") == "1":
+        out, err, pos = run(jwords, jgeom)
+        pos = np.asarray(pos)
+        total = R * Hmax * ntiles
+        err = np.asarray(err)
+        print(f"debug: fast {int(pos[0]) & 0xFFFF}/{total} tiles, "
+              f"zeroish {int(pos[0]) >> 16}; failed causes: "
+              f"pixel-checks {int(err[0]) & 0xFFFF}, "
+              f"lane-refill {int(err[0]) >> 16}", flush=True)
     t0 = time.time()
     chk = np.asarray(summed(jwords, jgeom))
     print(f"first call (compile+run): {time.time()-t0:.1f} s, "
@@ -144,3 +153,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# ICER_DECODE_DEBUG=1: pos carries (fast_tiles | zeroish_tiles << 16)

@@ -313,9 +313,11 @@ def test_pallas_decode_zero_tile_fast_path(rng):
     """EVERY lane all-zero at the tested plane: every tile qualifies for
     the zero-tile fast path, whose single-refill branch (golomb runs
     refilling mid-tile, bin adaptation from fresh counters) must be
-    bit-identical to the sequential walk."""
+    bit-identical to the sequential walk.  32x32 planes drive every
+    context's counters through multiple rescale cycles (cap 500), so the
+    fast path's closed-form one-rescale counter evolution is pinned."""
     n = PD.LANES
-    Hmax, Wpad = 16, 16
+    Hmax, Wpad = 32, 32
     mag_bits = 7
     lsb_v = 3
     h = np.full(n, Hmax, np.int32)
