@@ -446,11 +446,16 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 z1 = jnp.zeros((LANES,), jnp.int32)
                 # cond results cross the scf.if boundary as int32: Mosaic
                 # rejects i1 mask vectors as branch yields (layout cast)
-                adv_g, zeros_g, gerr_i = jax.lax.cond(
-                    jnp.any(g),
-                    lambda _: (lambda a, z, e: (a, z, e.astype(jnp.int32)))(
-                        *golomb_parse(0)),
-                    lambda _: (z1, z1, z1), 0)
+                if _UNCOND:
+                    a_, z_, e_ = golomb_parse(0)
+                    adv_g, zeros_g, gerr_i = a_, z_, e_.astype(jnp.int32)
+                else:
+                    adv_g, zeros_g, gerr_i = jax.lax.cond(
+                        jnp.any(g),
+                        lambda _: (lambda a, z, e:
+                                   (a, z, e.astype(jnp.int32)))(
+                            *golomb_parse(0)),
+                        lambda _: (z1, z1, z1), 0)
                 gerr = gerr_i != 0
                 gok = g & ~gerr
                 ones_g = jnp.where(first, 0, 1)
@@ -477,8 +482,12 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                     ibits = jax.lax.shift_right_logical(ent, 4) & 15
                     return hit, ival, ibits
 
-                hit, ival, ibits = jax.lax.cond(
-                    jnp.any(cu), custom_parse, lambda _: (z1, z1, z1), 0)
+                if _UNCOND:
+                    hit, ival, ibits = custom_parse(0)
+                else:
+                    hit, ival, ibits = jax.lax.cond(
+                        jnp.any(cu), custom_parse,
+                        lambda _: (z1, z1, z1), 0)
                 cerr = cu & ((hit == 0) | (hit >= ebits))
                 cok = cu & ~cerr
 
