@@ -319,14 +319,21 @@ class JaxGrayscaleEncoder:
         planes = self.bitplanes if hi is None else hi
 
         def fn(img):
-            segs = []
-            for l in lanes:
-                sl = self.jax.lax.slice(img, (l.row, l.col),
-                                        (l.row + l.h, l.col + l.w))
-                segs.append(jnp.pad(sl, ((0, mh - l.h), (0, mw - l.w))))
+            # ONE bounds pad for the whole group, then un-padded (mh, mw)
+            # slices that over-read into neighboring coefficients; the
+            # over-read is masked to zero by pix_valid below (padding
+            # beyond a lane's rect must read as insignificant-border for
+            # the neighbor shifts).  Halves the per-lane slice+pad op
+            # count -- 323 slice ops measured ~28 ms/batch at B=21.
+            imgp = jnp.pad(img, ((0, mh), (0, mw)))
+            segs = [
+                self.jax.lax.slice(imgp, (l.row, l.col),
+                                   (l.row + mh, l.col + mw))
+                for l in lanes]
             batch = jnp.stack(segs)                         # (N, mh, mw)
             sub_codes = jnp.asarray(g["sub_codes"])
             pix_valid = jnp.asarray(g["pix_valid"])
+            batch = batch * pix_valid
             w0s, w1s = [], []
             for lsb in range(lo, planes):
                 w0, w1 = plane_emissions_words(
