@@ -403,7 +403,8 @@ def _run_fused(units, sdata, final=None, defer=False):
             return ((flat[:, 0::2] & 0xFFFF)
                     | (flat[:, 1::2] << 16)).reshape(-1)
 
-        fn = jax.jit(fused)
+        from ..backend import aot_cache
+        fn = aot_cache.wrap_jit(jax.jit(fused), f"fuseddec-{fkey}")
         _PALLAS_RUNS[fkey] = fn
 
     flat = []

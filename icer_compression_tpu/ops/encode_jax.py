@@ -222,7 +222,14 @@ class JaxGrayscaleEncoder:
                             self.lane_keys.append((img_i, l.stage, l.subband,
                                                    p, l.seg, l))
         self.n_lanes = len(self.lane_keys)
-        self._fused = jax.jit(self._make_fused_fn())
+        from ..backend import aot_cache
+        # serving warmup: dispatch through the disk cache of serialized
+        # PJRT executables (deserialize ~0.7 s vs ~15-50 s per program
+        # through the remote compile-cache handshake; backend/aot_cache)
+        self._fused = aot_cache.wrap_jit(
+            jax.jit(self._make_fused_fn()),
+            f"fusedenc-{image_w}x{image_h}-s{stages}-f{filt}-g{segments}"
+            f"-mb{mag_bits}-B{batch}-{self.entropy}-c{self.plane_cuts}")
         # Building the fused fn records each bucket's payload caps; the
         # static per-row (offset, cap) layout follows.  The slim backend
         # emits plane-major bands trimmed to per-plane caps (device

@@ -41,7 +41,8 @@ def save(B):
     enc, up = build(B)
     print(f"encoder built {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    lowered = enc._fused.lower(up)
+    fused = getattr(enc._fused, '_jitted', enc._fused)
+    lowered = fused.lower(up)
     print(f"lowered {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     comp = lowered.compile()
