@@ -503,7 +503,13 @@ class JaxGrayscaleEncoder:
         from . import pallas_entropy as PE
 
         Lb = b["L"]
-        chunk = 256
+        # chunk 128 halves the kernel's double-buffered block VMEM,
+        # letting a 3456-lane block absorb B=21's 3402 rows in ONE
+        # sequential pass -- measured a wash on chip (276.9 vs 268.1
+        # ms/batch: the doubled grid-step count and the wider rows eat
+        # the saved second pass), so the default stays 256/3072; the
+        # knobs remain for other batch shapes
+        chunk = int(os.environ.get("ICER_PALLAS_CHUNK", "256"))
         # The slim kernel runs over the UNCOMPACTED interleaved stream:
         # its per-step cost is flat in lane width and invalid slots are
         # no-ops, so paying 4/3 the (cheap, batch-amortized) kernel steps
@@ -518,7 +524,8 @@ class JaxGrayscaleEncoder:
         # bucket's lanes up to a 3072 cap -- one sequential pass per
         # bucket instead of ceil(rows/2048) (B=14 on-chip A/B: 2 blocks
         # at 2048 -> 1 at 3072 took ~9% off the fused encode wall).
-        width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) or 3072
+        width = int(os.environ.get("ICER_PALLAS_WIDTH", "0")) or (
+            3456 if chunk <= 128 else 3072)
         # payload cap ~1 bit per compacted emission slot (+ flush slack):
         # covers every real stream comfortably (boat.512's densest lane
         # runs 0.91 b/slot); adversarial expansion beyond it lands in the
