@@ -32,10 +32,14 @@ import os
 import pickle
 import threading
 
-_DIR = os.environ.get("ICER_TPU_AOT_CACHE",
-                      os.path.join(os.path.expanduser("~"), ".cache",
-                                   "icer_tpu_aot"))
 _lock = threading.Lock()
+
+
+def _dir() -> str:
+    # read at call time so callers may set the env var after import
+    return os.environ.get("ICER_TPU_AOT_CACHE",
+                          os.path.join(os.path.expanduser("~"), ".cache",
+                                       "icer_tpu_aot"))
 _code_fp = None
 
 
@@ -66,11 +70,36 @@ def _env_fp() -> str:
     return hashlib.sha256("\n".join(items).encode()).hexdigest()[:12]
 
 
+def _device_fp() -> str:
+    """Identity of the attached accelerator: a serialized executable is
+    only valid for the device (kind, count, runtime) it was built for."""
+    import jax
+    try:
+        devs = jax.devices()
+        kind = devs[0].device_kind if devs else "?"
+        plat = devs[0].platform if devs else "?"
+        n = len(devs)
+    except Exception:
+        kind, plat, n = "?", "?", 0
+    ver = ""
+    try:
+        import jaxlib
+        ver = getattr(jaxlib, "__version__", "")
+    except Exception:
+        pass
+    try:
+        import libtpu
+        ver += "+" + getattr(libtpu, "__version__", "")
+    except Exception:
+        pass
+    return f"{plat}:{kind}:{n}:{ver}"
+
+
 def _key_path(sem_key: str, sig) -> str:
     import jax
     raw = "|".join([sem_key, repr(sig), jax.__version__,
-                    _code_fingerprint(), _env_fp()])
-    return os.path.join(_DIR,
+                    _code_fingerprint(), _env_fp(), _device_fp()])
+    return os.path.join(_dir(),
                         hashlib.sha256(raw.encode()).hexdigest()[:28]
                         + ".pjrt")
 
@@ -134,11 +163,15 @@ def _load_or_compile(jitted, sem_key, sig, jargs):
         return False
     try:
         blob = se.serialize(comp)
-        os.makedirs(_DIR, exist_ok=True)
+        os.makedirs(_dir(), exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             pickle.dump(blob, f)
         os.replace(tmp, path)
+        # executables are ~100-200 MB and a code change orphans every
+        # old entry (the key includes the source fingerprint): trim the
+        # least-recently-used tail after each new save
+        prune()
     except Exception:
         pass
     return comp
@@ -147,9 +180,10 @@ def _load_or_compile(jitted, sem_key, sig, jargs):
 def prune(keep_latest: int = 32) -> int:
     """Delete all but the most-recently-used N executables."""
     try:
-        entries = [(os.path.getmtime(os.path.join(_DIR, f)),
-                    os.path.join(_DIR, f))
-                   for f in os.listdir(_DIR) if f.endswith(".pjrt")]
+        d = _dir()
+        entries = [(os.path.getmtime(os.path.join(d, f)),
+                    os.path.join(d, f))
+                   for f in os.listdir(d) if f.endswith(".pjrt")]
     except OSError:
         return 0
     entries.sort(reverse=True)

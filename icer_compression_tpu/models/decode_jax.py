@@ -414,9 +414,11 @@ def _run_fused(units, sdata, final=None, defer=False):
                      np.int32)
     dump = os.environ.get("ICER_DUMP_HLO")
     if dump:
+        # fn may be the aot_cache wrapper; lower through the wrapped jit
         with open(dump, "w") as f:
-            f.write(fn.lower(jnp.asarray(sw), jnp.asarray(llv),
-                             *flat).compile().as_text())
+            f.write(getattr(fn, "_jitted", fn).lower(
+                jnp.asarray(sw), jnp.asarray(llv),
+                *flat).compile().as_text())
     dev = fn(jnp.asarray(sw), jnp.asarray(llv), *flat)
     if defer:
         # dispatch is async on remotely-attached devices: return a

@@ -137,6 +137,8 @@ def main():
     results = {}
 
     def timed(name, fn):
+        fn = getattr(fn, "_jitted", fn)   # unwrap the AOT-cache layer:
+        # tracing through a loaded PJRT executable raises on accelerators
         g = jax.jit(lambda x: jnp.zeros((FULLN,), jnp.int32).at[0].set(
             fn(x).sum()) if name != "full" else fn(x))
         comp, t = bench(g, up)

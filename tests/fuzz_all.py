@@ -109,7 +109,8 @@ def main():
         # harness's own duration accounting
         summary["sections"][name] = run_section(
             name, full, env,
-            timeout=per * weight + (1200 if "jax" in name else 120))
+            timeout=per * weight + (1200 if name in
+                    ("jax", "jax-chip", "sharded") else 120))
 
     total_trials = sum(s["trials"] or 0 for s in summary["sections"].values())
     total_fail = sum(s["failures"] or 0 for s in summary["sections"].values())
