@@ -89,9 +89,8 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
             have = offs >= 0
             mb = 8
             if have.any():
-                mb = min(int(len(stream) - offs[have].min()),
-                         int(ebits.max() // 8 + 4096))
-            round_maxb.append(max(8, mb))
+                mb = _round_need(len(stream), offs, ebits, have)
+            round_maxb.append(mb)
         if backend == "pallas-interpret":
             _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata,
                            max(round_maxb), interpret=True)
@@ -145,12 +144,14 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
 _PALLAS_RUNS: dict = {}
 # lane-block width CAP for the fused decode paths (multiple of 128).
 # Wider blocks amortize the kernel's per-step stall cost -- the decode
-# kernel is latency-bound, not issue-bound: 512 lanes measured ~2.4x the
-# per-lane throughput of 128 (scripts/bench_decode_kernel.py) once the
-# coefficient canvas streams through HBM instead of sitting in VMEM.
-# The actual width per bucket adapts down to the lane count and to the
-# scoped-VMEM budget (_block_width).
-_BLK = int(os.environ.get("ICER_DECODE_LANES", "512"))
+# kernel is latency-bound, not issue-bound: per-lane step cost measured
+# 2.09 / 1.72 / 1.41 / 1.24 ns at 384 / 512 / 768 / 1024 lanes on the
+# 512^2 stage-1 block (scripts/bench_decode_kernel.py, round-4 tight
+# windows; marginal cost ~0.19 us per +256 lanes on a ~0.52 us base), so
+# per-lane throughput keeps improving through 1024.  The actual width per
+# bucket adapts down to the lane count and to the scoped-VMEM budget
+# (_block_width).
+_BLK = int(os.environ.get("ICER_DECODE_LANES", "1024"))
 
 
 def _block_width(n: int, NW: int, Wpad: int) -> int:
@@ -165,6 +166,27 @@ def _block_width(n: int, NW: int, Wpad: int) -> int:
     while cap > 128 and cap * per_lane > budget:
         cap -= 128
     return min(cap, -(-n // 128) * 128)
+
+
+# Window slack past a lane's frozen data_length (bytes): each codeword
+# parse looks ahead <= 16 bits past its position (ring_look11 / golomb
+# klong), and the reference's zero-copy over-read serves those bits from
+# the bytes that follow the packet (icer_decoding.c:108-194 reads through
+# the flattened stream) -- so the window must extend a few bytes past the
+# payload to reproduce them.  The 31-byte tile-alignment residual is
+# added separately in _round_nw.  (Was a blanket +4096, which forced
+# every round's window to the worst-case power of two: 8 KB/lane/round
+# gathered on device for 14-byte MSB rounds, and a 4x VMEM tax on the
+# kernel's words block.)
+_WIN_SLACK = 8
+
+
+def _round_need(stream_end, offs, ebits, have) -> int:
+    """Tight shared window bound for one plane round: each lane needs
+    min(its readable stream remainder, its frozen payload bytes + parse
+    lookahead); the round's window covers the worst lane."""
+    need = np.minimum(stream_end - offs, ebits // 8 + 1 + _WIN_SLACK)
+    return max(8, int(need[have].max()))
 
 
 def _round_nw(mb: int) -> int:
@@ -636,9 +658,7 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                 # (quota-truncated streams drop the low planes first)
                 per_round.pop()
                 break
-            round_maxb.append(max(8, min(
-                int((lane_end - offs)[have].max()),
-                int(ebits.max() // 8 + 4096))))
+            round_maxb.append(_round_need(lane_end, offs, ebits, have))
         if not per_round:
             continue
         units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round,

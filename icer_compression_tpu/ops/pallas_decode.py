@@ -155,6 +155,18 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
     # restores the gated form (narrow-lane or sparse-content callers).
     _UNCOND = (_os.environ.get("ICER_DECODE_COND") != "1"
                and _ABL != "norefill" and _ABL != "nosign")
+    # The SIGN pass stays scalar-cond-gated by default: unlike the refill
+    # gate, skipping it skips a whole second decode_bit (~40% of a step),
+    # so the gate pays for itself unless nearly every step has a sign
+    # event.  ICER_DECODE_SIGN_UNCOND=1 runs it unconditionally (exact:
+    # an all-false act mask is a state no-op) for wide-lane A/B.
+    _SUNCOND = (_os.environ.get("ICER_DECODE_SIGN_UNCOND") == "1"
+                and _UNCOND and _ABL != "nosign")
+    # ring-scan variant: 1 (default) scans the demanding lanes' [min,
+    # max] tile range per sweep; 0 restores the [0, max) prefix scan
+    # (A/B: the min-bound saves iterations when lane frontiers cluster,
+    # but costs one extra cross-lane reduce per sweep)
+    _SCANV = _os.environ.get("ICER_DECODE_SCANV", "1") != "0"
     # debug instrumentation: the pos output carries (fast_tiles |
     # zeroish_tiles << 16) instead of bit positions (bench-only)
     _DBG = _os.environ.get("ICER_DECODE_DEBUG") == "1" and _FAST
@@ -294,7 +306,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 jnp.where(rem <= 0, 0, (jnp.int32(1) << remc) - 1))
             return tile & keep
 
-        def scan_tiles(tidx):
+        def scan_tiles(tidx, demand):
             # (1, LANES) -> (8, LANES) broadcasts must be anchored on an
             # (8, LANES) iota: Mosaic cannot relayout a natural (1, 128)
             # vector into a sublane-replicated destination inside a loop.
@@ -303,12 +315,17 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             def body(t, acc):
                 rows = words_ref[pl.ds(t * 8, 8), :]
                 return jnp.where(tidx8 == t, rows, acc)
-            # scan only the reachable prefix: lanes consume monotonically,
-            # so tiles past max(tidx) can't be needed this sweep (NW is a
-            # power of two sized for the WORST lane; a full scan would pay
-            # O(NW) selects per 8-pixel tile)
-            bound = jnp.minimum(jnp.max(tidx) + 1, NW // 8)
-            acc = jax.lax.fori_loop(0, bound, body,
+            # scan only [lo, hi): lanes consume monotonically, so tiles
+            # past max(tidx) can't be needed, and non-demanding lanes'
+            # results are discarded by the caller -- the scan cost is the
+            # SPREAD of the demanding lanes' frontiers (usually a few
+            # tiles), not the frontier depth itself (a [0, max) scan paid
+            # O(frontier) selects per sweep, quadratic over a round)
+            hi = jnp.minimum(jnp.max(jnp.where(demand, tidx + 1, 0)),
+                             NW // 8)
+            lo = (jnp.min(jnp.where(demand, tidx, NW // 8)) if _SCANV
+                  else 0)
+            acc = jax.lax.fori_loop(lo, hi, body,
                                     jnp.zeros((8, LANES), jnp.int32))
             return mask_readable_tile(acc, tidx)
 
@@ -323,10 +340,10 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             wi = (pos >> 5) - rbase
             shift = wi >= 8
             shift8 = shift[None, :]
-            # only lanes that shift need a fetch; zeroing the others'
-            # tile index keeps the scan bound at the true demand (a
-            # sweep where nothing shifts scans one tile)
-            fetched = scan_tiles(jnp.where(shift, (rbase >> 3) + 2, 0))
+            # only lanes that shift need a fetch; the scan runs over the
+            # demanding lanes' [min, max] tile range (empty when nothing
+            # shifts)
+            fetched = scan_tiles((rbase >> 3) + 2, shift)
             ring_ref[0:8, :] = jnp.where(shift8, r1, r0)
             ring_ref[8:16, :] = jnp.where(shift8, fetched, r1)
             ring_ref[16, :] = jnp.where(shift, rbase + 8, rbase)
@@ -732,12 +749,17 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                                                    zlo=12, zhi=17)
                             return st + (agree, pred)
 
-                        res = jax.lax.cond(
-                            jnp.bool_(False) if _ABL == "nosign"
-                            else jnp.any(sgn_act), sign_pass,
-                            lambda st: st + (jnp.zeros((LANES,), jnp.int32),
-                                             jnp.zeros((LANES,), jnp.int32)),
-                            st)
+                        if _SUNCOND:
+                            res = sign_pass(st)
+                        else:
+                            res = jax.lax.cond(
+                                jnp.bool_(False) if _ABL == "nosign"
+                                else jnp.any(sgn_act), sign_pass,
+                                lambda st: st + (jnp.zeros((LANES,),
+                                                           jnp.int32),
+                                                 jnp.zeros((LANES,),
+                                                           jnp.int32)),
+                                st)
                         st, agree, pred = res[:4], res[4], res[5]
                         err = st[3] != 0
                         ok2 = sgn_act & ~err

@@ -81,8 +81,13 @@ def main():
         have = offs >= 0
         mb = 8
         if have.any():
-            mb = min(int(len(stream) - offs[have].min()),
-                     int(ebits.max() // 8 + 4096))
+            if "--oldwin" in sys.argv:   # pre-r4 blanket +4096 windows
+                mb = min(int(len(stream) - offs[have].min()),
+                         int(ebits.max() // 8 + 4096))
+            else:
+                from icer_compression_tpu.models.decode_jax import \
+                    _round_need
+                mb = _round_need(len(stream), offs, ebits, have)
         round_maxb.append(max(8, mb))
 
     units = _prep_bucket((Hmax, Wmax, n), hh, ww, sb, per_round, mag_bits,
