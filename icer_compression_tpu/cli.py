@@ -67,10 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(progressive preview: the ICER stream is "
                         "priority-ordered, so any prefix decodes to a "
                         "coarser image; 0 = whole stream)")
-    p.add_argument("--batch-size", type=int, default=21, metavar="B",
+    p.add_argument("--batch-size", type=int, default=28, metavar="B",
                    help="batch operations: images per device program "
-                        "(default 21: at 6 segments the decode kernel's "
-                        "128-lane blocks fill exactly with no runt block)")
+                        "(default 28: at 6 segments the decode kernel's "
+                        "512-lane stage-1 block fills 504/512 with no "
+                        "runt block, the best measured serving batch)")
     p.add_argument("--pipeline", type=int, default=4, metavar="K",
                    help="batch operations: device batches kept in "
                         "flight (default 4; 1 disables pipelining)")

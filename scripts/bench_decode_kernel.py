@@ -146,6 +146,46 @@ def main():
     chk = np.asarray(summed(jwords, jgeom))
     print(f"first call (compile+run): {time.time()-t0:.1f} s, "
           f"checksum {int(chk) & 0xFFFFFFFF:#x}", flush=True)
+
+    if "--check" in sys.argv:
+        # ground truth: the numpy lane-model decoder (differentially
+        # validated against the sequential reference) decodes the same
+        # 18 unique lanes; every rep of the block must match exactly --
+        # the arbiter for suspected miscompiles of wide-lane programs
+        from icer_compression_tpu.ops import decode_lanes as DL
+        out = np.asarray(run(jwords, jgeom)[0])      # (PX, lanes)
+        seg = np.zeros((Hmax, Wmax, n1), np.int32)
+        alive = np.ones(n1, bool)
+        hh1, ww1, sb1 = hh[:n1], ww[:n1], sb[:n1]
+        for (lsb, offs, ebits) in per_round:
+            o1, e1 = offs[:n1], ebits[:n1]
+            if not (alive & (o1 >= 0)).any():
+                break
+            maxb = max(round_maxb)
+            data = np.zeros((n1, max(maxb, 8)), np.uint8)
+            readable = np.zeros(n1, np.int64)
+            for i in range(n1):
+                if not alive[i] or o1[i] < 0:
+                    alive[i] = False
+                    continue
+                end = min(len(stream), o1[i] + data.shape[1])
+                chunk = sdata[o1[i]:end]
+                data[i, :len(chunk)] = chunk
+                readable[i] = len(chunk)
+            dec = DL.LaneDecoders(data, readable, e1)
+            ok = DL.decode_plane_lanes(
+                seg, hh1, ww1, sb1, np.full(n1, lsb, np.int32),
+                np.full(n1, mag_bits, np.int32), dec, alive)
+            alive &= ok
+        bad = 0
+        for rep in range(reps):
+            for i in range(n1):
+                lane = out[:, rep * n1 + i].reshape(Hmax, Wpad)
+                gold = seg[:hh1[i], :ww1[i], i]
+                if not np.array_equal(lane[:hh1[i], :ww1[i]], gold):
+                    bad += 1
+        print(f"model check: {'OK' if bad == 0 else f'FAIL {bad} lanes'}",
+              flush=True)
     ts = []
     for _ in range(5):
         t0 = time.time()
