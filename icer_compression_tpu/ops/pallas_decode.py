@@ -287,6 +287,24 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
         def selrows(mask, st):
             return jnp.sum(jnp.where(mask, st, 0), axis=0)
 
+        def golpk_tree(bv):
+            """Packed golomb (m, l, i) for bin ``bv`` via a constant
+            select tree (3 levels over bins 8..15 + the bin-16 leaf):
+            ~12 (1, LANES) ops vs a (17, LANES) one-hot reduce.  Values
+            for bv < 8 are arbitrary real params -- callers mask golomb
+            results with bn >= 8, exactly as they did the former
+            harmless-default rows."""
+            b0 = (bv & 1) != 0
+            b1 = (bv & 2) != 0
+            b2 = (bv & 4) != 0
+            pe = jnp.where(
+                b2,
+                jnp.where(b1, jnp.where(b0, _GOLPK[15], _GOLPK[14]),
+                          jnp.where(b0, _GOLPK[13], _GOLPK[12])),
+                jnp.where(b1, jnp.where(b0, _GOLPK[11], _GOLPK[10]),
+                          jnp.where(b0, _GOLPK[9], _GOLPK[8])))
+            return jnp.where(bv >= 16, _GOLPK[16], pe)
+
         # ---- stream access: per-lane 512-bit ring ---------------------
         # Each lane holds words [rbase, rbase+16) of its stream in two
         # (8, LANES) register tiles (r0, r1).  A single one-hot scan over
@@ -386,8 +404,13 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 return st, jnp.zeros((LANES,), jnp.int32)
             err = erri != 0
             m = act & ~err
-            ictx = iota17 == ctx[None, :]
-            ztc = selrows(ictx[zlo:zhi], zt[zlo:zhi])
+            # context one-hot over the pass's OWN row range only (mag
+            # 0..11, sign 12..16): the compare and the counter write
+            # shrink with it
+            iz = (jax.lax.broadcasted_iota(jnp.int32,
+                                           (zhi - zlo, LANES), 0)
+                  == (ctx - zlo)[None, :])
+            ztc = selrows(iz, zt[zlo:zhi])
             zc0 = ztc & 511
             tc0 = jax.lax.shift_right_logical(ztc, 9)
             zc = jnp.where(cat3, 1, zc0)
@@ -395,10 +418,29 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             inv = zc < (tc >> 1)
             zeff = jnp.where(inv, tc - zc, zc)
             comp = zeff * 65536
-            # bin selection: ONE (16, LANES) compare against the cutoff
-            # ladder (2 vregs) replaces 16 one-vreg mult+compare+add steps
-            bn = jnp.sum((comp[None, :] >= tc[None, :] * cutc).astype(
-                jnp.int32), axis=0)
+            # bin selection: 4-test binary search over the CONSTANT
+            # cutoff ladder (+ one direct test for bn = 16): thresholds
+            # ride as immediates through (1, LANES) selects, ~27 ops vs
+            # the former (16, LANES) one-hot ladder's ~4 full-block
+            # passes (which won at 128 lanes where a block row was a
+            # single vreg, but scales linearly with width)
+            t3 = comp >= tc * _CUT[7]
+            c4v = jnp.where(t3, _CUT[11], _CUT[3])
+            t2 = comp >= tc * c4v
+            c2v = jnp.where(t3, jnp.where(t2, _CUT[13], _CUT[9]),
+                            jnp.where(t2, _CUT[5], _CUT[1]))
+            t1 = comp >= tc * c2v
+            c1v = jnp.where(
+                t3,
+                jnp.where(t2, jnp.where(t1, _CUT[14], _CUT[12]),
+                          jnp.where(t1, _CUT[10], _CUT[8])),
+                jnp.where(t2, jnp.where(t1, _CUT[6], _CUT[4]),
+                          jnp.where(t1, _CUT[2], _CUT[0])))
+            t0 = comp >= tc * c1v
+            bn = ((t3.astype(jnp.int32) << 3)
+                  | (t2.astype(jnp.int32) << 2)
+                  | (t1.astype(jnp.int32) << 1) | t0.astype(jnp.int32))
+            bn = jnp.where(comp >= tc * _CUT[15], 16, bn)
 
             ibn = iota17 == bn[None, :]
             nlb = selrows(ibn, nl)
@@ -426,8 +468,8 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                 first = (look & 1) != 0
 
                 def golomb_parse(_):
-                    pe = selrows(ibn, golc)  # packed (m, l, i); bins < 8
-                    #                          hold the harmless default
+                    pe = golpk_tree(bn)      # packed (m, l, i); results
+                    #                          masked with bn >= 8 below
                     m_e = pe & 1023
                     l_e = jax.lax.shift_right_logical(pe, 10) & 15
                     i_e = jax.lax.shift_right_logical(pe, 14)
@@ -574,7 +616,11 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             tc2 = jnp.where(resc, tc2 >> 1, tc2)
             zc2 = jnp.where(resc & (zc2 > tc2), zc2 >> 1, zc2)
             ztw = zc2 | jax.lax.shift_left(tc2, 9)
-            zt = jnp.where(ictx & mu[None, :], ztw[None, :], zt)
+            ztn = jnp.where(iz & mu[None, :], ztw[None, :], zt[zlo:zhi])
+            if zlo == 0:
+                zt = jnp.concatenate([ztn, zt[zhi:]], axis=0)
+            else:
+                zt = jnp.concatenate([zt[:zlo], ztn], axis=0)
             return (zt, nl, pos, erri), bit
 
         # ---- row buffer fills ---------------------------------------
@@ -913,7 +959,7 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
                         zv = jnp.zeros((LANES,), jnp.int32)
 
                         def golomb_parse(_):
-                            pe = selrows(iota17 == bR[None, :], golc)
+                            pe = golpk_tree(bR)
                             m_e = pe & 1023
                             l_e = jax.lax.shift_right_logical(pe, 10) & 15
                             i_e = jax.lax.shift_right_logical(pe, 14)
