@@ -533,15 +533,30 @@ def _slim_step(state, w, jax, jnp, lanes, fused_key=False):
     zt, bs, alloc, flg, ec = state
     iota17 = jax.lax.broadcasted_iota(jnp.int32, (17, lanes), 0)
 
+    # The kernel runs at 2048-3456 lanes where it is THROUGHPUT-bound
+    # (cost/step is affine in width, PERF_NOTES round-4), so state reads
+    # use binary where-trees over the 17 rows (~21 (1, lanes) ops) in
+    # place of 17-step equality chains (~34), and constant tables ride
+    # select trees instead of full scans.  All bit-exact: golden-sha
+    # pinned on chip, interpret-mode differential tests off chip.
     def sel17(st, cc):
-        out = jnp.zeros((lanes,), jnp.int32)
-        for k in range(17):
-            out = jnp.where(cc == k, st[k, :], out)
-        return out
+        b0 = (cc & 1) != 0
+        b1 = (cc & 2) != 0
+        b2 = (cc & 4) != 0
+        b3 = (cc & 8) != 0
+        p = [jnp.where(b0, st[2 * k + 1, :], st[2 * k, :])
+             for k in range(8)]
+        q = [jnp.where(b1, p[2 * k + 1], p[2 * k]) for k in range(4)]
+        r = [jnp.where(b2, q[2 * k + 1], q[2 * k]) for k in range(2)]
+        s = jnp.where(b3, r[1], r[0])
+        # rows past 16 alias to row 16 (the old chain defaulted to 0);
+        # every caller masks out-of-range indices either way
+        return jnp.where(cc >= 16, st[16, :], s)
 
     def wr17(st, cc, vals, mask):
-        m = (iota17 == cc[None, :]) & mask[None, :]
-        return jnp.where(m, vals[None, :], st)
+        # fold the write mask into the row index (row 31 matches nothing)
+        cc2 = jnp.where(mask, cc, 31)
+        return jnp.where(iota17 == cc2[None, :], vals[None, :], st)
 
     v = (w & 1) != 0
     c = (w >> 1) & 31
@@ -559,9 +574,24 @@ def _slim_step(state, w, jax, jnp, lanes, fused_key=False):
     cb = (b ^ inv).astype(jnp.int32)
 
     comp = zeff << 16
-    bn = jnp.zeros((lanes,), jnp.int32)
-    for q in range(16):
-        bn = bn + (comp >= tcu * _CUT[q])
+    # 4-test binary search over the constant cutoff ladder + a direct
+    # bn=16 test (see ops/pallas_decode decode_bit for the derivation)
+    t3 = comp >= tcu * _CUT[7]
+    c4v = jnp.where(t3, _CUT[11], _CUT[3])
+    t2 = comp >= tcu * c4v
+    c2v = jnp.where(t3, jnp.where(t2, _CUT[13], _CUT[9]),
+                    jnp.where(t2, _CUT[5], _CUT[1]))
+    t1 = comp >= tcu * c2v
+    c1v = jnp.where(
+        t3,
+        jnp.where(t2, jnp.where(t1, _CUT[14], _CUT[12]),
+                  jnp.where(t1, _CUT[10], _CUT[8])),
+        jnp.where(t2, jnp.where(t1, _CUT[6], _CUT[4]),
+                  jnp.where(t1, _CUT[2], _CUT[0])))
+    t0 = comp >= tcu * c1v
+    bn = ((t3.astype(jnp.int32) << 3) | (t2.astype(jnp.int32) << 2)
+          | (t1.astype(jnp.int32) << 1) | t0.astype(jnp.int32))
+    bn = jnp.where(comp >= tcu * _CUT[15], 16, bn)
 
     tc2 = tc + 1
     zc2 = zc + (b == 0)
@@ -650,19 +680,41 @@ def _slim_step(state, w, jax, jnp, lanes, fused_key=False):
     isg = bn >= 8
     isc = (bn >= 1) & (bn <= 7)
 
-    m_e = jnp.ones((lanes,), jnp.int32)
-    for gb in range(8, 17):
-        m_e = jnp.where(bn == gb, _GOL[gb][0], m_e)
+    # golomb m via a 3-level constant tree over bins 8..15 (+ the bin-16
+    # leaf); values for bn < 8 are garbage masked by isg below (the old
+    # 9-step scan defaulted them to 1, equally unused)
+    g0 = (bn & 1) != 0
+    g1 = (bn & 2) != 0
+    g2 = (bn & 4) != 0
+    m_e = jnp.where(
+        g2, jnp.where(g1, jnp.where(g0, _GOL[15][0], _GOL[14][0]),
+                      jnp.where(g0, _GOL[13][0], _GOL[12][0])),
+        jnp.where(g1, jnp.where(g0, _GOL[11][0], _GOL[10][0]),
+                  jnp.where(g0, _GOL[9][0], _GOL[8][0])))
+    m_e = jnp.where(bn >= 16, _GOL[16][0], m_e)
     kz = k + (cb == 0)
     g_complete = (cb == 1) | (kz >= m_e)
 
     val = (k | (cb << nb)) & 31
     nb2 = nb + 1
-    cmask = jnp.zeros((lanes,), jnp.int32)
-    for bb in range(1, 8):
-        sb = bn == bb
-        for n in range(1, 6):
-            cmask = jnp.where(sb & (nb2 == n), _CMPL[bb][n], cmask)
+    # completion-mask table (bn 1..7 x nb2 1..5) via shared-bit constant
+    # select trees (~40 ops) instead of the 35-iteration masked scan
+    # (~110): custom bins always carry nb <= 4, and non-custom lanes'
+    # garbage is masked by isc in `complete`
+    n0 = (nb2 & 1) != 0
+    n1 = (nb2 & 2) != 0
+    n2 = (nb2 & 4) != 0
+
+    def _cm5(bb):
+        v1, v2, v3, v4, v5 = (_CMPL[bb][n] for n in range(1, 6))
+        return jnp.where(n2, jnp.where(n0, v5, v4),
+                         jnp.where(n1, jnp.where(n0, v3, v2), v1))
+
+    cm = [_cm5(bb) for bb in range(1, 8)]
+    cmask = jnp.where(
+        g2, jnp.where(g1, jnp.where(g0, cm[6], cm[5]),
+                      jnp.where(g0, cm[4], cm[3])),
+        jnp.where(g1, jnp.where(g0, cm[2], cm[1]), cm[0]))
     c_complete = ((cmask >> val) & 1) != 0
 
     is0 = (~isg) & (~isc)
