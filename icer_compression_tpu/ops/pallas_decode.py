@@ -418,29 +418,34 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             inv = zc < (tc >> 1)
             zeff = jnp.where(inv, tc - zc, zc)
             comp = zeff * 65536
-            # bin selection: 4-test binary search over the CONSTANT
-            # cutoff ladder (+ one direct test for bn = 16): thresholds
-            # ride as immediates through (1, LANES) selects, ~27 ops vs
-            # the former (16, LANES) one-hot ladder's ~4 full-block
-            # passes (which won at 128 lanes where a block row was a
-            # single vreg, but scales linearly with width)
-            t3 = comp >= tc * _CUT[7]
-            c4v = jnp.where(t3, _CUT[11], _CUT[3])
-            t2 = comp >= tc * c4v
-            c2v = jnp.where(t3, jnp.where(t2, _CUT[13], _CUT[9]),
-                            jnp.where(t2, _CUT[5], _CUT[1]))
-            t1 = comp >= tc * c2v
-            c1v = jnp.where(
-                t3,
-                jnp.where(t2, jnp.where(t1, _CUT[14], _CUT[12]),
-                          jnp.where(t1, _CUT[10], _CUT[8])),
-                jnp.where(t2, jnp.where(t1, _CUT[6], _CUT[4]),
-                          jnp.where(t1, _CUT[2], _CUT[0])))
-            t0 = comp >= tc * c1v
-            bn = ((t3.astype(jnp.int32) << 3)
-                  | (t2.astype(jnp.int32) << 2)
-                  | (t1.astype(jnp.int32) << 1) | t0.astype(jnp.int32))
-            bn = jnp.where(comp >= tc * _CUT[15], 16, bn)
+            # bin selection, width-dependent (A/B'd both ways on chip):
+            # at <= 512 lanes the kernel is latency-bound and the one-hot
+            # ladder's shorter serial path (mul+cmp+sum tree, ~7 deps)
+            # wins; past 512 the (16, LANES) blocks' issue cost dominates
+            # and the 4-test binary search over constant cutoffs (+ one
+            # direct bn=16 test, ~14 deps but ~27 ops) is faster
+            if LANES <= 512:
+                bn = jnp.sum((comp[None, :] >= tc[None, :] * cutc).astype(
+                    jnp.int32), axis=0)
+            else:
+                t3 = comp >= tc * _CUT[7]
+                c4v = jnp.where(t3, _CUT[11], _CUT[3])
+                t2 = comp >= tc * c4v
+                c2v = jnp.where(t3, jnp.where(t2, _CUT[13], _CUT[9]),
+                                jnp.where(t2, _CUT[5], _CUT[1]))
+                t1 = comp >= tc * c2v
+                c1v = jnp.where(
+                    t3,
+                    jnp.where(t2, jnp.where(t1, _CUT[14], _CUT[12]),
+                              jnp.where(t1, _CUT[10], _CUT[8])),
+                    jnp.where(t2, jnp.where(t1, _CUT[6], _CUT[4]),
+                              jnp.where(t1, _CUT[2], _CUT[0])))
+                t0 = comp >= tc * c1v
+                bn = ((t3.astype(jnp.int32) << 3)
+                      | (t2.astype(jnp.int32) << 2)
+                      | (t1.astype(jnp.int32) << 1)
+                      | t0.astype(jnp.int32))
+                bn = jnp.where(comp >= tc * _CUT[15], 16, bn)
 
             ibn = iota17 == bn[None, :]
             nlb = selrows(ibn, nl)
