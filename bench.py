@@ -21,10 +21,11 @@ every mode checks bit-exactness while timing (encoded stream sha-pinned
 to the reference encoder's output, decode reproduces the pixels).
 
 Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
-(default 28: the decode stage-1 bucket fills a single 512-lane kernel
-block -- wider blocks measured faster per lane through 1024, see
-PERF_NOTES round-4 -- and B=28 beat 21/42 in the in-process pipelined
-sweep; 0 skips the batched mode), ICER_BENCH_SKIP_TPU=1 (hosts without a usable
+(default 56: the decode stage-1 bucket fills a single 1024-lane kernel
+block (1008/1024) -- per-lane step cost keeps falling through 1024
+lanes, see PERF_NOTES round-4 -- and B=56 measured 7.37 vs 5.86 MP/s at
+B=28 in the same quiet-box pipelined sweep; 0 skips the batched mode),
+ICER_BENCH_SKIP_TPU=1 (hosts without a usable
 accelerator; native numbers only),
 ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
 mode is skipped, default 900).
@@ -139,7 +140,7 @@ def main():
             if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
                 candidates.append((tpu["MPs"], "tpu single-image"))
 
-            B = int(os.environ.get("ICER_BENCH_BATCH", "28"))
+            B = int(os.environ.get("ICER_BENCH_BATCH", "56"))
             if B > 1 and warm_enc + warm_dec < budget:
                 from icer_compression_tpu.models.decode_jax import (
                     decompress_lanes_batch)

@@ -67,10 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(progressive preview: the ICER stream is "
                         "priority-ordered, so any prefix decodes to a "
                         "coarser image; 0 = whole stream)")
-    p.add_argument("--batch-size", type=int, default=28, metavar="B",
+    p.add_argument("--batch-size", type=int, default=56, metavar="B",
                    help="batch operations: images per device program "
-                        "(default 28: at 6 segments the decode kernel's "
-                        "512-lane stage-1 block fills 504/512 with no "
+                        "(default 56: at 6 segments the decode kernel's "
+                        "1024-lane stage-1 block fills 1008/1024 with no "
                         "runt block, the best measured serving batch)")
     p.add_argument("--pipeline", type=int, default=4, metavar="K",
                    help="batch operations: device batches kept in "

@@ -33,9 +33,9 @@ def main():
     ap.add_argument("--stages", type=int, default=4)
     ap.add_argument("--filter", type=int, default=0)
     ap.add_argument("--segments", type=int, default=6)
-    ap.add_argument("--batch", type=int, default=28,
+    ap.add_argument("--batch", type=int, default=56,
                     help="also warm the batched encoder + decoder at "
-                         "this B (0 = skip; 28 = bench.py's default "
+                         "this B (0 = skip; 56 = bench.py's default "
                          "serving batch)")
     ap.add_argument("--backends", default="slim,sorted")
     ap.add_argument("--decode", action="store_true", default=True)

@@ -111,10 +111,10 @@ def test_cli_batch_serving_roundtrip(tmp_path, rng):
                             amplitude=180, noise=30)
         imgs[f"img{i}"] = a
         Image.fromarray(a, "L").save(ind / f"img{i}.png")
-    # no --batch-size: exercises the default (28, the tuned serving batch;
+    # no --batch-size: exercises the default (56, the tuned serving batch;
     # the encoder clamps to min(B, n_images))
     from icer_compression_tpu.cli import build_parser
-    assert build_parser().get_default("batch_size") == 28
+    assert build_parser().get_default("batch_size") == 56
     assert main(["batch-compress", str(ind), str(outd),
                  "-s", "2", "-g", "2"]) == 0
     cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=40 * 48)
