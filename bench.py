@@ -254,6 +254,13 @@ def main():
                     # per-module profile cache stamps under arbitrary
                     # chip regimes (PERF_NOTES.md round-3; VERDICT r3
                     # weak #5).
+                    #
+                    # Methodology (VERDICT r4 weak #1): floor and variant
+                    # walls are sampled INTERLEAVED in one loop (so a
+                    # transfer-regime swing between the two sweeps cannot
+                    # invert the subtraction), best-of-N each, and the
+                    # difference is clamped at 0 with both raw values
+                    # reported alongside.
                     try:
                         import jax
                         import jax.numpy as jnp
@@ -266,13 +273,6 @@ def main():
                             return jnp.zeros((full_n,), jnp.int32).at[
                                 0].set(x.astype(jnp.int32).sum())
 
-                        np.asarray(_enc_floor(up8))          # compile
-                        floor_enc = best(
-                            lambda: np.asarray(_enc_floor(up8)), treps)
-                        wall_enc = best(
-                            lambda: np.asarray(
-                                enc._fused(jnp.asarray(up8))), treps)
-
                         sbytes = np.frombuffer(b"".join(streams),
                                                np.uint8)
                         out_words = B * ((px + 3) // 4) + 1024
@@ -282,23 +282,53 @@ def main():
                             return jnp.zeros((out_words,), jnp.int32).at[
                                 0].set(s.astype(jnp.int32).sum())
 
+                        np.asarray(_enc_floor(up8))          # compile
                         np.asarray(_dec_floor(sbytes))       # compile
-                        floor_dec = best(
-                            lambda: np.asarray(_dec_floor(sbytes)), treps)
-                        wall_dec = best(lambda: decompress_lanes_batch(
-                            streams, cfg, dtype=np.uint16, pack8=True),
-                            treps)
+
+                        def interleaved(pairs, reps):
+                            """best-of-N of each fn with samples taken
+                            alternately (regime-drift-immune A/B)."""
+                            mins = [float("inf")] * len(pairs)
+                            for _ in range(reps):
+                                for i, fn in enumerate(pairs):
+                                    t0 = time.perf_counter()
+                                    fn()
+                                    mins[i] = min(
+                                        mins[i],
+                                        time.perf_counter() - t0)
+                            return mins
+
+                        (floor_enc, wall_enc, floor_dec,
+                         wall_dec) = interleaved([
+                             lambda: np.asarray(_enc_floor(up8)),
+                             lambda: np.asarray(
+                                 enc._fused(jnp.asarray(up8))),
+                             lambda: np.asarray(_dec_floor(sbytes)),
+                             lambda: decompress_lanes_batch(
+                                 streams, cfg, dtype=np.uint16,
+                                 pack8=True),
+                         ], treps)
+                        enc_ms = max(0.0, wall_enc - floor_enc) * 1e3 / B
+                        dec_ms = max(0.0, wall_dec - floor_dec) * 1e3 / B
+                        # transfer-free per-chip bound vs the 128 MP/s
+                        # north star (VERDICT r4 item 9)
+                        ceiling = (px / 1e6 / ((enc_ms + dec_ms) / 1e3)
+                                   if enc_ms + dec_ms > 0 else None)
                         detail["device"] = {
-                            "encode_ms_per_img": round(
-                                (wall_enc - floor_enc) * 1e3 / B, 2),
-                            "decode_ms_per_img": round(
-                                (wall_dec - floor_dec) * 1e3 / B, 2),
+                            "encode_ms_per_img": round(enc_ms, 2),
+                            "decode_ms_per_img": round(dec_ms, 2),
+                            "combined_MPs_ceiling": (
+                                round(ceiling, 2) if ceiling else None),
+                            "raw_walls_ms": {
+                                "encode": round(wall_enc * 1e3, 1),
+                                "decode": round(wall_dec * 1e3, 1)},
                             "floors_ms": {
                                 "encode": round(floor_enc * 1e3, 1),
                                 "decode": round(floor_dec * 1e3, 1)},
-                            "note": ("in-process wall A/B vs same-shape "
-                                     "transfer-floor programs at B="
-                                     f"{B}; decode includes host unpack"),
+                            "note": ("interleaved in-process wall A/B vs "
+                                     "same-shape transfer-floor programs "
+                                     f"at B={B}, best-of-{treps}, clamped "
+                                     ">=0; decode includes host unpack"),
                         }
                     except Exception as e:  # noqa: BLE001
                         detail["device_error"] = f"{type(e).__name__}: {e}"

@@ -20,9 +20,22 @@ environment variable (graph shape can depend on them), the jax version
 and a fingerprint of this package's sources -- a code change invalidates
 the cache wholesale rather than risking a stale executable.
 
+Freshly compiled programs are NOT trusted on first execution: a cold-
+compiled wide (768/1024-lane) decode program was once observed returning
+a wrong checksum on its first execution while every later recompile of
+identical code validated (PERF_NOTES round-4 "wide-program
+first-execution hazard").  Before an executable is stored (and before
+its first output is returned), `_first_exec_check` runs it twice on the
+caller's real first inputs and compares the outputs bit for bit; a
+mismatch invalidates the executable, recompiles once, and re-checks --
+a second mismatch raises (bit-exactness is the codec's contract; a
+silently wrong stream must never escape).  The extra cost is one
+steady-state execution per fresh compile (cache hits skip the check).
+
 Env: ICER_TPU_AOT=0 disables; ICER_TPU_AOT_CACHE overrides the
-directory (default ~/.cache/icer_tpu_aot).  Executables are ~100 MB
-each; `prune(keep_latest=N)` trims old entries by mtime.
+directory (default ~/.cache/icer_tpu_aot); ICER_AOT_VERIFY=0 skips the
+first-execution check.  Executables are ~100 MB each;
+`prune(keep_latest=N)` trims old entries by mtime.
 """
 
 from __future__ import annotations
@@ -141,6 +154,43 @@ def wrap_jit(jitted, sem_key: str):
     return call
 
 
+def _outputs_equal(a, b) -> bool:
+    import numpy as np
+    from jax import tree_util
+
+    la, lb = tree_util.tree_leaves(a), tree_util.tree_leaves(b)
+    if len(la) != len(lb):
+        return False
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def _first_exec_check(comp, jargs, sem_key) -> bool:
+    """Execute a freshly compiled program twice on its first real inputs
+    and compare outputs (the wide-program first-execution hazard guard).
+
+    Returns True when the two executions agree bit for bit.  On mismatch
+    a repro note is written next to the cache so the event is never
+    silent."""
+    if os.environ.get("ICER_AOT_VERIFY", "1") == "0":
+        return True
+    out1 = comp(*jargs)
+    out2 = comp(*jargs)
+    if _outputs_equal(out1, out2):
+        return True
+    try:
+        os.makedirs(_dir(), exist_ok=True)
+        with open(os.path.join(_dir(), "first_exec_mismatch.log"),
+                  "a") as f:
+            import datetime
+            f.write(f"{datetime.datetime.now().isoformat()} "
+                    f"sem_key={sem_key!r}: first execution of a freshly "
+                    "compiled program disagreed with its re-execution\n")
+    except OSError:
+        pass
+    return False
+
+
 def _load_or_compile(jitted, sem_key, sig, jargs):
     path = _key_path(sem_key, sig)
     try:
@@ -161,6 +211,18 @@ def _load_or_compile(jitted, sem_key, sig, jargs):
         comp = jitted.lower(*jargs).compile()
     except Exception:
         return False
+    if not _first_exec_check(comp, jargs, sem_key):
+        # Invalidate and recompile once; identical-code recompiles were
+        # observed to validate.  A second failure is a hard error: the
+        # codec's contract is bit-exactness and this program cannot be
+        # trusted.
+        comp = jitted.lower(*jargs).compile()
+        if not _first_exec_check(comp, jargs, sem_key):
+            raise RuntimeError(
+                f"compiled program for {sem_key!r} failed the "
+                "first-execution determinism check twice; refusing to "
+                "serve possibly-wrong output (see "
+                "first_exec_mismatch.log in the AOT cache dir)")
     try:
         blob = se.serialize(comp)
         os.makedirs(_dir(), exist_ok=True)

@@ -369,6 +369,298 @@ class ShardedColorEncoder:
         return streams
 
 
+class ShardedGrayscaleDecoder:
+    """Lane-batched grayscale decode as a compiled multi-device mesh
+    program over a ('data', 'seg') mesh.
+
+    Mirrors the reference's per-segment decode loop
+    (icer_compress.c:472-518) on the codec's parallel axes: streams
+    (images) shard over 'data', subband/segment lanes over 'seg'
+    (decode needs ZERO collectives -- every lane decodes from its own
+    image's stream words with fully independent coder state).  Two mesh
+    programs per call:
+
+      1. plane decoding (shard_map, no collectives): each device
+         gathers its lanes' per-round stream windows from its local
+         images' word tiles and runs the multi-round pallas decode
+         kernel (interpret mode on CPU meshes);
+      2. finalize (data-parallel shard_map): canvas assembly from the
+         lane tables, sign-magnitude restore, LL mean, inverse DWT and
+         clamp per local image.
+
+    The lane tables reshard between the two ((data, seg) -> (data,)),
+    the decode analog of the encoder's ordered out_specs gather.
+    Results are pixel-identical to models.grayscale.decompress per
+    stream (asserted by tests/test_parallel.py and dryrun_multichip).
+    """
+
+    def __init__(self, mesh, image_w: int, image_h: int, config,
+                 dtype=np.uint16):
+        from ..models.decode_jax import _plan_lanes
+        from ..models.grayscale import _bitplanes, _mag_bits
+
+        self.mesh = mesh
+        self.w, self.h = image_w, image_h
+        self.config = config
+        self.dtype = np.dtype(dtype)
+        self.mag_bits = _mag_bits(self.dtype)
+        self.bitplanes = _bitplanes(self.mag_bits)
+        self.buckets = _plan_lanes(image_w, image_h, config)
+        self._progs: dict = {}
+        self._kernels: dict = {}
+
+    def _kern(self, PX, Wpad, NW, R, lanes, interp):
+        from ..ops import pallas_decode as PD
+        key = (PX, Wpad, NW, R, lanes, interp)
+        run = self._kernels.get(key)
+        if run is None:
+            run = PD.make_decode_plane_pallas(PX, Wpad, NW, nrounds=R,
+                                              lanes=lanes, interpret=interp)
+            self._kernels[key] = run
+        return run
+
+    def decode_batch(self, streams) -> list[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.header import scan_bytestream
+        from ..core.status import IcerError, IcerStatus
+        from ..models.decode_jax import _round_need, _round_nw
+
+        mesh = self.mesh
+        D, S_ = mesh.shape["data"], mesh.shape["seg"]
+        B = len(streams)
+        if B == 0 or B % D:
+            raise IcerError(IcerStatus.INVALID_INPUT,
+                            f"batch size {B} must be a positive multiple "
+                            f"of the data axis ({D})")
+        mag_bits, bitplanes = self.mag_bits, self.bitplanes
+
+        tables = []
+        ll_means = np.zeros(B, np.int32)
+        slens = np.zeros(B, np.int64)
+        w = h = 0
+        for b, s in enumerate(streams):
+            found = scan_bytestream(s, with_offsets=True,
+                                    with_payload=False)
+            if not found:
+                raise IcerError(IcerStatus.DECODER_OUT_OF_DATA,
+                                "no valid segments")
+            t: dict = {}
+            for hdr, _p, off in found:
+                t[(hdr.decomp_level, hdr.subband_type,
+                   hdr.segment_number, hdr.lsb)] = (off, hdr.data_length)
+                wi, hi = hdr.image_w, hdr.image_h
+                ll_means[b] = hdr.ll_mean_val
+            if w == 0:
+                w, h = wi, hi
+            elif (w, h) != (wi, hi):
+                raise IcerError(IcerStatus.INVALID_INPUT,
+                                "batched streams must share geometry")
+            tables.append(t)
+            slens[b] = len(s)
+        if (w, h) != (self.w, self.h):
+            raise IcerError(IcerStatus.INVALID_INPUT,
+                            "stream geometry differs from decoder plan")
+
+        # per-image padded stream words as (B, T, 8) tile rows (the
+        # kernel's windows gather whole 8-word tiles; sub-word starts
+        # ride in as the lane's initial bit position)
+        granule = 1024
+        padb = int(-(-(int(slens.max()) + 8) // granule) * granule)
+        sw = np.zeros((B, padb // 4), np.int32)
+        for b, s in enumerate(streams):
+            raw = s + b"\0" * ((-len(s)) % 4)
+            sw[b, : len(raw) // 4] = np.frombuffer(raw, np.int32)
+        swt = sw.reshape(B, -1, 8)
+
+        bucket_meta = []
+        arrays = []
+        for lanes in self.buckets:
+            n1 = len(lanes)
+            n1p = -(-n1 // S_) * S_        # lane axis pads to the mesh
+            Hmax = max(t["h"] for t in lanes)
+            Wmax = max(t["w"] for t in lanes)
+            Wpad = -(-Wmax // 8) * 8
+            PX = Hmax * Wpad
+            hh = np.ones(n1p, np.int32)
+            ww = np.ones(n1p, np.int32)
+            sb = np.zeros(n1p, np.int32)
+            for i, t in enumerate(lanes):
+                hh[i], ww[i], sb[i] = t["h"], t["w"], t["subband"]
+            per_round = []
+            round_maxb = []
+            for rnd in range(bitplanes):
+                lsb = bitplanes - 1 - rnd
+                offs = np.full((B, n1p), -1, np.int64)
+                ebits = np.zeros((B, n1p), np.int64)
+                for b in range(B):
+                    for i, t in enumerate(lanes):
+                        ent = tables[b].get((t["stage"], t["subband"],
+                                             t["seg"], lsb))
+                        if ent is not None:
+                            offs[b, i], ebits[b, i] = ent
+                have = offs >= 0
+                if not have.any():
+                    break       # quota-truncated streams drop low planes
+                per_round.append((lsb, offs, ebits))
+                round_maxb.append(_round_need(slens[:, None], offs,
+                                              ebits, have))
+            if not per_round:
+                continue
+            R = len(per_round)
+            NWr = tuple(_round_nw(mb) for mb in round_maxb)
+            NW = max(NWr)
+            offs_r = np.zeros((R, B, n1p), np.int32)
+            geom_r = np.zeros((R, 8, B, n1p), np.int32)
+            present = np.ones((B, n1p), bool)
+            for r, (lsb, offs, ebits) in enumerate(per_round):
+                present = present & (offs >= 0)
+                offs_ok = np.where(present, offs, 0)
+                mis = (offs_ok & 31).astype(np.int64)
+                readable_bits = np.where(
+                    present,
+                    np.minimum((slens[:, None] - (offs_ok - mis)) * 8,
+                               NWr[r] * 32), 0)
+                offs_r[r] = offs_ok
+                geom_r[r, 0] = hh[None, :]
+                geom_r[r, 1] = ww[None, :]
+                geom_r[r, 2] = sb[None, :]
+                geom_r[r, 3] = lsb
+                geom_r[r, 4] = mag_bits
+                geom_r[r, 5] = (present.astype(np.int32)
+                                | (mis.astype(np.int32) << 1))
+                geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
+                geom_r[r, 7] = readable_bits
+            bucket_meta.append({"lanes": lanes, "n1p": n1p, "Hmax": Hmax,
+                                "Wpad": Wpad, "PX": PX, "R": R,
+                                "NW": NW, "NWr": NWr})
+            arrays += [offs_r, geom_r]
+
+        key = (B, padb) + tuple(
+            (m["PX"], m["Wpad"], m["R"], m["NWr"], m["n1p"])
+            for m in bucket_meta)
+        fns = self._progs.get(key)
+        if fns is None:
+            fns = self._build_programs(bucket_meta, B)
+            self._progs[key] = fns
+        stage1, stage2 = fns
+
+        dev_swt = jax.device_put(
+            swt, NamedSharding(mesh, P("data", None, None)))
+        dev_arrays = [
+            jax.device_put(a, NamedSharding(
+                mesh, P(None, "data", "seg") if a.ndim == 3
+                else P(None, None, "data", "seg")))
+            for a in arrays]
+        lane_tabs = stage1(dev_swt, *dev_arrays)
+        llv = jax.device_put(ll_means, NamedSharding(mesh, P("data")))
+        img = _host(stage2(llv, *lane_tabs))
+        return [img[b].astype(self.dtype) for b in range(B)]
+
+    def _build_programs(self, bucket_meta, B):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..core.subbands import dim_low
+        from ..models.decode_jax import _block_width
+        from ..ops import wavelet as W
+        try:
+            from jax import shard_map
+            smap_kwargs = {"check_vma": False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            smap_kwargs = {"check_rep": False}
+
+        mesh = self.mesh
+        D, S_ = mesh.shape["data"], mesh.shape["seg"]
+        Bl = B // D
+        interp = mesh.devices.flat[0].platform != "tpu"
+        mag_bits = self.mag_bits
+        stages, filt = self.config.stages, self.config.filt
+        w, h = self.w, self.h
+
+        def stage1(swt_l, *arrs):
+            T = swt_l.shape[1]
+            outs = []
+            for i, m in enumerate(bucket_meta):
+                offs_l = arrs[2 * i]          # (R, Bl, nl)
+                geom_l = arrs[2 * i + 1]      # (R, 8, Bl, nl)
+                nl = m["n1p"] // S_
+                R, NW, NWr = m["R"], m["NW"], m["NWr"]
+                PX, Wpad = m["PX"], m["Wpad"]
+                parts = []
+                for r in range(R):
+                    nt = NWr[r] // 8
+                    j = jnp.arange(nt, dtype=jnp.int32)
+                    idx = ((offs_l[r] >> 5)[:, :, None]
+                           + j[None, None, :])          # (Bl, nl, nt)
+                    idx = jnp.clip(idx, 0, T - 1)
+                    rows = jax.vmap(lambda st, ix: st[ix])(swt_l, idx)
+                    # (Bl, nl, nt, 8) -> word rows (NWr, Bl*nl)
+                    wr = rows.transpose(2, 3, 0, 1).reshape(
+                        nt * 8, Bl * nl)
+                    if NWr[r] < NW:
+                        wr = jnp.pad(wr, ((0, NW - NWr[r]), (0, 0)))
+                    parts.append(wr)
+                wds = jnp.concatenate(parts)            # (R*NW, m)
+                ge = geom_l.reshape(R * 8, Bl * nl)
+                m_tot = Bl * nl
+                blk = _block_width(m_tot, NW, Wpad)
+                out_parts = []
+                for b0 in range(0, m_tot, blk):
+                    mm = min(blk, m_tot - b0)
+                    lanes_k = -(-mm // 128) * 128
+                    run = self._kern(PX, Wpad, NW, R, lanes_k, interp)
+                    pad = ((0, 0), (0, lanes_k - mm))
+                    o, _err, _pos = run(
+                        jnp.pad(wds[:, b0:b0 + mm], pad),
+                        jnp.pad(ge[:, b0:b0 + mm], pad))
+                    out_parts.append(o[:, :mm])
+                out = (out_parts[0] if len(out_parts) == 1
+                       else jnp.concatenate(out_parts, axis=1))
+                outs.append(out.reshape(PX, Bl, nl).transpose(1, 2, 0))
+            return tuple(outs)               # per bucket (Bl, nl, PX)
+
+        def stage2(llv_l, *outs_l):
+            canvas = jnp.zeros((Bl, h, w), jnp.int32)
+            for i, m in enumerate(bucket_meta):
+                o = outs_l[i]                # (Bl, n1p, PX)
+                Hm, Wp = m["Hmax"], m["Wpad"]
+                for j, t in enumerate(m["lanes"]):
+                    simg = o[:, j, :].reshape(Bl, Hm, Wp)[
+                        :, :t["h"], :t["w"]]
+                    canvas = canvas.at[
+                        :, t["row"]:t["row"] + t["h"],
+                        t["col"]:t["col"] + t["w"]].set(simg)
+            img = W.from_sign_magnitude(canvas, mag_bits, jnp)
+            ll_w = dim_low(w, stages)
+            ll_h = dim_low(h, stages)
+            img = img.at[:, :ll_h, :ll_w].set(
+                W._wrap(img[:, :ll_h, :ll_w] + llv_l[:, None, None],
+                        mag_bits, jnp))
+            img = jax.vmap(
+                lambda x: W.inverse_stages(x, stages, filt, mag_bits,
+                                           jnp)[0])(img)
+            return jnp.maximum(img, 0)
+
+        in1 = (P("data", None, None),) + tuple(
+            s for _ in bucket_meta
+            for s in (P(None, "data", "seg"),
+                      P(None, None, "data", "seg")))
+        out1 = tuple(P("data", "seg", None) for _ in bucket_meta)
+        s1 = jax.jit(shard_map(stage1, mesh=mesh, in_specs=in1,
+                               out_specs=out1, **smap_kwargs))
+        in2 = (P("data"),) + tuple(P("data", None, None)
+                                   for _ in bucket_meta)
+        s2 = jax.jit(shard_map(stage2, mesh=mesh, in_specs=in2,
+                               out_specs=P("data", None, None),
+                               **smap_kwargs))
+        return s1, s2
+
+
 def decode_batch_sharded(streams, config, dtype=np.uint16, devices=None,
                          backend: str = "auto", max_workers: int | None = None):
     """Decode independent streams data-parallel across devices.
@@ -414,16 +706,20 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
         devs = devs[:n_devices]
     n = len(devs)
     if data is None:
-        data = 1
-        for cand in (2, 4, 8, 16):
-            if n % cand == 0 and cand <= n:
-                data = cand if n // cand >= 1 else data
-        # prefer a roughly square split
-        best = 1
-        for d in range(1, n + 1):
-            if n % d == 0 and d <= n // d * 4:
-                best = d
-        data = best
-    seg = n // data
+        # Both axes carry when n > 1: data parallelism scales perfectly
+        # (independent images), so it takes the larger factor, while
+        # seg=2 keeps the lane axis exercised (lane counts pad to a
+        # multiple of nseg, so a small seg factor wastes the least
+        # padding).  Odd n has no even split: the whole mesh goes to
+        # seg (every lane count pads to n; data=1 still works for any
+        # batch).  Pinned by tests/test_parallel.py::test_make_mesh_shapes.
+        if n == 1:
+            data, seg = 1, 1
+        elif n % 2 == 0:
+            data, seg = n // 2, 2
+        else:
+            data, seg = 1, n
+    else:
+        seg = n // data
     arr = np.array(devs[: data * seg]).reshape(data, seg)
     return Mesh(arr, ("data", "seg"))

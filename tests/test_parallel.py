@@ -68,6 +68,23 @@ def test_sharded_color_and_uint8(rng):
         assert assemble_stream(encoded, rearrange_order_grayscale(7)) == ref
 
 
+def test_make_mesh_shapes():
+    """Pin the default (data, seg) split: both axes carry when n > 1
+    (VERDICT r4 item 10 -- the old heuristic always chose seg=1, so the
+    helper used by dryrun_multichip never exercised the lane axis)."""
+    from icer_compression_tpu.parallel.sharded import make_mesh
+
+    navail = len(_cpu_devices())
+    for n, want in {1: (1, 1), 2: (1, 2), 4: (2, 2), 8: (4, 2)}.items():
+        if n > navail:
+            continue
+        mesh = make_mesh(n, platform="cpu")
+        assert (mesh.shape["data"], mesh.shape["seg"]) == want
+    if navail >= 4:   # explicit data override is still honored
+        mesh = make_mesh(4, data=4, platform="cpu")
+        assert (mesh.shape["data"], mesh.shape["seg"]) == (4, 1)
+
+
 def test_sharded_encode_matches_reference_path(rng):
     from icer_compression_tpu.parallel.sharded import (
         ShardedGrayscaleEncoder, make_mesh)
@@ -115,6 +132,38 @@ def test_sharded_overflow_raises(rng):
     with pytest.raises(IcerError) as exc:
         enc8.encode_batch(imgs8)
     assert exc.value.status == IcerStatus.INTEGER_OVERFLOW
+
+
+def test_sharded_mesh_decoder_matches_host(rng):
+    """The shard_map mesh decoder (streams on 'data', lanes on 'seg')
+    must be pixel-identical to the host decoder per stream, including
+    under a truncating quota (lane retirement at missing planes)."""
+    from icer_compression_tpu.parallel.sharded import (
+        ShardedGrayscaleDecoder, make_mesh)
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import CodecConfig
+
+    mesh = make_mesh(2, platform="cpu")
+    H = W = 24
+    B = 2 * max(mesh.shape["data"], 1)
+    cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=None)
+    imgs = [((np.add.outer(np.arange(H) * 3, np.arange(W)) % 150)
+             + rng.integers(0, 40, (H, W))).astype(np.uint16)
+            for _ in range(B)]
+    streams = [G.compress(im, cfg) for im in imgs]
+    dec = ShardedGrayscaleDecoder(mesh, W, H, cfg)
+    out = dec.decode_batch(streams)
+    for im, d in zip(imgs, out):
+        assert np.array_equal(im, d)
+
+    # truncating quota: low planes drop, lanes retire mid-walk
+    qcfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=300)
+    qstreams = [G.compress(im, qcfg) for im in imgs]
+    qdec = ShardedGrayscaleDecoder(mesh, W, H, qcfg)
+    qout = qdec.decode_batch(qstreams)
+    for s, d in zip(qstreams, qout):
+        ref = G.decompress(s, qcfg, dtype=np.uint16)
+        assert np.array_equal(ref, d)
 
 
 def test_decode_batch_sharded_devices(rng):
