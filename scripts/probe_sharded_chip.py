@@ -81,7 +81,7 @@ def virtual(B=8):
         # compile the step and mine the optimized HLO for collectives
         dev_images = jax.device_put(
             imgs, senc._NamedSharding(mesh, senc._P("data", None, None)))
-        compiled = senc._step.lower(dev_images).compile()
+        compiled = senc._step_compact.lower(dev_images).compile()
         txt = compiled.as_text()
         coll_bytes = 0
         n_coll = 0

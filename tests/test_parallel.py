@@ -116,6 +116,38 @@ def test_sharded_encode_matches_reference_path(rng):
         assert assemble_stream(encoded, rearrange_order_grayscale(9)) == ref
 
 
+def test_sharded_compact_budget_overflow(rng, monkeypatch):
+    """A tiny fetch budget forces every shard past its tile budget: the
+    encoder must detect the overflow and rerun the exact full-table
+    path, with streams still byte-identical to the reference path."""
+    monkeypatch.setenv("ICER_FETCH_BUDGET", "0.02")
+    from icer_compression_tpu.parallel.sharded import (
+        ShardedGrayscaleEncoder, make_mesh)
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import (
+        CodecConfig, allocate_from_table, assemble_stream)
+    from icer_compression_tpu.core.packets import (
+        build_packets_grayscale, rearrange_order_grayscale, sort_packets)
+
+    mesh = make_mesh(2, platform="cpu")
+    H = W = 24
+    enc = ShardedGrayscaleEncoder(mesh, W, H, 1, 0, 2, mag_bits=15)
+    assert enc._compact
+    imgs = ((np.add.outer(np.arange(H) * 3, np.arange(W))[None] % 150)
+            + rng.integers(0, 40, (2, H, W))).astype(np.uint16)
+    ll_means, tables = enc.encode_batch(imgs)
+    cfg = CodecConfig(stages=1, filt=0, segments=2, byte_quota=H * W * 2)
+    for bi in range(2):
+        ref = G.compress(imgs[bi], cfg)
+        table = {(0,) + k: v for k, v in tables[bi].items()}
+        packets = sort_packets(build_packets_grayscale(
+            W, H, 1, int(ll_means[bi]), 9))
+        nsegs = {(p.decomp_level, p.subband_type): 2 for p in packets}
+        encoded = allocate_from_table(packets, table, H * W * 2, nsegs,
+                                      W, H)
+        assert assemble_stream(encoded, rearrange_order_grayscale(9)) == ref
+
+
 def test_sharded_overflow_raises(rng):
     """A DWT sample wrap must surface as ICER_INTEGER_OVERFLOW from the
     sharded batch encoder, exactly like the single-image paths
