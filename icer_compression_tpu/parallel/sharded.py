@@ -187,7 +187,12 @@ class ShardedGrayscaleEncoder:
             Lk, Lc, cap_bits = caps(L)
             if Lk > L:
                 packed = jnp.pad(packed, ((0, 0), (0, Lk - L)))
-            width = min(512, -(-rows // 128) * 128)
+            # kernel lane width: the slim coder's per-step cost is ~flat
+            # in width, so fewer wider blocks win (the fused encoder's
+            # 3072-lane ceiling is the scoped-VMEM limit; the former 512
+            # cap here cost ~6x the sequential passes at B=21 and was
+            # most of the measured sharded-vs-fused wall gap)
+            width = min(3072, -(-rows // 128) * 128)
             run = PE.make_encode_lanes_slim(Lk, chunk=chunk, lanes=width,
                                             interpret=interpret)
             nblk = -(-rows // width)
@@ -290,8 +295,15 @@ class ShardedGrayscaleEncoder:
             src = (jnp.asarray(tile_off, jnp.int32)[lane_of]
                    + jnp.arange(BT, dtype=jnp.int32) - toff[lane_of])
             dense = pt[jnp.clip(src, 0, pt.shape[0] - 1)]
-            return (ll_means, overflows, nbits[None], flushv[None],
-                    total_t[None], dense.reshape(1, -1))
+            # ONE per-shard blob (meta || 32B-aligned dense tiles): a
+            # single fetch per step instead of four (tiny fetches stall
+            # through tunnel attachments, see the fused encoder's
+            # single->=1MiB-output note)
+            meta = jnp.concatenate([total_t[None], nbits, flushv])
+            padm = (-meta.shape[0]) % 8
+            blob = jnp.concatenate([
+                meta, jnp.zeros((padm,), jnp.int32), dense.reshape(-1)])
+            return ll_means, overflows, blob[None]
 
         out_group_spec = (P("data", None, "seg", None),
                           P("data", None, "seg"), P("data", None, "seg"))
@@ -302,13 +314,10 @@ class ShardedGrayscaleEncoder:
                        [out_group_spec] * len(self.groups)),
             **smap_kwargs,
         ))
-        shard_ax = P(("data", "seg"))
         self._step_compact = jax.jit(shard_map(
             step_compact, mesh=mesh,
             in_specs=P("data", None, None),
-            out_specs=(P("data"), P("data"),
-                       P(("data", "seg"), None), P(("data", "seg"), None),
-                       shard_ax, P(("data", "seg"), None)),
+            out_specs=(P("data"), P("data"), P(("data", "seg"), None)),
             **smap_kwargs,
         ))
         self._compact = os.environ.get("ICER_SHARDED_COMPACT", "1") != "0"
@@ -368,29 +377,33 @@ class ShardedGrayscaleEncoder:
         """Compact-blob fetch: dense per-shard payload tiles instead of
         the caps-padded tables.  Returns None when any shard's true
         payload exceeded the tile budget (caller reruns the full path)."""
-        (ll_means, overflows, nbits_g, flush_g, tot_g,
-         dense_g) = (_host(x) for x in self._step_compact(dev_images))
+        ll_means, overflows, blob_g = (
+            _host(x) for x in self._step_compact(dev_images))
         self._check_encode_outputs(ll_means, overflows)
         B = images.shape[0]
         D, S_ = self.mesh.shape["data"], self.mesh.shape["seg"]
         Bl = B // D
-        if (tot_g > self._budget_tiles(Bl)).any():
-            return None
         planes = self.bitplanes
+        nl_tot = sum(Bl * planes * (len(g["lanes"]) // S_)
+                     for g in self.groups)
+        BT = self._budget_tiles(Bl)
+        if (blob_g[:, 0] > BT).any():
+            return None
         cap_tiles = np.concatenate([
             np.full(Bl * planes * (len(g["lanes"]) // S_),
                     self._caps(2 * g["mh"] * g["mw"])[2] // 256, np.int64)
             for g in self.groups])
+        dense_off = 4 * (-(-(1 + 2 * nl_tot) // 8) * 8)   # bytes
         tables = [dict() for _ in range(B)]
         flush_lanes = []
         for d in range(D):
             for s in range(S_):
                 sid = d * S_ + s
-                nb_arr = nbits_g[sid].astype(np.int64)
-                fl = flush_g[sid]
+                nb_arr = blob_g[sid, 1:1 + nl_tot].astype(np.int64)
+                fl = blob_g[sid, 1 + nl_tot:1 + 2 * nl_tot]
                 tiles = np.clip((nb_arr + 255) >> 8, 0, cap_tiles)
                 toff = np.cumsum(tiles) - tiles
-                bv = dense_g[sid].view(np.uint8)
+                bv = blob_g[sid].view(np.uint8)[dense_off:]
                 r = 0
                 for g in self.groups:
                     lps = len(g["lanes"]) // S_

@@ -56,17 +56,32 @@ def chip(B=21):
 
     mesh = make_mesh(1)
     senc = ShardedGrayscaleEncoder(mesh, w, h, 4, 0, 6, mag_bits=15)
-    comp, t_sh = best(lambda: senc.encode_batch(imgs))
-    print(f"sharded 1-dev mesh: compile {comp:.1f}s  "
+    enc = JaxGrayscaleEncoder(w, h, 4, 0, 6, 15, entropy="slim", batch=B)
+    t0 = time.time()
+    senc.encode_batch(imgs)
+    comp_s = time.time() - t0
+    t0 = time.time()
+    enc.encode_batch(imgs)
+    comp_f = time.time() - t0
+    # INTERLEAVED best-of-N: the tunnel regime swings tens of percent
+    # between runs, so alternating samples is the only trustworthy way
+    # to take the sharded/fused ratio
+    t_sh = t_f = float("inf")
+    for _ in range(6):
+        t0 = time.time()
+        senc.encode_batch(imgs)
+        t_sh = min(t_sh, time.time() - t0)
+        t0 = time.time()
+        enc.encode_batch(imgs)
+        t_f = min(t_f, time.time() - t0)
+    print(f"sharded 1-dev mesh: compile {comp_s:.1f}s  "
           f"best {t_sh*1e3:.1f} ms/batch ({t_sh*1e3/B:.2f} ms/img)",
           flush=True)
-
-    enc = JaxGrayscaleEncoder(w, h, 4, 0, 6, 15, entropy="slim", batch=B)
-    comp, t_f = best(lambda: enc.encode_batch(imgs))
-    print(f"fused single-chip:  compile {comp:.1f}s  "
+    print(f"fused single-chip:  compile {comp_f:.1f}s  "
           f"best {t_f*1e3:.1f} ms/batch ({t_f*1e3/B:.2f} ms/img)",
           flush=True)
-    print(f"sharded/fused wall ratio: {t_sh/t_f:.3f}", flush=True)
+    print(f"sharded/fused wall ratio (interleaved): {t_sh/t_f:.3f}",
+          flush=True)
 
 
 def virtual(B=8):

@@ -131,6 +131,45 @@ def test_cli_batch_serving_roundtrip(tmp_path, rng):
         assert np.array_equal(d, want), k
 
 
+def test_cli_batch_serving_mixed_geometry(tmp_path, rng):
+    """Mixed-size inputs bucket by geometry (VERDICT r4 item 8): each
+    bucket reuses a shape-specialized program, streams stay byte-exact
+    vs the per-image encoder and the decode side round-trips -- the
+    reference CLI's any-file behavior (example/src/icer_util.c:123-246)
+    at serving throughput."""
+    from icer_compression_tpu.models import grayscale as G
+    from icer_compression_tpu.models.grayscale import CodecConfig
+
+    ind = tmp_path / "in"
+    outd = tmp_path / "enc"
+    decd = tmp_path / "dec"
+    ind.mkdir()
+    shapes = [(40, 48), (40, 48), (32, 32), (24, 40), (32, 32)]
+    imgs = {}
+    for i, (h, w) in enumerate(shapes):
+        a = make_test_image(h, w, rng, dtype=np.uint8,
+                            amplitude=180, noise=30)
+        imgs[f"m{i}"] = a
+        Image.fromarray(a, "L").save(ind / f"m{i}.png")
+    assert main(["batch-compress", str(ind), str(outd),
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    for k, a in imgs.items():
+        h, w = a.shape
+        cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=h * w)
+        want = G.compress(a.astype(np.uint16), cfg)
+        assert (outd / f"{k}.icer").read_bytes() == want, k
+    assert main(["batch-decompress", str(outd), str(decd),
+                 "-s", "2", "-g", "2", "--batch-size", "2"]) == 0
+    for k, a in imgs.items():
+        h, w = a.shape
+        cfg = CodecConfig(stages=2, filt=0, segments=2, byte_quota=h * w)
+        d = np.asarray(Image.open(decd / f"{k}.png"))
+        want = np.clip(np.asarray(G.decompress(
+            (outd / f"{k}.icer").read_bytes(), cfg, dtype=np.uint16)),
+            0, 255).astype(np.uint8)
+        assert np.array_equal(d, want), k
+
+
 def test_cli_batch_serving_color(tmp_path, rng):
     """Color batch serving: streams byte-exact vs compress_yuv, decodes
     match the single-path color decoder within the RGB<->YCbCr macro
