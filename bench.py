@@ -115,38 +115,13 @@ def main():
     os.environ.setdefault("ICER_JAX_ENTROPY", "slim")
     if not skip_tpu:
         try:
-            t0 = time.time()
-            ts = G.compress_jax(img, cfg)
-            warm_enc = time.time() - t0
-            t0 = time.time()
-            tdec = np.asarray(
-                G.decompress(ts, cfg, dtype=np.uint16, backend="jax",
-                             pack8=True))
-            warm_dec = time.time() - t0
-            enc_s = best(lambda: G.compress_jax(img, cfg), treps)
-            dec_s = best(
-                lambda: G.decompress(ts, cfg, dtype=np.uint16,
-                                     backend="jax", pack8=True), treps)
-            tpu = {
-                "encode_s": round(enc_s, 4), "decode_s": round(dec_s, 4),
-                "MPs": round(px / (enc_s + dec_s) / 1e6, 3),
-                "stream_matches_reference": sha_ok(ts),
-                "lossless_roundtrip": bool(np.array_equal(tdec, img)),
-                "warmup_s": round(warm_enc + warm_dec, 1),
-                "entropy_backend": os.environ.get("ICER_JAX_ENTROPY",
-                                                  "sorted"),
-            }
-            detail["tpu"] = tpu
-            if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
-                candidates.append((tpu["MPs"], "tpu single-image"))
-
             B = int(os.environ.get("ICER_BENCH_BATCH", "56"))
-            if B > 1 and warm_enc + warm_dec < budget:
+            rng = np.random.default_rng(0)
+            if B > 1:
                 from icer_compression_tpu.models.decode_jax import (
                     decompress_lanes_batch)
                 from icer_compression_tpu.ops.encode_jax import (
                     JaxGrayscaleEncoder)
-                rng = np.random.default_rng(0)
                 imgs = np.stack([
                     np.clip(img.astype(np.int32)
                             + rng.integers(-6, 7, img.shape), 0, 255
@@ -181,26 +156,95 @@ def main():
                 def encode_all():
                     return finish(enc.encode_batch(imgs))
 
+            # ---- warmup: all serving programs in PARALLEL threads ----
+            # A fresh process's dominant cost is the attachment-side
+            # first-execution load of each program; the loads overlap
+            # when dispatched concurrently, so a serving process warms
+            # everything at the wall of the SLOWEST program, not the
+            # sum.  The batched-decode thread builds its streams with
+            # the native host runtime (byte-identical codec => same
+            # decode program) so it never waits on the batched encoder.
+            import threading
+            wt: dict = {}
+            werr: list = []
+
+            def _wrap(name, fn):
+                def run():
+                    try:
+                        fn()
+                    except Exception as e:  # noqa: BLE001
+                        werr.append((name, e))
+                return run
+
+            def warm_single():
                 t0 = time.time()
-                streams = encode_all()           # warmup (compile)
-                warm_benc = time.time() - t0
-                # serving-mode decode fetch: 4 px/word (pack8) with an
-                # exact wide fallback; encode uploads 8-bit-valued
-                # images as uint8 (encode_batch auto-downcasts)
+                wt["_ts"] = G.compress_jax(img, cfg)
+                wt["single_encode"] = time.time() - t0
                 t0 = time.time()
+                wt["_tdec"] = np.asarray(G.decompress(
+                    wt["_ts"], cfg, dtype=np.uint16, backend="jax",
+                    pack8=True))
+                wt["single_decode"] = time.time() - t0
+
+            def warm_benc():
+                t0 = time.time()
+                wt["_streams"] = encode_all()
+                wt["batched_encode"] = time.time() - t0
+
+            def warm_bdec():
+                ns = [G.compress(im, cfg) for im in imgs]
+                t0 = time.time()
+                decompress_lanes_batch(ns, cfg, dtype=np.uint16,
+                                       pack8=True)
+                wt["batched_decode"] = time.time() - t0
+
+            warm_t0 = time.time()
+            threads = [threading.Thread(
+                target=_wrap("single", warm_single))]
+            if B > 1:
+                threads.append(threading.Thread(
+                    target=_wrap("benc", warm_benc)))
+                threads.append(threading.Thread(
+                    target=_wrap("bdec", warm_bdec)))
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            warm_total = time.time() - warm_t0
+            if werr:
+                raise werr[0][1]
+            ts = wt["_ts"]
+            tdec = wt["_tdec"]
+
+            enc_s = best(lambda: G.compress_jax(img, cfg), treps)
+            dec_s = best(
+                lambda: G.decompress(ts, cfg, dtype=np.uint16,
+                                     backend="jax", pack8=True), treps)
+            tpu = {
+                "encode_s": round(enc_s, 4), "decode_s": round(dec_s, 4),
+                "MPs": round(px / (enc_s + dec_s) / 1e6, 3),
+                "stream_matches_reference": sha_ok(ts),
+                "lossless_roundtrip": bool(np.array_equal(tdec, img)),
+                "warmup_s": round(warm_total, 1),
+                "entropy_backend": os.environ.get("ICER_JAX_ENTROPY",
+                                                  "sorted"),
+            }
+            detail["tpu"] = tpu
+            if tpu["stream_matches_reference"] and tpu["lossless_roundtrip"]:
+                candidates.append((tpu["MPs"], "tpu single-image"))
+
+            if B > 1 and warm_total < budget:
+                streams = wt["_streams"]
                 decs = decompress_lanes_batch(streams, cfg,
                                               dtype=np.uint16, pack8=True)
-                warm_bdec = time.time() - t0
-                # per-program warmup breakdown (VERDICT r3 item 5): the
-                # ~15 s/program persistent-cache-hit floor through this
-                # remote attachment, times how many programs actually
-                # sit on the serving path's critical path
+                # per-program warmup breakdown: each entry is that
+                # program's first-call wall while the other threads'
+                # loads ran concurrently; the total is warmup_s above
                 detail["warmup_breakdown_s"] = {
-                    "single_encode": round(warm_enc, 1),
-                    "single_decode": round(warm_dec, 1),
-                    "batched_encode": round(warm_benc, 1),
-                    "batched_decode": round(warm_bdec, 1),
-                }
+                    k: round(v, 1) for k, v in wt.items()
+                    if not k.startswith("_")}
+                detail["warmup_breakdown_s"]["total_wall"] = round(
+                    warm_total, 1)
                 ok = (streams[0] == stream
                       and all(np.array_equal(d, i)
                               for d, i in zip(decs, imgs)))

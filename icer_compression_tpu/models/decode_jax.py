@@ -327,7 +327,7 @@ def _run_fused(units, sdata, final=None, defer=False):
     if final is not None:
         fkey += ("final", final["B"], final["h"], final["w"],
                  final["stages"], final["filt"], final["mag_bits"],
-                 bool(final.get("pack8")))
+                 bool(final.get("pack8")), bool(final.get("assembly")))
     fn = _PALLAS_RUNS.get(fkey)
     if fn is None:
         for u in units:
@@ -390,11 +390,35 @@ def _run_fused(units, sdata, final=None, defer=False):
             # contiguous rows (column slices of (PX, m) serialized at
             # ~10 ns/elem -- they were the top op of the decode program)
             outsT = [o.T for o in outs]
-            for (ui, lane, b, row, col, hgt, wid) in final["placements"]:
+
+            def lane_rect(ui, lane, hgt, wid):
                 Hm, Wp = shapes[ui]
-                simg = outsT[ui][lane].reshape(Hm, Wp)[:hgt, :wid]
-                canvas = canvas.at[b, row:row + hgt,
-                                   col:col + wid].set(simg)
+                return outsT[ui][lane].reshape(Hm, Wp)[:hgt, :wid]
+
+            if final.get("assembly"):
+                # per-(image, subband) assembly: segment rects vconcat/
+                # hconcat into the whole subband block, ONE canvas
+                # update per subband instead of one per segment lane
+                # (cuts the DUS chain ~6x at the serving batch)
+                for (b, r0, c0, bands) in final["assembly"]:
+                    rows_blocks = []
+                    for band in bands:
+                        parts = [lane_rect(ui, lane, hgt, wid)
+                                 for (ui, lane, hgt, wid) in band]
+                        rows_blocks.append(
+                            parts[0] if len(parts) == 1
+                            else jnp.concatenate(parts, axis=1))
+                    block = (rows_blocks[0] if len(rows_blocks) == 1
+                             else jnp.concatenate(rows_blocks, axis=0))
+                    canvas = canvas.at[
+                        b, r0:r0 + block.shape[0],
+                        c0:c0 + block.shape[1]].set(block)
+            else:
+                for (ui, lane, b, row, col, hgt,
+                     wid) in final["placements"]:
+                    canvas = canvas.at[b, row:row + hgt,
+                                       col:col + wid].set(
+                        lane_rect(ui, lane, hgt, wid))
             img = W.from_sign_magnitude(canvas, mag_bits, jnp)
             ll_w = dim_low(w, stages)
             ll_h = dim_low(h, stages)
@@ -670,6 +694,7 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
     # canvas; assembly + inverse DWT + clamp run inside the fused program
     all_units = []
     placements = []
+    sub_rects: dict = {}    # (c, stage, subband) -> [(ui,k,row,col,h,w)]
     for (lanes, units) in pending:
         n1 = len(lanes)
         for u in units:
@@ -680,6 +705,54 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
                 t = lanes[i]
                 placements.append((ui, k, c, t["row"], t["col"],
                                    t["h"], t["w"]))
+                sub_rects.setdefault(
+                    (c, t["stage"], t["subband"]), []).append(
+                    (ui, k, t["row"], t["col"], t["h"], t["w"]))
+    # per-(image, subband) concat assembly (see _run_fused): segment
+    # rects form exact row bands (icer_partition.c top/bottom regions),
+    # so the subband block builds from static concats and lands with
+    # one canvas update.  Falls back to per-lane placements if a
+    # subband's rects don't tile contiguously (never for partition
+    # geometry; guard stays for safety).
+    assembly = []
+    ok_asm = os.environ.get("ICER_DECODE_ASSEMBLE", "1") != "0"
+    for key, rects in sub_rects.items():
+        if not ok_asm:
+            break
+        c = key[0]
+        rects = sorted(rects, key=lambda r: (r[2], r[3]))
+        r0, c0 = rects[0][2], rects[0][3]
+        bands = []
+        cur_row = None
+        for (ui, k, row, col, hgt, wid) in rects:
+            if row != cur_row:
+                bands.append({"row": row, "h": hgt, "parts": []})
+                cur_row = row
+                expect_col = c0
+            band = bands[-1]
+            if (col != expect_col or hgt != band["h"]):
+                ok_asm = False
+                break
+            band["parts"].append((ui, k, hgt, wid))
+            expect_col = col + wid
+        if not ok_asm:
+            break
+        expect_row = r0
+        wtot = None
+        for band in bands:
+            if band["row"] != expect_row:
+                ok_asm = False
+                break
+            expect_row = band["row"] + band["h"]
+            bw = sum(wid for (_ui, _k, _h, wid) in band["parts"])
+            if wtot is None:
+                wtot = bw
+            elif bw != wtot:
+                ok_asm = False
+                break
+        if not ok_asm:
+            break
+        assembly.append((c, r0, c0, [b["parts"] for b in bands]))
     if pack8 is None:
         # uint8-path pixels always fit a byte after the clamp; the
         # uint16 path stays wide unless the caller opts in
@@ -687,6 +760,7 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
     final = {"B": NC, "h": h, "w": w, "stages": config.stages,
              "filt": config.filt, "mag_bits": mag_bits,
              "ll_means": ll_means, "placements": placements,
+             "assembly": assembly if ok_asm else None,
              "pack8": bool(pack8)}
 
     def _finish(pix):

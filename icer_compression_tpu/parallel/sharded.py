@@ -145,22 +145,48 @@ class ShardedGrayscaleEncoder:
         interpret = mesh.devices.flat[0].platform != "tpu"
         chunk = 256
 
+        # Per-lane rect extraction without per-lane slices (the fused
+        # encoder's tile-row-gather trick, encode_jax._make_emit_fn):
+        # gather 8-element tile rows covering every (lane, row) run,
+        # align by each lane's col%8 residue with one select per
+        # distinct residue, mask over-read with pix_valid.  The former
+        # per-lane slice+pad+stack loop was ~78 slice kernels per group.
+        for g in self.groups:
+            mh, mw = g["mh"], g["mw"]
+            wp = -(-(image_w + mw + 16) // 8) * 8
+            ntl = (mw + 7) // 8 + 1
+            starts = np.array([[(l.row + j) * wp + l.col
+                                for j in range(mh)]
+                               for l in g["lanes"]], np.int64)
+            g["_wp"], g["_ntl"] = wp, ntl
+            g["_tidx"] = np.clip(
+                starts[:, :, None] // 8
+                + np.arange(ntl)[None, None, :],
+                0, ((image_h + mh) * wp) // 8 - 1).astype(np.int32)
+            g["_rolls"] = np.array([l.col % 8 for l in g["lanes"]],
+                                   np.int32)
+
         def emit_group(img, g, lane_lo, lanes_per_shard):
             """One image's packed emission words for this shard's lanes:
             (P * lanes_per_shard, L)."""
-            segs = []
-            for l in g["lanes"]:
-                sl = jax.lax.slice(img, (l.row, l.col),
-                                   (l.row + l.h, l.col + l.w))
-                segs.append(jnp.pad(sl, ((0, g["mh"] - l.h),
-                                         (0, g["mw"] - l.w))))
-            batch = jnp.stack(segs)                          # (Npad, mh, mw)
-            batch = jax.lax.dynamic_slice_in_dim(batch, lane_lo,
-                                                 lanes_per_shard, axis=0)
+            mh, mw = g["mh"], g["mw"]
+            imgp = jnp.pad(img, ((0, mh), (0, g["_wp"] - image_w)))
+            view8 = imgp.reshape(-1, 8)
+            tidx = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(g["_tidx"]), lane_lo, lanes_per_shard, 0)
+            rows8 = view8[tidx.reshape(-1)]
+            x = rows8.reshape(lanes_per_shard, mh, g["_ntl"] * 8)
+            rl = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(g["_rolls"]), lane_lo, lanes_per_shard,
+                0)[:, None, None]
+            batch = jnp.zeros((lanes_per_shard, mh, mw), jnp.int32)
+            for k in sorted(set(int(r) for r in g["_rolls"])):
+                batch = jnp.where(rl == k, x[:, :, k:k + mw], batch)
             codes = jax.lax.dynamic_slice_in_dim(
                 jnp.asarray(g["sub_codes"]), lane_lo, lanes_per_shard, 0)
             pvalid = jax.lax.dynamic_slice_in_dim(
                 jnp.asarray(g["pix_valid"]), lane_lo, lanes_per_shard, 0)
+            batch = batch * pvalid
             ws = []
             for lsb in range(planes):
                 v, c, b = plane_emissions_lanes(batch, codes, pvalid, lsb,
@@ -282,11 +308,18 @@ class ShardedGrayscaleEncoder:
             nbits = jnp.concatenate(nbits_l)
             flushv = jnp.concatenate(flush_l)
             pt = jnp.concatenate(pay_l)             # (cap tiles, 8)
-            cap_tiles = np.concatenate(capt_l)
+            cap_tiles = np.concatenate(capt_l)      # SOURCE layout tiles
             tile_off = np.cumsum(cap_tiles) - cap_tiles
+            # per-PLANE caps bound the budget (MSB planes code ~1/16 of
+            # an LSB plane's bits -- same trim as the fused encoder's
+            # plane_capb); a lane past its plane cap re-encodes on host
+            # like a coder-buffer flush
+            clip_tiles, row_caps = self._plane_row_caps(Bl)
+            flushv = flushv | (nbits > jnp.asarray(row_caps, jnp.int32)
+                               ).astype(jnp.int32)
             BT = self._budget_tiles(Bl)
             tiles = jnp.clip((nbits + 255) >> 8, 0,
-                             jnp.asarray(cap_tiles, jnp.int32))
+                             jnp.asarray(clip_tiles, jnp.int32))
             toff = jnp.cumsum(tiles) - tiles        # exclusive
             total_t = toff[-1] + tiles[-1]
             mark = jnp.zeros((BT,), jnp.int32).at[
@@ -324,17 +357,32 @@ class ShardedGrayscaleEncoder:
         self._P = P
         self._NamedSharding = NamedSharding
 
-    def _budget_tiles(self, Bl: int) -> int:
-        """Static per-shard tile budget for the compact blob (factor x
-        the caps-padded total, 8-tile aligned; env ICER_FETCH_BUDGET
-        like the fused encoder)."""
-        import os as _os
+    def _plane_row_caps(self, Bl: int):
+        """(clip_tiles, row_cap_bits) per shard lane, row order
+        (group, image, plane, lane): each lane's payload cap is its
+        PLANE's cap (encode_jax._plane_cap_bits), not the uniform bucket
+        cap -- MSB planes code a small fraction of an LSB plane's bits."""
+        from ..ops.encode_jax import _plane_cap_bits
         nseg = self.mesh.shape["seg"]
-        total = 0
+        planes = self.bitplanes
+        ct, rc = [], []
         for g in self.groups:
             lps = len(g["lanes"]) // nseg
             _, _, cap_bits = self._caps(2 * g["mh"] * g["mw"])
-            total += Bl * self.bitplanes * lps * (cap_bits // 256)
+            pbits = _plane_cap_bits(cap_bits, planes)
+            per_img_t = np.repeat(
+                np.array([pb // 256 for pb in pbits], np.int64), lps)
+            per_img_b = np.repeat(np.array(pbits, np.int64), lps)
+            ct.append(np.tile(per_img_t, Bl))
+            rc.append(np.tile(per_img_b, Bl))
+        return np.concatenate(ct), np.concatenate(rc)
+
+    def _budget_tiles(self, Bl: int) -> int:
+        """Static per-shard tile budget for the compact blob (factor x
+        the plane-capped total, 8-tile aligned; env ICER_FETCH_BUDGET
+        like the fused encoder)."""
+        import os as _os
+        total = int(self._plane_row_caps(Bl)[0].sum())
         factor = float(_os.environ.get("ICER_FETCH_BUDGET", "0.62"))
         if factor >= 1.0:
             return total
@@ -347,9 +395,16 @@ class ShardedGrayscaleEncoder:
         """
         # host numpy straight into device_put: in a multi-process runtime
         # the sharding spans non-addressable devices and each process
-        # contributes its addressable shards from its (replicated) copy
+        # contributes its addressable shards from its (replicated) copy.
+        # 8-bit-valued batches upload as uint8 (half the transfer; the
+        # transform widens to int32 on device, so streams are identical
+        # -- same trim as the fused encoder's encode_batch).
+        up = np.asarray(images)
+        if up.dtype.kind == "u" and up.dtype.itemsize > 1 \
+                and up.max() < 256:
+            up = up.astype(np.uint8)
         dev_images = self.jax.device_put(
-            np.asarray(images),
+            up,
             self._NamedSharding(self.mesh, self._P("data", None, None)))
         if self._compact:
             res = self._encode_batch_compact(images, dev_images)
@@ -389,10 +444,7 @@ class ShardedGrayscaleEncoder:
         BT = self._budget_tiles(Bl)
         if (blob_g[:, 0] > BT).any():
             return None
-        cap_tiles = np.concatenate([
-            np.full(Bl * planes * (len(g["lanes"]) // S_),
-                    self._caps(2 * g["mh"] * g["mw"])[2] // 256, np.int64)
-            for g in self.groups])
+        cap_tiles = self._plane_row_caps(Bl)[0]   # device's clip tiles
         dense_off = 4 * (-(-(1 + 2 * nl_tot) // 8) * 8)   # bytes
         tables = [dict() for _ in range(B)]
         flush_lanes = []
