@@ -21,14 +21,16 @@ every mode checks bit-exactness while timing (encoded stream sha-pinned
 to the reference encoder's output, decode reproduces the pixels).
 
 Env knobs: ICER_BENCH_REPS (default 15 native / 5 tpu), ICER_BENCH_BATCH
-(default 56: the decode stage-1 bucket fills a single 1024-lane kernel
-block (1008/1024) -- per-lane step cost keeps falling through 1024
-lanes, see PERF_NOTES round-4 -- and B=56 measured 7.37 vs 5.86 MP/s at
-B=28 in the same quiet-box pipelined sweep; 0 skips the batched mode),
-ICER_BENCH_SKIP_TPU=1 (hosts without a usable
-accelerator; native numbers only),
-ICER_BENCH_TPU_BUDGET (seconds allowed for TPU warmup before the batched
-mode is skipped, default 900).
+(decode-side serving batch, default 56: the decode stage-1 bucket fills
+a single 1024-lane kernel block (1008/1024) and larger decode batches
+measured WORSE, see PERF_NOTES round-5; 0 skips the batched mode),
+ICER_BENCH_BATCH_ENC (encode-side serving batch, default 2x the decode
+batch: encode device cost keeps amortizing -- 8.2 -> 5.1 ms/img from
+B=56 to 112 -- so encode runs bigger batches and verification decodes
+them in decode-batch chunks), ICER_BENCH_SKIP_TPU=1 (hosts without a
+usable accelerator; native numbers only), ICER_BENCH_TPU_BUDGET
+(seconds allowed for TPU warmup before the batched mode is skipped,
+default 900).
 """
 
 from __future__ import annotations
@@ -116,6 +118,16 @@ def main():
     if not skip_tpu:
         try:
             B = int(os.environ.get("ICER_BENCH_BATCH", "56"))
+            # Encode and decode run at DIFFERENT serving batches: encode
+            # device cost keeps amortizing with batch (fixed terms ~3
+            # ms/img at B=56 halve at 112: measured 8.2 -> 5.1 ms/img,
+            # probe_device_b round-5) while decode measured WORSE past
+            # one stage-1 kernel block (B=56).  Encode batches are
+            # decoded in B-sized chunks for verification.
+            BE = int(os.environ.get("ICER_BENCH_BATCH_ENC",
+                                    str(2 * B))) if B > 1 else B
+            if BE < B or BE % B:
+                BE = B
             rng = np.random.default_rng(0)
             if B > 1:
                 from icer_compression_tpu.models.decode_jax import (
@@ -125,14 +137,14 @@ def main():
                 imgs = np.stack([
                     np.clip(img.astype(np.int32)
                             + rng.integers(-6, 7, img.shape), 0, 255
-                            ).astype(np.uint16) for _ in range(B)])
+                            ).astype(np.uint16) for _ in range(BE)])
                 imgs[0] = img
                 # slim: the sequential-core pallas coder whose kernel
                 # blocks are shared across the batch (the amortizing
                 # backend; measured ~3.4x the sorted backend's batched
                 # throughput at B=8)
                 enc = JaxGrayscaleEncoder(w, h, cfg.stages, cfg.filt,
-                                          cfg.segments, 15, batch=B,
+                                          cfg.segments, 15, batch=BE,
                                           entropy="slim")
                 from icer_compression_tpu.core.packets import (
                     build_packets_grayscale, rearrange_order_grayscale,
@@ -192,7 +204,7 @@ def main():
                 wt["batched_encode"] = time.time() - t0
 
             def warm_bdec():
-                ns = [G.compress(im, cfg) for im in imgs]
+                ns = [G.compress(im, cfg) for im in imgs[:B]]
                 t0 = time.time()
                 decompress_lanes_batch(ns, cfg, dtype=np.uint16,
                                        pack8=True)
@@ -234,9 +246,16 @@ def main():
                 candidates.append((tpu["MPs"], "tpu single-image"))
 
             if B > 1 and warm_total < budget:
-                streams = wt["_streams"]
-                decs = decompress_lanes_batch(streams, cfg,
-                                              dtype=np.uint16, pack8=True)
+                streams = wt["_streams"]        # BE streams
+                # decode-verify EVERY encode stream, B at a time
+                ok = streams[0] == stream
+                for c0 in range(0, BE, B):
+                    decs = decompress_lanes_batch(
+                        streams[c0:c0 + B], cfg, dtype=np.uint16,
+                        pack8=True)
+                    ok = ok and all(
+                        np.array_equal(d, i)
+                        for d, i in zip(decs, imgs[c0:c0 + B]))
                 # per-program warmup breakdown: each entry is that
                 # program's first-call wall while the other threads'
                 # loads ran concurrently; the total is warmup_s above
@@ -245,22 +264,22 @@ def main():
                     if not k.startswith("_")}
                 detail["warmup_breakdown_s"]["total_wall"] = round(
                     warm_total, 1)
-                ok = (streams[0] == stream
-                      and all(np.array_equal(d, i)
-                              for d, i in zip(decs, imgs)))
                 benc = best(encode_all, max(2, treps - 2))
                 bdec = best(lambda: decompress_lanes_batch(
-                    streams, cfg, dtype=np.uint16, pack8=True),
+                    streams[:B], cfg, dtype=np.uint16, pack8=True),
                     max(2, treps - 2))
+                enc_img = benc / BE
+                dec_img = bdec / B
                 tb = {
-                    "B": B,
+                    "B": B, "B_enc": BE,
                     "encode_s": round(benc, 4), "decode_s": round(bdec, 4),
-                    "MPs": round(B * px / (benc + bdec) / 1e6, 3),
+                    "MPs": round(px / (enc_img + dec_img) / 1e6, 3),
                     "per_image_verified": bool(ok),
                 }
                 detail["tpu_batched"] = tb
                 if ok:
-                    candidates.append((tb["MPs"], f"tpu batched B={B}"))
+                    candidates.append(
+                        (tb["MPs"], f"tpu batched Benc={BE}/Bdec={B}"))
 
                 # pipelined serving mode: K batches in flight, each
                 # batch's fetch/host tail overlapped with the next
@@ -281,8 +300,8 @@ def main():
                         out, hold = [], None
                         for _ in range(K):
                             nxt = decompress_lanes_batch(
-                                streams, cfg, dtype=np.uint16, defer=True,
-                                pack8=True)
+                                streams[:B], cfg, dtype=np.uint16,
+                                defer=True, pack8=True)
                             if hold is not None:
                                 out.extend(hold())
                             hold = nxt
@@ -317,7 +336,7 @@ def main():
                             return jnp.zeros((full_n,), jnp.int32).at[
                                 0].set(x.astype(jnp.int32).sum())
 
-                        sbytes = np.frombuffer(b"".join(streams),
+                        sbytes = np.frombuffer(b"".join(streams[:B]),
                                                np.uint8)
                         out_words = B * ((px + 3) // 4) + 1024
 
@@ -329,31 +348,42 @@ def main():
                         np.asarray(_enc_floor(up8))          # compile
                         np.asarray(_dec_floor(sbytes))       # compile
 
-                        def interleaved(pairs, reps):
-                            """best-of-N of each fn with samples taken
-                            alternately (regime-drift-immune A/B)."""
-                            mins = [float("inf")] * len(pairs)
+                        def bracketed(floor_fn, wall_fn, reps):
+                            """Per-iteration BRACKETED A/B: every wall
+                            sample subtracts the mean of its two
+                            neighboring floor samples (floors are
+                            transfer-dominated through this attachment,
+                            so rate drift between adjacent calls is the
+                            main subtraction error; bracketing bounds
+                            it), then min over iterations, clamped >=0.
+                            Returns (device_s, best_floor, best_wall)."""
+                            fs, ws = [], []
                             for _ in range(reps):
-                                for i, fn in enumerate(pairs):
-                                    t0 = time.perf_counter()
-                                    fn()
-                                    mins[i] = min(
-                                        mins[i],
-                                        time.perf_counter() - t0)
-                            return mins
+                                t0 = time.perf_counter()
+                                floor_fn()
+                                fs.append(time.perf_counter() - t0)
+                                t0 = time.perf_counter()
+                                wall_fn()
+                                ws.append(time.perf_counter() - t0)
+                            t0 = time.perf_counter()
+                            floor_fn()
+                            fs.append(time.perf_counter() - t0)
+                            dev = min(
+                                w - (fs[i] + fs[i + 1]) / 2
+                                for i, w in enumerate(ws))
+                            return max(0.0, dev), min(fs), min(ws)
 
-                        (floor_enc, wall_enc, floor_dec,
-                         wall_dec) = interleaved([
-                             lambda: np.asarray(_enc_floor(up8)),
-                             lambda: np.asarray(
-                                 enc._fused(jnp.asarray(up8))),
-                             lambda: np.asarray(_dec_floor(sbytes)),
-                             lambda: decompress_lanes_batch(
-                                 streams, cfg, dtype=np.uint16,
-                                 pack8=True),
-                         ], treps)
-                        enc_ms = max(0.0, wall_enc - floor_enc) * 1e3 / B
-                        dec_ms = max(0.0, wall_dec - floor_dec) * 1e3 / B
+                        enc_dev, floor_enc, wall_enc = bracketed(
+                            lambda: np.asarray(_enc_floor(up8)),
+                            lambda: np.asarray(
+                                enc._fused(jnp.asarray(up8))), treps)
+                        dec_dev, floor_dec, wall_dec = bracketed(
+                            lambda: np.asarray(_dec_floor(sbytes)),
+                            lambda: decompress_lanes_batch(
+                                streams[:B], cfg, dtype=np.uint16,
+                                pack8=True), treps)
+                        enc_ms = enc_dev * 1e3 / BE
+                        dec_ms = dec_dev * 1e3 / B
                         # transfer-free per-chip bound vs the 128 MP/s
                         # north star (VERDICT r4 item 9)
                         ceiling = (px / 1e6 / ((enc_ms + dec_ms) / 1e3)
@@ -369,9 +399,10 @@ def main():
                             "floors_ms": {
                                 "encode": round(floor_enc * 1e3, 1),
                                 "decode": round(floor_dec * 1e3, 1)},
-                            "note": ("interleaved in-process wall A/B vs "
+                            "note": ("bracketed in-process wall A/B vs "
                                      "same-shape transfer-floor programs "
-                                     f"at B={B}, best-of-{treps}, clamped "
+                                     f"at Benc={BE}/Bdec={B}, min over "
+                                     f"{treps} bracketed diffs, clamped "
                                      ">=0; decode includes host unpack"),
                         }
                     except Exception as e:  # noqa: BLE001
@@ -382,20 +413,21 @@ def main():
                     pok = (ok
                            and pstreams == streams * K
                            and all(np.array_equal(d, i) for d, i in
-                                   zip(decs_p, list(imgs) * K)))
-                    penc = best(encode_pipe, 2) / K
-                    pdec = best(decode_pipe, 2) / K
+                                   zip(decs_p, list(imgs[:B]) * K)))
+                    penc = best(encode_pipe, 2) / (K * BE)   # s/img
+                    pdec = best(decode_pipe, 2) / (K * B)    # s/img
                     tp = {
-                        "B": B, "batches_in_flight": K,
-                        "encode_s": round(penc, 4),
-                        "decode_s": round(pdec, 4),
-                        "MPs": round(B * px / (penc + pdec) / 1e6, 3),
+                        "B": B, "B_enc": BE, "batches_in_flight": K,
+                        "encode_s_per_img": round(penc, 5),
+                        "decode_s_per_img": round(pdec, 5),
+                        "MPs": round(px / (penc + pdec) / 1e6, 3),
                         "per_image_verified": bool(pok),
                     }
                     detail["tpu_pipelined"] = tp
                     if pok:
                         candidates.append(
-                            (tp["MPs"], f"tpu pipelined B={B}x{K}"))
+                            (tp["MPs"],
+                             f"tpu pipelined Benc={BE}/Bdec={B} x{K}"))
         except Exception as e:  # noqa: BLE001
             detail["tpu_error"] = f"{type(e).__name__}: {e}"
 

@@ -711,11 +711,17 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
     # per-(image, subband) concat assembly (see _run_fused): segment
     # rects form exact row bands (icer_partition.c top/bottom regions),
     # so the subband block builds from static concats and lands with
-    # one canvas update.  Falls back to per-lane placements if a
-    # subband's rects don't tile contiguously (never for partition
-    # geometry; guard stays for safety).
+    # one canvas update.  MEASURED SLOWER than the DUS chain on chip
+    # (B=56 512^2 device decode 17.8 vs 14.4 ms/img, probe_device_b
+    # round-5: the mixed-width small-block concats relayout more than
+    # the ~4.4k static DUS cost), so the DUS chain stays the default --
+    # BUT very long DUS chains (~8.7k at B=112) SIGSEGV the TPU
+    # compiler (tpu_compile_helper), so past a placement-count threshold
+    # the concat assembly takes over.  ICER_DECODE_ASSEMBLE=1/0 forces.
     assembly = []
-    ok_asm = os.environ.get("ICER_DECODE_ASSEMBLE", "1") != "0"
+    _asm_env = os.environ.get("ICER_DECODE_ASSEMBLE", "")
+    ok_asm = (_asm_env == "1"
+              or (_asm_env != "0" and len(placements) > 6000))
     for key, rects in sub_rects.items():
         if not ok_asm:
             break

@@ -94,22 +94,32 @@ def main():
         np.asarray(_enc_floor(up8))
         np.asarray(_dec_floor(sbytes))
 
-        fns = [
+        def bracketed(floor_fn, wall_fn):
+            """min over per-iteration bracketed diffs (see bench.py)."""
+            fs, ws = [], []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                floor_fn()
+                fs.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                wall_fn()
+                ws.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            floor_fn()
+            fs.append(time.perf_counter() - t0)
+            dev = min(w - (fs[i] + fs[i + 1]) / 2
+                      for i, w in enumerate(ws))
+            return max(0.0, dev), min(fs), min(ws)
+
+        enc_dev, fe, we = bracketed(
             lambda: np.asarray(_enc_floor(up8)),
-            lambda: np.asarray(enc._fused(jnp.asarray(up8))),
+            lambda: np.asarray(enc._fused(jnp.asarray(up8))))
+        dec_dev, fd, wd = bracketed(
             lambda: np.asarray(_dec_floor(sbytes)),
             lambda: decompress_lanes_batch(streams, cfg,
-                                           dtype=np.uint16, pack8=True),
-        ]
-        mins = [float("inf")] * 4
-        for _ in range(reps):
-            for i, fn in enumerate(fns):
-                t0 = time.perf_counter()
-                fn()
-                mins[i] = min(mins[i], time.perf_counter() - t0)
-        fe, we, fd, wd = mins
-        enc_ms = max(0.0, we - fe) * 1e3 / B
-        dec_ms = max(0.0, wd - fd) * 1e3 / B
+                                           dtype=np.uint16, pack8=True))
+        enc_ms = enc_dev * 1e3 / B
+        dec_ms = dec_dev * 1e3 / B
         ceil = px / 1e6 / ((enc_ms + dec_ms) / 1e3) \
             if enc_ms + dec_ms else float("inf")
         print(f"B={B}: device encode {enc_ms:.2f} ms/img, decode "
