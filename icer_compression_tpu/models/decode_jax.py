@@ -483,8 +483,10 @@ def _unpack_fused(blob, units, final):
                 return None   # >8-bit pixels: caller refetches wide
             npxq = (npx + 3) // 4
             packed = blob[B:B + B * npxq].reshape(B, npxq)
-            px = packed.view(np.uint8).astype(np.int32)
-            return px[:, :npx].reshape(B, h, w)
+            # uint8 view straight through -- the caller's single
+            # astype(dtype) is the only widening copy (was uint8 ->
+            # int32 -> dtype, two full-size passes)
+            return packed.view(np.uint8)[:, :npx].reshape(B, h, w)
         npxh = (npx + 1) // 2
         packed = blob.reshape(B, npxh)
         px = np.empty((B, 2 * npxh), np.int32)

@@ -69,12 +69,15 @@ def main():
                                       nsegs, w, h)
             streams.append(G.assemble_stream(
                 e, rearrange_order_grayscale(9)))
-        assert streams[0] == ref, "stream mismatch"
+        import os
+        noverify = os.environ.get("ICER_PDB_NOVERIFY") == "1"
+        assert noverify or streams[0] == ref, "stream mismatch"
         t0 = time.time()
         decs = decompress_lanes_batch(streams, cfg, dtype=np.uint16,
                                       pack8=True)
         warm_d = time.time() - t0
-        assert all(np.array_equal(d, i) for d, i in zip(decs, imgs))
+        assert noverify or all(
+            np.array_equal(d, i) for d, i in zip(decs, imgs))
 
         full_n = int(enc._fused(jnp.asarray(up8)).shape[0])
 
