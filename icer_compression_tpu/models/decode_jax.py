@@ -92,8 +92,11 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 mb = _round_need(len(stream), offs, ebits, have)
             round_maxb.append(mb)
         if backend == "pallas-interpret":
-            _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata,
-                           max(round_maxb), interpret=True)
+            if _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits,
+                              sdata, max(round_maxb), interpret=True):
+                # window-clip hazard: redo with full-remainder windows
+                _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits,
+                               sdata, len(stream), interpret=True)
             for i, t in enumerate(lanes):
                 img[t["row"]:t["row"] + t["h"],
                     t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
@@ -103,35 +106,63 @@ def reconstruct_channel_lanes(img: np.ndarray, table: dict, chan: int,
                 seg.shape, hh, ww, sb, per_round, mag_bits, sdata,
                 round_maxb)))
             continue
-        for (lsb, offs, ebits) in per_round:
-            alive &= offs >= 0
-            if not alive.any():
-                break
-            # per-lane plane payload views; readable extent runs to the
-            # stream end (the reference's zero-copy over-read semantics)
-            maxb = max(round_maxb)
-            data = np.zeros((n, max(maxb, 8)), np.uint8)
-            readable = np.zeros(n, np.int64)
-            for i in range(n):
-                if not alive[i]:
-                    continue
-                end = min(len(stream), offs[i] + data.shape[1])
-                chunkb = sdata[offs[i]:end]
-                data[i, :len(chunkb)] = chunkb
-                readable[i] = len(chunkb)
-            dec = DL.LaneDecoders(data, readable, ebits)
-            ok = DL.decode_plane_lanes(
-                seg, hh, ww, sb, np.full(n, lsb, np.int32),
-                np.full(n, mag_bits, np.int32), dec, alive)
-            alive &= ok
+
+        def run_bucket(maxb, seg=seg, hh=hh, ww=ww, sb=sb,
+                       per_round=per_round, n=n):
+            """One bucket's plane rounds at window size ``maxb``;
+            returns True on a window-clip hazard: a lane's consumption
+            (+parse lookahead) reached a window end that was clipped
+            below the stream remainder, so it may have read zeros where
+            the reference's frozen-bounds over-read (incomplete-flush
+            cascades, icer_decoding.c) reads the FOLLOWING packets'
+            real bytes.  The caller re-runs with full-remainder
+            windows (exact, rare)."""
+            seg[:] = 0
+            alive = np.ones(n, bool)
+            for (lsb, offs, ebits) in per_round:
+                alive = alive & (offs >= 0)
+                if not alive.any():
+                    break
+                # per-lane plane payload views; readable extent runs to
+                # the stream end (zero-copy over-read semantics)
+                data = np.zeros((n, max(maxb, 8)), np.uint8)
+                readable = np.zeros(n, np.int64)
+                for i in range(n):
+                    if not alive[i]:
+                        continue
+                    end = min(len(stream), offs[i] + data.shape[1])
+                    chunkb = sdata[offs[i]:end]
+                    data[i, :len(chunkb)] = chunkb
+                    readable[i] = len(chunkb)
+                dec = DL.LaneDecoders(data, readable, ebits)
+                ok = DL.decode_plane_lanes(
+                    seg, hh, ww, sb, np.full(n, lsb, np.int32),
+                    np.full(n, mag_bits, np.int32), dec, alive)
+                clipped = (offs + readable) < len(stream)
+                if (alive & clipped
+                        & (dec.pos + 16 > readable * 8)).any():
+                    return True
+                alive = alive & ok
+            return False
+
+        if run_bucket(max(round_maxb)):
+            run_bucket(len(stream))
         for i, t in enumerate(lanes):
             img[t["row"]:t["row"] + t["h"],
                 t["col"]:t["col"] + t["w"]] = seg[:t["h"], :t["w"], i]
 
     if pending:
         # ONE device round trip for every bucket of the channel
-        _run_fused([u for (_, _, units) in pending for u in units],
-                   sdata)
+        _none, haz = _run_fused(
+            [u for (_, _, units) in pending for u in units], sdata)
+        if len(haz) and haz.any():
+            # frozen-bounds over-read hazard (rare): redo the channel on
+            # the exact model path, which re-runs hazarded buckets with
+            # full-remainder windows
+            img[:] = 0
+            return reconstruct_channel_lanes(img, table, chan, config,
+                                             mag_bits, bitplanes,
+                                             stream, backend="model")
         for (seg, lanes, units) in pending:
             for u in units:
                 out = u["out"].reshape(u["Hmax"], u["Wpad"], u["m"])
@@ -235,16 +266,23 @@ def _prep_bucket(shape, hh, ww, sb, per_round, mag_bits, sdata, round_maxb,
         # contiguous copy per index (~28x cheaper than the former
         # per-word scalar gather, measured in scripts/probe_gather.py)
         mis = (offs_ok & 31).astype(np.int64)
+        remainder_bits = (lane_end - (offs_ok - mis)) * 8
         readable_bits = np.where(
-            present,
-            np.minimum((lane_end - (offs_ok - mis)) * 8, NWr[r] * 32), 0)
+            present, np.minimum(remainder_bits, NWr[r] * 32), 0)
+        # clip threshold (geom row 5 bits 6+): lanes whose window was
+        # clipped below the stream remainder carry NWr words so the
+        # kernel can flag consumption that reached the clipped end (the
+        # frozen-bounds over-read hazard); unclipped lanes carry 0x3FFF
+        # (never flags)
+        thrw = np.where(remainder_bits > NWr[r] * 32, NWr[r], 0x3FFF)
         offs_r[r] = offs_ok
         geom_r[r, 0] = hh
         geom_r[r, 1] = ww
         geom_r[r, 2] = sb
         geom_r[r, 3] = lsb
         geom_r[r, 4] = mag_bits
-        geom_r[r, 5] = present.astype(np.int32) | (mis << 1)
+        geom_r[r, 5] = (present.astype(np.int32) | (mis << 1)
+                        | (thrw.astype(np.int64) << 6))
         geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
         geom_r[r, 7] = readable_bits
 
@@ -349,6 +387,7 @@ def _run_fused(units, sdata, final=None, defer=False):
             swt = swords.reshape(-1, 8)
             limit_t = swt.shape[0] - 1
             outs = []
+            hazs = []
             for i, (run, NW, R, m, NWr, blk) in enumerate(runs):
                 offs, ge = arrays[2 * i:2 * i + 2]
                 # one tile-aligned row gather per round, sized to the
@@ -367,8 +406,13 @@ def _run_fused(units, sdata, final=None, defer=False):
                     parts.append(wr)
                 wds = jnp.concatenate(parts)                # (R*NW, m)
                 pad = ((0, 0), (0, blk - m))
-                out, err, _pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad))
+                out, err, pos = run(jnp.pad(wds, pad), jnp.pad(ge, pad))
                 outs.append(out[:, :m])
+                # pos carries the accumulated window-clip hazard flags
+                # (see pallas_decode): flagged lanes' images re-decode
+                # on the exact host path
+                hazs.append(pos[:m])
+            hazv = jnp.concatenate(hazs)
 
             if final is None:
                 packed = []
@@ -380,7 +424,7 @@ def _run_fused(units, sdata, final=None, defer=False):
                         o = jnp.pad(o, ((0, 1), (0, 0)))
                     packed.append(((o[0::2] & 0xFFFF)
                                    | (o[1::2] << 16)).reshape(-1))
-                return jnp.concatenate(packed)
+                return jnp.concatenate(packed + [hazv])
 
             B, h, w = final["B"], final["h"], final["w"]
             stages, filt = final["stages"], final["filt"]
@@ -443,11 +487,12 @@ def _run_fused(units, sdata, final=None, defer=False):
                       | ((flat[:, 1::4] & 0xFF) << 8)
                       | ((flat[:, 2::4] & 0xFF) << 16)
                       | ((flat[:, 3::4] & 0xFF) << 24))
-                return jnp.concatenate([maxv, b4.reshape(-1)])
+                return jnp.concatenate([maxv, b4.reshape(-1), hazv])
             if flat.shape[1] % 2:
                 flat = jnp.pad(flat, ((0, 0), (0, 1)))
-            return ((flat[:, 0::2] & 0xFFFF)
-                    | (flat[:, 1::2] << 16)).reshape(-1)
+            return jnp.concatenate([
+                ((flat[:, 0::2] & 0xFFFF)
+                 | (flat[:, 1::2] << 16)).reshape(-1), hazv])
 
         from ..backend import aot_cache
         fn = aot_cache.wrap_jit(jax.jit(fused), f"fuseddec-{fkey}")
@@ -475,24 +520,34 @@ def _run_fused(units, sdata, final=None, defer=False):
 
 
 def _unpack_fused(blob, units, final):
+    """-> (pixels-or-None, per-lane hazard flags).
+
+    pixels is None when the pack8 max check demands the wide refetch;
+    hazard flags (one int per unit lane, concatenated in unit order)
+    mark lanes whose decode may have read a clipped window's zeros
+    where the reference reads real stream bytes -- the caller
+    re-decodes those lanes' images on the exact host path."""
+    hlen = sum(u["m"] for u in units)
     if final is not None:
         B, h, w = final["B"], final["h"], final["w"]
         npx = h * w
         if final.get("pack8"):
-            if (blob[:B] > 255).any():
-                return None   # >8-bit pixels: caller refetches wide
             npxq = (npx + 3) // 4
+            haz = blob[B + B * npxq:B + B * npxq + hlen]
+            if (blob[:B] > 255).any():
+                return None, haz   # >8-bit pixels: refetch wide
             packed = blob[B:B + B * npxq].reshape(B, npxq)
             # uint8 view straight through -- the caller's single
             # astype(dtype) is the only widening copy (was uint8 ->
             # int32 -> dtype, two full-size passes)
-            return packed.view(np.uint8)[:, :npx].reshape(B, h, w)
+            return packed.view(np.uint8)[:, :npx].reshape(B, h, w), haz
         npxh = (npx + 1) // 2
-        packed = blob.reshape(B, npxh)
+        haz = blob[B * npxh:B * npxh + hlen]
+        packed = blob[:B * npxh].reshape(B, npxh)
         px = np.empty((B, 2 * npxh), np.int32)
         px[:, 0::2] = packed & 0xFFFF
         px[:, 1::2] = (packed >> 16) & 0xFFFF
-        return px[:, :npx].reshape(B, h, w)
+        return px[:, :npx].reshape(B, h, w), haz
 
     off = 0
     for u in units:
@@ -504,7 +559,7 @@ def _unpack_fused(blob, units, final):
         px[1::2] = (packed >> 16) & 0xFFFF
         u["out"] = px[:PX]
         off += PXh * m
-    return None
+    return None, blob[off:off + hlen]
 
 
 def _words_from_bytes(db: np.ndarray) -> np.ndarray:
@@ -519,7 +574,9 @@ def _words_from_bytes(db: np.ndarray) -> np.ndarray:
 def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                    interpret=False):
     """All plane rounds of one bucket in ONE kernel call per 128-lane
-    block (the multi-round gridded kernel; retirement carried on-chip)."""
+    block (the multi-round gridded kernel; retirement carried on-chip).
+    Returns True when any lane flags the window-clip hazard (the caller
+    re-runs with full-remainder windows)."""
     import jax.numpy as jnp
     from ..ops import pallas_decode as PD
 
@@ -556,16 +613,18 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         db = np.where(present[:, None], db, 0).astype(np.uint8)
         readable = np.where(present,
                             np.minimum(stream_len - offs_ok, NW * 4), 0)
+        thrw = np.where(stream_len - offs_ok > NW * 4, NW, 0x3FFF)
         words_r[r] = _words_from_bytes(db).T
         geom_r[r, 0] = hh
         geom_r[r, 1] = ww
         geom_r[r, 2] = sb
         geom_r[r, 3] = lsb
         geom_r[r, 4] = mag_bits
-        geom_r[r, 5] = present
+        geom_r[r, 5] = present + (thrw.astype(np.int64) << 6)
         geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
         geom_r[r, 7] = readable * 8
 
+    hazard = False
     for blk in range(0, n, PD.LANES):
         idx = np.arange(blk, min(blk + PD.LANES, n))
         m = len(idx)
@@ -575,9 +634,10 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
         if interpret:
             def prun(words_m, geom_m, run=run, m=m):
                 pad = ((0, 0), (0, PD.LANES - m))
-                out, err, _pos = run(np.pad(words_m, pad),
-                                     np.pad(geom_m, pad))
-                return np.asarray(out)[:, :m], np.asarray(err)[:m]
+                out, err, pos = run(np.pad(words_m, pad),
+                                    np.pad(geom_m, pad))
+                return (np.asarray(out)[:, :m], np.asarray(err)[:m],
+                        np.asarray(pos)[:m])
         else:
             pkey = key + (m,)
             prun = _PALLAS_RUNS.get(pkey)
@@ -590,16 +650,18 @@ def _pallas_bucket(seg, hh, ww, sb, per_round, mag_bits, sdata, maxb,
                         w = jnp.pad(words_m, ((0, 0), (0, pad)))
                         ge = jnp.pad(geom_m, ((0, 0), (0, pad)))
                         out, err, pos = run(w, ge)
-                        return out[:, :m], err[:m]
+                        return out[:, :m], err[:m], pos[:m]
                     return jax.jit(padded)
                 prun = make()
                 _PALLAS_RUNS[pkey] = prun
         words = np.ascontiguousarray(
             words_r[:, :, idx].reshape(R * NW, m))
         geom = np.ascontiguousarray(geom_r[:, :, idx].reshape(R * 8, m))
-        out, _err = prun(jnp.asarray(words), jnp.asarray(geom))
+        out, _err, pos = prun(jnp.asarray(words), jnp.asarray(geom))
+        hazard = hazard or bool(np.asarray(pos).any())
         out = np.asarray(out).reshape(Hmax, Wpad, m)
         seg[:, :, idx] = out[:, :Wmax, :]
+    return hazard
 
 
 def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
@@ -771,12 +833,45 @@ def _decode_batch(streams, config: CodecConfig, dtype, nchan: int,
              "assembly": assembly if ok_asm else None,
              "pack8": bool(pack8)}
 
-    def _finish(pix):
+    unit_off = {}
+    _o = 0
+    for _ui, _u in enumerate(all_units):
+        unit_off[_ui] = _o
+        _o += _u["m"]
+
+    def _finish(res):
+        pix, haz = res
         if pix is None:
             # a pixel exceeded 8 bits under pack8: refetch wide (exact)
             wide = dict(final, pack8=False)
-            pix = _run_fused(all_units, blob, final=wide)
-        return [pix[c].astype(dtype) for c in range(NC)]
+            pix, haz = _run_fused(all_units, blob, final=wide)
+        out = [pix[c].astype(dtype) for c in range(NC)]
+        if len(haz) and haz.any():
+            # frozen-bounds over-read hazard (rare; quota-truncated
+            # content): the flagged lanes may have read a clipped
+            # window's zeros where the reference reads the following
+            # packets' real bytes -- re-decode those lanes' images on
+            # the exact host path
+            affected = set()
+            for (ui, k, c, _row, _col, _h, _w) in placements:
+                if haz[unit_off[ui] + k]:
+                    affected.add(c)
+            done: dict = {}
+            mp = (DEFAULT_MAX_PIXELS if max_pixels is None
+                  else max_pixels)
+            for c in sorted(affected):
+                b, chan = divmod(c, nchan)
+                if nchan == 1:
+                    from .grayscale import decompress as _gdec
+                    out[c] = np.asarray(_gdec(
+                        streams[b], config, dtype=dtype, max_pixels=mp))
+                else:
+                    if b not in done:
+                        from .color import decompress_yuv as _cdec
+                        done[b] = _cdec(streams[b], config, dtype=dtype,
+                                        max_pixels=mp)
+                    out[c] = np.asarray(done[b][chan])
+        return out
 
     if defer:
         collect = _run_fused(all_units, blob, final=final, defer=True)

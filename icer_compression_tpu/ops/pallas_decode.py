@@ -218,9 +218,13 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             g = pl.program_id(0)
             # retirement persists across rounds via the err output block
             prev_err = jnp.where(g == 0, 0, err_ref[0, :])
+            # window-clip hazard accumulates across rounds via the pos
+            # output block (read before the init section zeroes it)
+            prev_haz = jnp.where(g == 0, 0, pos_ref[0, :])
         else:
             g = 0
             prev_err = jnp.zeros((LANES,), jnp.int32)
+            prev_haz = jnp.zeros((LANES,), jnp.int32)
         magmask = (jnp.int32(1) << mag_bits) - 1
         prev = lsb + 1
         is_hl = subband == 1
@@ -1174,6 +1178,22 @@ def make_decode_plane_pallas(PX: int, Wpad: int, NW: int, interpret=False,
             else:
                 err_ref[0, :] = (ring_ref[19, :]
                                  | (ring_ref[20, :] << 16))
+        elif multi:
+            # WINDOW-CLIP HAZARD flag, accumulated across rounds in the
+            # pos output: the reference decoder's frozen-bounds quirk
+            # lets a plane's decode consume stream bytes PAST its
+            # payload (incomplete-flush cascades read the FOLLOWING
+            # packets' real bytes), so a lane whose consumption (+11-bit
+            # lookahead, margin 16) reached a window end that was
+            # CLIPPED below the stream remainder may have read zeros
+            # where the reference read real bytes.  geom row 5 bits 6+
+            # carry the clip threshold in words (0x3FFF = window covers
+            # the remainder: never flags); flagged lanes' images are
+            # re-decoded on the exact host path by the caller.
+            thrw = jax.lax.shift_right_logical(g5, 6)
+            haz = (active0
+                   & (st[2] + 16 > thrw * 32)).astype(jnp.int32)
+            pos_ref[0, :] = prev_haz | haz
         else:
             pos_ref[0, :] = st[2]
 

@@ -738,10 +738,13 @@ class ShardedGrayscaleDecoder:
                 present = present & (offs >= 0)
                 offs_ok = np.where(present, offs, 0)
                 mis = (offs_ok & 31).astype(np.int64)
+                remainder_bits = (slens[:, None] - (offs_ok - mis)) * 8
                 readable_bits = np.where(
-                    present,
-                    np.minimum((slens[:, None] - (offs_ok - mis)) * 8,
-                               NWr[r] * 32), 0)
+                    present, np.minimum(remainder_bits, NWr[r] * 32), 0)
+                # window-clip hazard threshold (kernel geom row 5 bits
+                # 6+; see models/decode_jax._prep_bucket)
+                thrw = np.where(remainder_bits > NWr[r] * 32,
+                                NWr[r], 0x3FFF)
                 offs_r[r] = offs_ok
                 geom_r[r, 0] = hh[None, :]
                 geom_r[r, 1] = ww[None, :]
@@ -749,7 +752,8 @@ class ShardedGrayscaleDecoder:
                 geom_r[r, 3] = lsb
                 geom_r[r, 4] = mag_bits
                 geom_r[r, 5] = (present.astype(np.int32)
-                                | (mis.astype(np.int32) << 1))
+                                | (mis.astype(np.int32) << 1)
+                                | (thrw.astype(np.int64) << 6))
                 geom_r[r, 6] = np.minimum(ebits, 2**31 - 1)
                 geom_r[r, 7] = readable_bits
             bucket_meta.append({"lanes": lanes, "n1p": n1p, "Hmax": Hmax,
@@ -773,10 +777,26 @@ class ShardedGrayscaleDecoder:
                 mesh, P(None, "data", "seg") if a.ndim == 3
                 else P(None, None, "data", "seg")))
             for a in arrays]
-        lane_tabs = stage1(dev_swt, *dev_arrays)
+        res = stage1(dev_swt, *dev_arrays)
+        nb = len(bucket_meta)
+        lane_tabs, hazs = res[:nb], res[nb:]
         llv = jax.device_put(ll_means, NamedSharding(mesh, P("data")))
         img = _host(stage2(llv, *lane_tabs))
-        return [img[b].astype(self.dtype) for b in range(B)]
+        out = [img[b].astype(self.dtype) for b in range(B)]
+        # frozen-bounds over-read hazard (rare; quota-truncated
+        # content): affected streams re-decode on the exact host path
+        affected = set()
+        for hz in hazs:
+            hb = _host(hz)
+            for b in range(B):
+                if hb[b].any():
+                    affected.add(b)
+        if affected:
+            from ..models.grayscale import decompress as _gdec
+            for b in sorted(affected):
+                out[b] = np.asarray(_gdec(streams[b], self.config,
+                                          dtype=self.dtype))
+        return out
 
     def _build_programs(self, bucket_meta, B):
         import jax
@@ -804,6 +824,7 @@ class ShardedGrayscaleDecoder:
         def stage1(swt_l, *arrs):
             T = swt_l.shape[1]
             outs = []
+            hazs = []
             for i, m in enumerate(bucket_meta):
                 offs_l = arrs[2 * i]          # (R, Bl, nl)
                 geom_l = arrs[2 * i + 1]      # (R, 8, Bl, nl)
@@ -829,19 +850,25 @@ class ShardedGrayscaleDecoder:
                 m_tot = Bl * nl
                 blk = _block_width(m_tot, NW, Wpad)
                 out_parts = []
+                haz_parts = []
                 for b0 in range(0, m_tot, blk):
                     mm = min(blk, m_tot - b0)
                     lanes_k = -(-mm // 128) * 128
                     run = self._kern(PX, Wpad, NW, R, lanes_k, interp)
                     pad = ((0, 0), (0, lanes_k - mm))
-                    o, _err, _pos = run(
+                    o, _err, pos = run(
                         jnp.pad(wds[:, b0:b0 + mm], pad),
                         jnp.pad(ge[:, b0:b0 + mm], pad))
                     out_parts.append(o[:, :mm])
+                    haz_parts.append(pos[:mm])
                 out = (out_parts[0] if len(out_parts) == 1
                        else jnp.concatenate(out_parts, axis=1))
                 outs.append(out.reshape(PX, Bl, nl).transpose(1, 2, 0))
-            return tuple(outs)               # per bucket (Bl, nl, PX)
+                hazs.append(jnp.concatenate(haz_parts).reshape(Bl, nl)
+                            if len(haz_parts) > 1
+                            else haz_parts[0].reshape(Bl, nl))
+            # per bucket: lane table (Bl, nl, PX) + hazard flags (Bl, nl)
+            return tuple(outs) + tuple(hazs)
 
         def stage2(llv_l, *outs_l):
             canvas = jnp.zeros((Bl, h, w), jnp.int32)
@@ -869,7 +896,8 @@ class ShardedGrayscaleDecoder:
             s for _ in bucket_meta
             for s in (P(None, "data", "seg"),
                       P(None, None, "data", "seg")))
-        out1 = tuple(P("data", "seg", None) for _ in bucket_meta)
+        out1 = (tuple(P("data", "seg", None) for _ in bucket_meta)
+                + tuple(P("data", "seg") for _ in bucket_meta))
         s1 = jax.jit(shard_map(stage1, mesh=mesh, in_specs=in1,
                                out_specs=out1, **smap_kwargs))
         in2 = (P("data"),) + tuple(P("data", None, None)

@@ -61,10 +61,11 @@ def test_unpack_fused_pack8_roundtrip():
     maxv = px.max(axis=1)
     blob = np.concatenate([maxv, b4.reshape(-1)]).astype(np.int32)
     final = {"B": B, "h": h, "w": w, "pack8": True}
-    out = _unpack_fused(blob, [], final)
+    out, haz = _unpack_fused(blob, [], final)
     assert np.array_equal(out, px.reshape(B, h, w))
+    assert len(haz) == 0
     blob[0] = 300   # a >8-bit pixel: unpack must signal the wide refetch
-    assert _unpack_fused(blob, [], final) is None
+    assert _unpack_fused(blob, [], final)[0] is None
 
 
 def test_fused_batched_decode_cpu_interpret(rng):
@@ -87,3 +88,47 @@ def test_fused_batched_decode_cpu_interpret(rng):
     assert all(np.array_equal(np.asarray(f), host[0]) for f in fused)
     ft = decompress_lanes_batch([st], cfg_t, dtype=np.uint16)
     assert np.array_equal(np.asarray(ft[0]), host[1])
+
+
+def test_overread_hazard_color_regression():
+    """Round-5 fuzz finding: the reference decoder's frozen-bounds
+    quirk lets a plane's decode consume stream bytes PAST its payload
+    (incomplete-flush cascades read the FOLLOWING packets' real bytes),
+    which the round-4 tight windows cut off -- four color configs
+    diverged between the lane decoders and the host decoder.  The fix
+    flags window-clip hazards and re-runs affected lanes with
+    full-remainder windows (model path) or the host decoder (fused
+    paths).  Pins the four found configs, seeded."""
+    from icer_compression_tpu.models.grayscale import CodecConfig
+    from icer_compression_tpu.models.color import (compress_yuv,
+                                                   decompress_yuv)
+    from icer_compression_tpu.models.decode_jax import decompress_yuv_lanes
+
+    for (h, w, st, g, f, seed) in [(56, 88, 3, 2, 2, 0),
+                                   (94, 93, 3, 2, 5, 2),
+                                   (69, 63, 3, 2, 4, 0),
+                                   (94, 82, 4, 3, 5, 0)]:
+        rng = np.random.default_rng(seed)
+        # keep the rng draw order of the original fuzz repro
+        _ = [(rng.integers(0, 100, (h, w))
+              + rng.integers(0, 26, (h, w))).astype(np.uint8)
+             for _ in range(3)]
+        planes = [rng.integers(0, 256, (h, w)).astype(np.uint16)
+                  for _ in range(3)]
+        quota = max(256, int(h * w * 6 * 0.15))
+        cfg = CodecConfig(stages=st, filt=f, segments=g,
+                          byte_quota=quota)
+        cs = compress_yuv(*planes, cfg)
+        my = decompress_yuv(cs, cfg, dtype=np.uint16)
+        ml = decompress_yuv_lanes(cs, cfg, dtype=np.uint16)
+        assert all(np.array_equal(a, b) for a, b in zip(ml, my)), \
+            (h, w, st, g, f)
+        if (h, w) == (56, 88):
+            # fused kernel path (interpret on CPU): the in-kernel
+            # hazard flag must fire and route the affected images
+            # through the exact host re-decode
+            from icer_compression_tpu.models.decode_jax import (
+                decompress_yuv_lanes_batch)
+            mb = decompress_yuv_lanes_batch([cs], cfg,
+                                            dtype=np.uint16)[0]
+            assert all(np.array_equal(a, b) for a, b in zip(mb, my))
