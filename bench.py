@@ -380,9 +380,12 @@ def main():
                             t0 = time.perf_counter()
                             floor_fn()
                             fs.append(time.perf_counter() - t0)
-                            dev = min(
+                            diffs = sorted(
                                 w - (fs[i] + fs[i + 1]) / 2
                                 for i, w in enumerate(ws))
+                            dev = diffs[len(diffs) // 2]  # median: a
+                            # single floor-rate spike makes the MIN
+                            # bracket understate device time badly
                             return max(0.0, dev), min(fs), min(ws)
 
                         enc_dev, floor_enc, wall_enc = bracketed(

@@ -110,8 +110,9 @@ def main():
             t0 = time.perf_counter()
             floor_fn()
             fs.append(time.perf_counter() - t0)
-            dev = min(w - (fs[i] + fs[i + 1]) / 2
-                      for i, w in enumerate(ws))
+            diffs = sorted(w - (fs[i] + fs[i + 1]) / 2
+                           for i, w in enumerate(ws))
+            dev = diffs[len(diffs) // 2]   # median (see bench.py)
             return max(0.0, dev), min(fs), min(ws)
 
         enc_dev, fe, we = bracketed(
