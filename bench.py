@@ -416,7 +416,7 @@ def main():
                                 "decode": round(floor_dec * 1e3, 1)},
                             "note": ("bracketed in-process wall A/B vs "
                                      "same-shape transfer-floor programs "
-                                     f"at Benc={BE}/Bdec={B}, min over "
+                                     f"at Benc={BE}/Bdec={B}, median of "
                                      f"{treps} bracketed diffs, clamped "
                                      ">=0; decode includes host unpack"),
                         }
